@@ -1,0 +1,539 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** The standard relational surface (SURVEY.md §2.2-§2.4, §2.6, §2.8 and
+  * §7.2 step 6): scans with pushdown, every join strategy, hash aggs,
+  * distinct, rollup/cube/grouping-sets, window functions, set ops, top-k,
+  * JSON/date/string scalar functions. All Spark built-ins — Catalyst owns
+  * pushdown, pruning, join selection, AQE; we only hint broadcast where a
+  * dimension is provably small.
+  */
+object Relational {
+
+  private val DEC = DecimalType(18, 4)
+  private def dec(c: Column): Column = c.cast(DEC)
+  /** Exact-arithmetic sum: identical bits in Spark and DuckDB. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------------
+  // q01 — pricing summary (hash agg, partial+final, filter pushdown).
+  // TPC-H Q1 shape; demonstrates A-family aggregation surface (SURVEY §2.4).
+  val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", $"sum_qty" / $"count_order")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """),
+    headline = true)
+
+  // ---------------------------------------------------------------------
+  // q02 — filter + projection: predicate and column pruning must reach the
+  // parquet scan (SURVEY §2.2 P3; checked in PlanSpec).
+  val q02 = Q(
+    "q02_filter_project",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_totalprice" > 100000.0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+      ORDER BY o_orderkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q03 — star join with explicit broadcast of small dims (SURVEY §2.3 J1
+  // generalized): revenue by region/nation. region (5 rows) and nation
+  // (25) broadcast; customer⋈orders shuffles on the key. At 100 TB the
+  // dims stay broadcast and only the fact tables shuffle.
+  val q03 = Q(
+    "q03_star_join_broadcast",
+    (s, dir) => {
+      import s.implicits._
+      val orders   = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation   = t(s, dir, "nation")
+      val region   = t(s, dir, "region")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """),
+    headline = true)
+
+  // ---------------------------------------------------------------------
+  // q04 — large fact⋈fact join (lineitem⋈orders): Catalyst/AQE picks
+  // sort-merge or shuffled-hash; both sides shuffle on the join key once
+  // and the aggregation reuses that partitioning.
+  val q04 = Q(
+    "q04_fact_join",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          dsum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+            .as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """),
+    headline = true)
+
+  // ---------------------------------------------------------------------
+  // q05 — left-semi join (EXISTS).
+  val q05 = Q(
+    "q05_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+      ORDER BY c_custkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q06 — left-anti join (NOT EXISTS).
+  val q06 = Q(
+    "q06_anti_join",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q07 — left-outer join with null handling: order count per customer
+  // including customers with no orders.
+  val q07 = Q(
+    "q07_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy($"c_custkey", $"c_mktsegment")
+        .agg(count($"o_orderkey").as("n_orders"),
+             dsum(coalesce($"o_totalprice", lit(0.0))).as("total_spend"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment,
+        COUNT(o_orderkey) AS n_orders,
+        CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q08 — count(distinct) per day/type over the event stream table
+  // (SURVEY §2.4 A3 materialized).
+  val q08 = Q(
+    "q08_daily_distinct_users",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("event_date"), $"event_type")
+        .agg(countDistinct($"user_id").as("uv"), count(lit(1)).as("pv"))
+        .orderBy($"event_date", $"event_type")
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_date, event_type
+    """),
+    headline = true)
+
+  // ---------------------------------------------------------------------
+  // q09 — window rank: top-3 orders per customer (deterministic
+  // tie-break on o_orderkey).
+  val q09 = Q(
+    "q09_window_topn_per_key",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """))
+
+  // ---------------------------------------------------------------------
+  // q10 — window frames: running total + lag delta per user over event
+  // time. DECIMAL inside the frame keeps the running sum exact (DuckDB's
+  // segment-tree window agg would otherwise differ in float rounding).
+  val q10 = Q(
+    "q10_window_running",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .withColumn("running_value",
+          sum(dec($"value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .withColumn("prev_event_id", lag($"event_id", 1).over(w))
+        .select($"user_id", $"event_id", $"running_value", $"prev_event_id")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // q11 — ROLLUP hierarchy totals (region → nation → grand total).
+  val q11 = Q(
+    "q11_rollup",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(dsum($"c_acctbal").as("total_bal"), count(lit(1)).as("n_cust"))
+        .select(
+          coalesce($"r_name", lit("(all)")).as("region_name"),
+          coalesce($"n_name", lit("(all)")).as("nation_name"),
+          $"total_bal", $"n_cust")
+        .orderBy($"region_name", $"nation_name")
+    },
+    Some("""
+      SELECT COALESCE(r_name, '(all)') AS region_name,
+             COALESCE(n_name, '(all)') AS nation_name,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+        COUNT(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region_name, nation_name
+    """))
+
+  // ---------------------------------------------------------------------
+  // q12 — CUBE over returnflag × linestatus.
+  val q12 = Q(
+    "q12_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+          coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+          $"sum_qty", $"n")
+        .orderBy($"returnflag", $"linestatus")
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+             COALESCE(l_linestatus, '(all)') AS linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus
+    """))
+
+  // ---------------------------------------------------------------------
+  // q13 — GROUPING SETS (explicit set list, not derivable from
+  // rollup/cube).
+  val q13 = Q(
+    "q13_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q13_orders")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n
+        FROM graft_q13_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY status, priority
+      """)
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             COALESCE(o_orderpriority, '(all)') AS priority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY status, priority
+    """))
+
+  // ---------------------------------------------------------------------
+  // q14 — set operators: UNION / INTERSECT / EXCEPT (SURVEY §2.6 M5 + the
+  // engine-side set-op surface).
+  val q14 = Q(
+    "q14_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val bigBuyers    = o.filter($"o_totalprice" > 300000.0).select($"o_custkey")
+      val urgentBuyers = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val openBuyers   = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      bigBuyers.intersect(urgentBuyers).except(openBuyers)
+        .union(bigBuyers.intersect(urgentBuyers).except(openBuyers)) // idempotent under distinct
+        .distinct()
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      SELECT DISTINCT o_custkey FROM (
+        (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY o_custkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q15 — explode / UDTF-style token fan-out (SURVEY §2.6 M3): word
+  // frequency over documents, top 100 with total tie-break order.
+  val q15 = Q(
+    "q15_explode_tokens",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0)
+        .groupBy($"token")
+        .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"cnt".desc, $"token")
+        .limit(100)
+    },
+    Some("""
+      SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+      WHERE LENGTH(token) > 0
+      GROUP BY token
+      ORDER BY cnt DESC, token
+      LIMIT 100
+    """))
+
+  // ---------------------------------------------------------------------
+  // q16 — JSON field extraction from the semi-structured props column
+  // (SURVEY §2.8 F4: schema-on-read probing).
+  val q16 = Q(
+    "q16_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count($"k").as("n_k"),
+             min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+        SUM(k) AS sum_k, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  // ---------------------------------------------------------------------
+  // q17 — date/time functions (SURVEY §2.8 F1-F3, F8): year/month
+  // buckets, +30d arithmetic, epoch extraction.
+  val q17 = Q(
+    "q17_date_functions",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("o_year", year($"o_orderdate"))
+        .withColumn("o_month", month($"o_orderdate"))
+        .groupBy($"o_year", $"o_month")
+        .agg(
+          count(lit(1)).as("n"),
+          date_format(date_add(min($"o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("min_plus_30d"),
+          min(unix_micros(min($"o_orderdate")) / lit(1000000L)).as("min_epoch_s"))
+        .orderBy($"o_year", $"o_month")
+    },
+    Some("""
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             EXTRACT(month FROM o_orderdate) AS o_month,
+        COUNT(*) AS n,
+        strftime(CAST(MIN(o_orderdate) AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS min_plus_30d,
+        MIN(epoch_us(MIN(o_orderdate)) // 1000000) AS min_epoch_s
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY o_year, o_month
+    """))
+
+  // ---------------------------------------------------------------------
+  // q18 — string functions (SURVEY §2.8 F5-F7): split, concat_ws, case
+  // transforms, substring.
+  val q18 = Q(
+    "q18_string_functions",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          upper($"c_mktsegment").as("seg_upper"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          concat_ws("|", $"c_mktsegment", $"c_name").as("joined"),
+          length($"c_name").as("name_len"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        UPPER(c_mktsegment) AS seg_upper,
+        SUBSTRING(c_name, 1, 8) AS name_prefix,
+        CONCAT_WS('|', c_mktsegment, c_name) AS joined,
+        LENGTH(c_name) AS name_len
+      FROM customer
+      ORDER BY c_custkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q19 — conditional aggregation (CASE WHEN pivot-style counts).
+  val q19 = Q(
+    "q19_conditional_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when($"l_returnflag" === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"l_returnflag" === "N", 1L).otherwise(0L)).as("n_n"),
+          dsum(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0)))
+            .as("discounted_revenue"))
+        .orderBy($"l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+        SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+        SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n,
+        CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS discounted_revenue
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """))
+
+  // ---------------------------------------------------------------------
+  // q20 — global top-k (TakeOrderedAndProject physical op: no full sort,
+  // per-partition heap + driver merge — the 100 TB-safe top-k).
+  val q20 = Q(
+    "q20_topk",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20
+    """))
+
+  def queries: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
