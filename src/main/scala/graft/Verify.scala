@@ -16,10 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.error.txt"),
+          s"$name failed: ${e}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -418,13 +418,13 @@ object Relational {
       t(s, dir, "events")
         .withColumn("k", get_json_object($"props", "$.k").cast("long"))
         .groupBy($"event_type")
-        .agg(sum($"k").as("sum_k"), count($"k").as("n_k"),
+        .agg(sum($"k").cast("long").as("sum_k"), count($"k").as("n_k"),
              min($"k").as("min_k"), max($"k").as("max_k"))
         .orderBy($"event_type")
     },
     Some("""
       SELECT event_type,
-        SUM(k) AS sum_k, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
+        CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k
       FROM (SELECT event_type,
               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events)
@@ -447,7 +447,8 @@ object Relational {
           count(lit(1)).as("n"),
           date_format(date_add(min($"o_orderdate").cast("date"), 30), "yyyy-MM-dd")
             .as("min_plus_30d"),
-          min(unix_micros(min($"o_orderdate")) / lit(1000000L)).as("min_epoch_s"))
+          (unix_micros(min($"o_orderdate").cast("timestamp")) / lit(1000000L))
+            .cast("long").as("min_epoch_s"))
         .orderBy($"o_year", $"o_month")
     },
     Some("""
@@ -455,7 +456,7 @@ object Relational {
              EXTRACT(month FROM o_orderdate) AS o_month,
         COUNT(*) AS n,
         strftime(CAST(MIN(o_orderdate) AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS min_plus_30d,
-        MIN(epoch_us(MIN(o_orderdate)) // 1000000) AS min_epoch_s
+        epoch_us(MIN(o_orderdate)) // 1000000 AS min_epoch_s
       FROM orders
       GROUP BY 1, 2
       ORDER BY o_year, o_month
