@@ -1,9 +1,449 @@
 package graft.queries
 
-/** The reference's own warehouse surface (SURVEY.md §2.2, §2.4-§2.7)
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** The reference warehouse's own operator surface (SURVEY.md §2),
   * re-expressed as oracle-checkable batch queries over the `events`
-  * fixture. Filled in incrementally; every entry lands in Registry.all.
+  * fixture. Each query models one reference operator's semantics with
+  * the fixture's columns standing in for the gmall page-log/CDC fields;
+  * the streaming (incremental) forms of the stateful ones live in
+  * `graft.streaming` and are exercised by ScalaTest.
+  *
+  * Reference citations are to /root/reference/gmall-logger/src/main/java/.
+  *
+  * Scale notes: every query is a narrow scan + (at most) one hash
+  * shuffle on its natural key (user_id / event_type), so each plan is
+  * the one you'd run at 100 TB: filters/projections reach the parquet
+  * scan, per-key windows partition by high-cardinality keys (never a
+  * global window), and the only broadcast is the 3-row config table.
   */
 object Warehouse {
-  def queries: Seq[Q] = Seq.empty
+
+  private val DEC = DecimalType(18, 4)
+  private def dsum(c: Column): Column = sum(c.cast(DEC)).cast(DoubleType)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** CDC/page-log envelope schema for the from_json round-trips
+    * (models the Debezium envelope probed at app/dim/DimApp.java:61 and
+    * app/func/TableProcessFunction.java:110-114). */
+  private val envSchema: DataType = DataType.fromDDL(
+    "type STRING, source_table STRING, data STRUCT<event_id: BIGINT, user_id: BIGINT>")
+
+  /** Rows with event_id % 11 == 0 get a deliberately corrupt payload so
+    * the parse-or-drop / dirty-side-output paths have real work. */
+  private def withEnvelope(df: DataFrame): DataFrame =
+    df.withColumn("raw",
+      when(pmod(col("event_id"), lit(11)) === 0,
+        concat(lit("{corrupt"), col("props")))
+      .otherwise(to_json(struct(
+        col("event_type").as("type"),
+        lit("events").as("source_table"),
+        struct(col("event_id"), col("user_id")).as("data")))))
+
+  // ---------------------------------------------------------------------
+  // w01 — P1: parse-or-drop JSON + CDC-op filter (DimApp.java:54-72).
+  // Serialize to a CDC-style envelope (P5/F5), parse back (P4), drop
+  // malformed rows and ops outside the allowed set. The op set
+  // {signup,purchase,click} stands in for {insert,update,bootstrap-insert}.
+  val w01 = Q(
+    "w01_cdc_op_filter",
+    (s, dir) => {
+      import s.implicits._
+      withEnvelope(ev(s, dir))
+        .withColumn("j", from_json($"raw", envSchema))
+        .filter($"j.type".isin("signup", "purchase", "click"))
+        .select($"j.data.event_id".as("event_id"), $"j.type".as("op"),
+                $"j.data.user_id".as("user_id"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, event_type AS op, user_id
+      FROM events
+      WHERE event_id % 11 <> 0
+        AND event_type IN ('signup', 'purchase', 'click')
+      ORDER BY event_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // w02 — P2: dirty side output (BaseLogApp.java:46-62). The rows the
+  // parse drops are routed to their own output with the raw payload
+  // preserved, instead of being silently discarded.
+  val w02 = Q(
+    "w02_dirty_side_output",
+    (s, dir) => {
+      import s.implicits._
+      withEnvelope(ev(s, dir))
+        .withColumn("j", from_json($"raw", envSchema))
+        .filter($"j.type".isNull)
+        .select($"event_id", $"raw")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, '{corrupt' || props AS raw
+      FROM events
+      WHERE event_id % 11 = 0
+      ORDER BY event_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // w03 — M2: 5-way demultiplex (BaseLogApp.java:98-162, with the
+  // intended semantics — SURVEY §7.4). One pass over the parsed stream
+  // becomes five tagged sub-streams (err/start/page/display/action);
+  // here each branch is a filter on the shared scan and the driver
+  // output is the per-stream cardinality profile after re-union.
+  // display/action fan out of page rows (exploded in w04).
+  val w03 = Q(
+    "w03_five_way_split",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val err   = e.filter($"event_type" === "error").withColumn("stream", lit("err"))
+      val start = e.filter($"event_type" === "signup").withColumn("stream", lit("start"))
+      val page  = e.filter($"event_type".isin("view", "click", "purchase"))
+      val disp  = page.withColumn("stream", lit("display"))
+        .withColumn("n_child", pmod($"event_id", lit(3)) + 1)
+      val act   = page.withColumn("stream", lit("action"))
+        .withColumn("n_child", pmod($"event_id", lit(2)) + 1)
+      err.withColumn("n_child", lit(1L))
+        .unionByName(start.withColumn("n_child", lit(1L)))
+        .unionByName(page.withColumn("stream", lit("page")).withColumn("n_child", lit(1L)))
+        .unionByName(disp).unionByName(act)
+        .groupBy($"stream")
+        .agg(sum($"n_child").cast("long").as("n_rows"),
+             countDistinct($"user_id").as("n_users"))
+        .orderBy($"stream")
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT 'err' AS stream, 1 AS n_child, user_id FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'start', 1, user_id FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT 'page', 1, user_id FROM events WHERE event_type IN ('view','click','purchase')
+        UNION ALL
+        SELECT 'display', event_id % 3 + 1, user_id FROM events WHERE event_type IN ('view','click','purchase')
+        UNION ALL
+        SELECT 'action', event_id % 2 + 1, user_id FROM events WHERE event_type IN ('view','click','purchase')
+      )
+      SELECT stream, CAST(SUM(n_child) AS BIGINT) AS n_rows,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM tagged GROUP BY stream ORDER BY stream
+    """))
+
+  // ---------------------------------------------------------------------
+  // w04 — M3: array explode with parent denormalization
+  // (BaseLogApp.java:126-149): each display element becomes its own row
+  // carrying the parent's common/page_id/ts fields. The display array is
+  // synthesized deterministically from the event so both engines agree.
+  val w04 = Q(
+    "w04_explode_displays",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .withColumn("displays", expr(
+          "transform(sequence(0, pmod(event_id, 3)), " +
+          "i -> named_struct('pos', i, 'item', concat('item_', pmod(event_id * 7 + i, 50))))"))
+        .select($"event_id", $"user_id", $"event_type".as("page_id"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          explode($"displays").as("d"))
+        .select($"event_id", $"user_id", $"page_id", $"ts_str",
+          $"d.pos".as("pos"), $"d.item".as("item"))
+        .orderBy($"event_id", $"pos")
+    },
+    Some("""
+      SELECT event_id, user_id, page_id, ts_str, pos,
+             'item_' || ((event_id * 7 + pos) % 50) AS item
+      FROM (SELECT event_id, user_id, event_type AS page_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              unnest(generate_series(0, event_id % 3)) AS pos
+            FROM events
+            WHERE event_type IN ('view','click','purchase'))
+      ORDER BY event_id, pos
+    """))
+
+  // ---------------------------------------------------------------------
+  // w05 — A1: per-key daily distinct / UV dedup
+  // (DwdTrafficUniqueVisitorDetail.java:57-80): keep each user's first
+  // event per day. Batch analogue of the ValueState<last_visit_date>
+  // filter; incremental form: graft.streaming.DedupDaily.
+  val w05 = Q(
+    "w05_uv_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", to_date($"ts"))
+        .orderBy($"ts", $"event_id")
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("event_date"),
+                $"event_id", $"event_type")
+        .orderBy($"user_id", $"event_date")
+    },
+    Some("""
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS event_date, event_id, event_type
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_date
+    """))
+
+  // ---------------------------------------------------------------------
+  // w06 — A2: new/returning-visitor flag repair (BaseLogApp.java:66-96):
+  // a claimed is_new=1 survives only if the event really falls on the
+  // user's first-ever date. The claimed flag is synthesized from the
+  // event id; first-visit date is the per-user min — exactly the
+  // ValueState the reference keeps. Incremental form:
+  // graft.streaming.VisitorFlagRepair.
+  val w06 = Q(
+    "w06_is_new_repair",
+    (s, dir) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      ev(s, dir)
+        .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+        .withColumn("is_new_claimed",
+          when(pmod($"event_id", lit(3)) === 0, lit("1")).otherwise(lit("0")))
+        .withColumn("first_date", min($"event_date").over(wu))
+        .withColumn("is_new_repaired",
+          when($"is_new_claimed" === "1" && $"event_date" === $"first_date", "1")
+            .otherwise("0"))
+        .select($"event_id", $"user_id", $"event_date",
+                $"is_new_claimed", $"is_new_repaired")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_date, is_new_claimed,
+        CASE WHEN is_new_claimed = '1' AND event_date = first_date
+             THEN '1' ELSE '0' END AS is_new_repaired
+      FROM (SELECT event_id, user_id,
+              strftime(ts, '%Y-%m-%d') AS event_date,
+              CASE WHEN event_id % 3 = 0 THEN '1' ELSE '0' END AS is_new_claimed,
+              MIN(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id) AS first_date
+            FROM events)
+      ORDER BY event_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // w07 — J1 + P6: broadcast config lookup join with data-driven column
+  // projection (DimApp.java:89-96 + TableProcessFunction.java:107-141).
+  // A 3-row config table routes each event type to a sink table and
+  // names the columns to keep; unconfigured types drop (inner join,
+  // like the reference's missing-key drop). Projection is exact set
+  // membership on a MapType column — NOT the reference's buggy
+  // substring contains (SURVEY §7.4). Config is broadcast: at 100 TB
+  // the fact side never shuffles for this join.
+  val w07 = Q(
+    "w07_config_routing_projection",
+    (s, dir) => {
+      import s.implicits._
+      val config = Seq(
+        ("purchase", "dwd_purchase", "event_id,user_id,value_cents"),
+        ("click",    "dwd_click",    "event_id,user_id"),
+        ("view",     "dwd_view",     "event_id")
+      ).toDF("source_type", "sink_table", "sink_columns")
+      val e = ev(s, dir).withColumn("m", map(
+        lit("event_id"), $"event_id".cast("string"),
+        lit("user_id"), $"user_id".cast("string"),
+        lit("value_cents"), round($"value" * 100).cast("long").cast("string")))
+      e.join(broadcast(config), e("event_type") === config("source_type"))
+        .withColumn("kept",
+          map_filter($"m", (k, _) => array_contains(split($"sink_columns", ","), k)))
+        .withColumn("ks", array_sort(map_keys($"kept")))
+        .select($"sink_table", $"event_id",
+          concat_ws(",", $"ks").as("kept_cols"),
+          concat_ws(",", transform($"ks", k => element_at($"kept", k))).as("kept_vals"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT CASE event_type WHEN 'purchase' THEN 'dwd_purchase'
+                             WHEN 'click' THEN 'dwd_click'
+                             ELSE 'dwd_view' END AS sink_table,
+        event_id,
+        CASE event_type WHEN 'purchase' THEN 'event_id,user_id,value_cents'
+                        WHEN 'click' THEN 'event_id,user_id'
+                        ELSE 'event_id' END AS kept_cols,
+        CASE event_type
+          WHEN 'purchase' THEN event_id || ',' || user_id || ',' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+          WHEN 'click' THEN event_id || ',' || user_id
+          ELSE CAST(event_id AS VARCHAR) END AS kept_vals
+      FROM events
+      WHERE event_type IN ('purchase','click','view')
+      ORDER BY event_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // w08 — W2: bounce detection, batch analogue of the CEP pattern
+  // (DwdTrafficUserJumpDetail.java:88-136): a session-entry event
+  // (no prior event within 10 min) is a bounce iff no follow-up event
+  // arrives within 10 s. lead/lag per user replace the NFA + timeout
+  // timer; incremental form: graft.streaming.BounceDetector.
+  val w08 = Q(
+    "w08_bounce_detect",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev(s, dir)
+        .withColumn("ep", unix_micros($"ts"))
+        .withColumn("prev_ep", lag($"ep", 1).over(w))
+        .withColumn("next_ep", lead($"ep", 1).over(w))
+        .filter(($"prev_ep".isNull || $"ep" - $"prev_ep" > 600L * 1000000L) &&
+                ($"next_ep".isNull || $"next_ep" - $"ep" > 10L * 1000000L))
+        .select($"event_id", $"user_id", ($"ep" / 1000000L).cast("long").as("epoch_s"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS epoch_s
+      FROM (SELECT event_id, user_id, ts,
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+            FROM events)
+      WHERE (prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600 * 1000000)
+        AND (next_ts IS NULL OR epoch_us(next_ts) - epoch_us(ts) > 10 * 1000000)
+      ORDER BY event_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // w09 — W3: session-gap windows (the 10 s `within` generalized to a
+  // 10 min session gap): gap-flag + running sum assigns session ids,
+  // then one hash agg per (user, session). This is the batch shape of
+  // session_window(ts, '10 minutes').
+  val w09 = Q(
+    "w09_session_agg",
+    (s, dir) => {
+      import s.implicits._
+      val w  = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("ep", unix_micros($"ts"))
+        .withColumn("new_sess",
+          when(lag($"ep", 1).over(w).isNull ||
+               $"ep" - lag($"ep", 1).over(w) > 600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum($"new_sess").over(ws))
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+             (min($"ep") / 1000000L).cast("long").as("start_s"),
+             (max($"ep") / 1000000L).cast("long").as("end_s"),
+             dsum($"value").as("session_value"))
+        .orderBy($"user_id", $"session_seq")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600 * 1000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessioned AS (
+        SELECT *, SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        COUNT(*) AS n_events,
+        epoch_us(MIN(ts)) // 1000000 AS start_s,
+        epoch_us(MAX(ts)) // 1000000 AS end_s,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+      FROM sessioned
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq
+    """))
+
+  // ---------------------------------------------------------------------
+  // w10 — K3: keyed upsert semantics / last-writer-wins
+  // (DimSinkFunction.java:13-33): after replaying every change, the dim
+  // table holds exactly the latest record per key. The physical MERGE
+  // write path lives in graft.ops.DimStore (ScalaTest-verified); this
+  // checks the resulting table state against the oracle.
+  val w10 = Q(
+    "w10_dim_upsert_lww",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("last_event_type"),
+          round($"value" * 100).cast("long").as("last_value_cents"),
+          (unix_micros($"ts") / 1000000L).cast("long").as("last_epoch_s"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_type AS last_event_type,
+        CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+        epoch_us(ts) // 1000000 AS last_epoch_s
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // w11 — F1/F2/F3/F8: the reference's date kit (DateFormatUtil.java:
+  // 10-38): epoch millis ↔ `yyyy-MM-dd [HH:mm:ss]` at an explicit UTC+8
+  // offset (the reference bakes +8 into the JVM zone; we make it an
+  // expression), plus day arithmetic.
+  val w11 = Q(
+    "w11_date_kit",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"event_type")
+        .agg(min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+        .select($"event_type",
+          date_format($"min_ts" + expr("INTERVAL 8 HOURS"), "yyyy-MM-dd HH:mm:ss")
+            .as("min_cst"),
+          date_format($"max_ts", "yyyy-MM-dd").as("max_date"),
+          unix_millis($"min_ts").as("min_millis"),
+          date_format(date_add($"max_ts".cast("date"), -1), "yyyy-MM-dd")
+            .as("max_date_minus_1d"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+        strftime(MIN(ts) + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS min_cst,
+        strftime(MAX(ts), '%Y-%m-%d') AS max_date,
+        epoch_us(MIN(ts)) // 1000 AS min_millis,
+        strftime(CAST(MAX(ts) AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d') AS max_date_minus_1d
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  // ---------------------------------------------------------------------
+  // w12 — P5/F5: exact JSON serialization (to_json before the Kafka
+  // sink, DwdTrafficUniqueVisitorDetail.java:84): byte-identical
+  // payload strings both engines.
+  val w12 = Q(
+    "w12_json_serialize",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id",
+          to_json(struct($"event_id", $"event_type", $"user_id")).as("payload"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+        '{"event_id":' || event_id || ',"event_type":"' || event_type ||
+        '","user_id":' || user_id || '}' AS payload
+      FROM events
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """))
+
+  def queries: Seq[Q] = Seq(
+    w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12)
 }
