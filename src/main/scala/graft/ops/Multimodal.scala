@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+
+/** Opaque media payload: id + raw bytes. In production the binary column
+  * holds image/audio/video blobs (or object-store pointers); here the
+  * fixtures provide text bytes, which is irrelevant to the plumbing. */
+final case class MediaIn(doc_id: Long, media: Array[Byte])
+
+/** Typed metadata extracted per media record. */
+final case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    checksum: String,
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Multimodal-column plumbing (SURVEY.md north-star extension).
+  *
+  * The engine treats media as opaque `binary` columns and runs
+  * decode/feature-extract as a partition-local batch pipeline:
+  * `mapPartitions` keeps per-partition setup (a real decoder would
+  * initialize codecs / an ONNX session once per partition, not per row)
+  * and streams records through without materializing the partition.
+  *
+  * The decode itself is a STUB — this container has no image/audio
+  * libraries — replaced by a deterministic fake so the pipeline stays
+  * testable end-to-end: real schema, real batching, fake pixels.
+  */
+object Multimodal {
+
+  /** STUB decoder: deterministic fake dimensions derived from the byte
+    * length; a real build swaps this body for e.g. an ImageIO/ffmpeg
+    * call and keeps the signature. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, String) = {
+    val n = bytes.length
+    (16 + n % 64, 16 + (n / 64) % 64, "fake/rgb8")
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** Per-partition batched metadata extraction. Partition-parallel, no
+    * shuffle; at 100 TB the input would be size-partitioned parquet with
+    * the binary column pruned everywhere it isn't needed. */
+  def extractMeta(ds: Dataset[MediaIn]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder setup would go here (once, not per record)
+      it.map { r =>
+        val (w, h, fmt) = decodeStub(r.media)
+        MediaMeta(r.doc_id, r.media.length.toLong, sha256Hex(r.media), w, h, fmt)
+      }
+    }
+  }
+}

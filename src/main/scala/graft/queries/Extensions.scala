@@ -1,9 +1,492 @@
 package graft.queries
 
-/** LLM-training-data pipeline operators (dedup, similarity search,
-  * text analysis, multimodal plumbing) over the `documents` and
-  * `embeddings` fixtures. Filled in incrementally.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+  * and text analysis (stats, language-ID, tokenization, fingerprints).
+  *
+  * Every operator is designed for the 100 TB shape first:
+  *   - no all-pairs `crossJoin` anywhere — candidate generation is always
+  *     an equi-join on a bucket key (LSH band, sign-bit bucket, bounded
+  *     blocking key), so the shuffle is keyed and skew-safe;
+  *   - per-document work (shingling, hashing, stats) is a narrow map —
+  *     scales linearly, no shuffle;
+  *   - similarity verification runs only on candidate pairs.
+  *
+  * Determinism: all similarity scores are reported as round(1e6*x)
+  * BIGINT ("ppm") so the DuckDB hash-compare never sees raw doubles,
+  * and all hashes are md5/sha256 hex (identical in both engines).
   */
 object Extensions {
-  def queries: Seq[Q] = Seq.empty
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // ---------------------------------------------------------------------
+  // x01 — exact dedup: sha256 over normalized text (lowercase, trimmed,
+  // whitespace-collapsed), keep-first by doc_id. One hash-shuffle on the
+  // fingerprint; at 100 TB this is the standard first dedup pass.
+  val x01 = Q(
+    "x01_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("fingerprint",
+          sha2(regexp_replace(trim(lower($"text")), "\\s+", " "), 256))
+        .groupBy($"fingerprint")
+        .agg(min($"doc_id").as("keeper_doc_id"),
+             count(lit(1)).as("n_copies"))
+        .orderBy($"keeper_doc_id")
+    },
+    Some("""
+      SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+             MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keeper_doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x02 — MinHash + LSH near-dup detection, the scale path:
+  //   shingle (word 3-grams) → 8 minhashes → 4 bands of 2 → bucket join
+  //   on (band, key) → exact Jaccard verify on candidates only.
+  // Word-trigram shingles keep bucket cardinality high so band buckets
+  // stay small (candidates ≈ true near-dups, not O(n²)); the minhash is
+  // the lexicographic min of md5(seed + shingle), identical both engines.
+  private val K = 8  // minhash functions
+  private val B = 4  // bands (rows per band r = K/B = 2)
+
+  val x02 = Q(
+    "x02_minhash_lsh_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+          "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2)))"))
+          .as("shingles"))
+        .filter(size($"shingles") > 0)
+        .select($"doc_id", explode($"shingles").as("sh"))
+      val aggs = (0 until K).map(i => min(md5(concat(lit(s"$i#"), $"sh"))).as(s"h$i"))
+      val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      val bands = sig.select($"doc_id", explode(array(
+        (0 until B).map(b => struct(lit(b).as("band"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy($"doc_id").agg(countDistinct($"sh").as("n"))
+      val inter = cand
+        .join(sh.as("ta"), $"doc_a" === col("ta.doc_id"))
+        .join(sh.as("tb"), $"doc_b" === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ni"))
+      cand.join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("ni"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard_ppm",
+          round(lit(1e6) * $"ni" / ($"na" + $"nb" - $"ni")).cast("long"))
+        .filter($"jaccard_ppm" >= 500000L)
+        .select($"doc_a", $"doc_b", $"jaccard_ppm")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+          i -> string_split(lower(text), ' ')[i] || '_' ||
+               string_split(lower(text), ' ')[i+1] || '_' ||
+               string_split(lower(text), ' ')[i+2]))) AS sh
+        FROM documents
+      ),
+      sig AS (
+        SELECT doc_id, ${(0 until K).map(i => s"min(md5('$i#' || sh)) AS h$i").mkString(", ")}
+        FROM sh GROUP BY doc_id
+      ),
+      bands AS (
+        ${(0 until B).map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig").mkString(" UNION ALL ")}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ),
+      sizes AS (SELECT doc_id, COUNT(DISTINCT sh) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        FROM cand c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT c.doc_a, c.doc_b,
+        CAST(round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) AS BIGINT) AS jaccard_ppm
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) >= 500000
+      ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
+  // x03 — SimHash document fingerprint (32-bit): per distinct token,
+  // md5 → 32-bit int; per bit, sum of ±1 over tokens; fingerprint has
+  // bit j set iff the sum is positive. Narrow map + one keyed agg; near
+  // -dup candidates would then bucket on fingerprint prefixes.
+  val x03 = Q(
+    "x03_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("tok"))
+        .filter(length($"tok") > 0)
+        .withColumn("h", conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+      val bitSums = (0 until 32).map(j =>
+        sum(shiftright($"h", j).bitwiseAND(1) * 2 - 1).as(s"b$j"))
+      val fp = (0 until 32).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", fp.as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        FROM documents
+      ), hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        FROM toks WHERE len(tok) > 0
+      ), bits AS (
+        SELECT doc_id, ${(0 until 32).map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(", ")}
+        FROM hashed GROUP BY doc_id
+      )
+      SELECT doc_id,
+        ${(0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")} AS simhash
+      FROM bits
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x04 — n-gram (word bigram) Jaccard similarity over BLOCKED candidate
+  // pairs: blocking key = (source, lang), plus a doc_id-distance bound so
+  // the pair set stays linear in corpus size. The blocked-pairs pattern
+  // is how pairwise similarity survives 100 TB; the block key would be a
+  // cheap cluster id (LSH bucket, URL host, …) in production.
+  val x04 = Q(
+    "x04_ngram_jaccard_blocked",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"lang",
+          array_distinct(expr(
+            "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 0)), " +
+            "i -> concat(element_at(split(lower(text), ' '), i), '_', element_at(split(lower(text), ' '), i + 1)))"))
+            .as("grams"))
+      d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.doc_id") - col("a.doc_id") <= 20)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.grams"), col("b.grams"))).as("ni"),
+          size(array_union(col("a.grams"), col("b.grams"))).as("nu"))
+        .withColumn("jaccard_ppm", round(lit(1e6) * $"ni" / $"nu").cast("long"))
+        .filter($"jaccard_ppm" >= 100000L)
+        .select($"doc_a", $"doc_b", $"jaccard_ppm")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, source, lang,
+          list_distinct(list_transform(
+            range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+            i -> string_split(lower(text), ' ')[i] || '_' || string_split(lower(text), ' ')[i+1])) AS grams
+        FROM documents
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(round(1e6 * len(list_intersect(a.grams, b.grams)) /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) AS BIGINT) AS jaccard_ppm
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.lang = b.lang
+       AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
+      WHERE round(1e6 * len(list_intersect(a.grams, b.grams)) /
+            (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) >= 100000
+      ORDER BY doc_a, doc_b
+    """))
+
+  /** Cosine similarity between two double-array columns, computed as a
+    * left-to-right fold so Spark and DuckDB produce identical doubles. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na  = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb  = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  // ---------------------------------------------------------------------
+  // x05 — brute-force cosine top-k over the embedding column: the exact
+  // baseline every ANN variant is graded against. The query vector is a
+  // 1-row broadcast; the scan side computes one fused map + a global
+  // top-k (TakeOrderedAndProject — per-partition heaps, no full sort).
+  val x05 = Q(
+    "x05_cosine_topk_bruteforce",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+      val qv = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      e.filter($"vec_id" =!= 0)
+        .join(broadcast(qv))
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .select($"vec_id", $"label", $"cos_ppm")
+        .orderBy($"cos_ppm".desc, $"vec_id")
+        .limit(50)
+    },
+    Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+        CAST(round(1e6 * list_dot_product(embedding::DOUBLE[], q.qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_ppm
+      FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY cos_ppm DESC, vec_id
+      LIMIT 50
+    """),
+    headline = true)
+
+  // ---------------------------------------------------------------------
+  // x06 — LSH-bucketed ANN: 4 axis-aligned hyperplane sign bits (dims
+  // 1/17/33/49) partition vectors into 16 buckets; each query searches
+  // only its own bucket. Bucket assignment is a narrow map; the
+  // candidate join is an equi-join on the bucket key — at 100 TB the
+  // probe side touches ~1/16th of the data per query instead of all of
+  // it (recall traded for the usual multi-probe extension).
+  val x06 = Q(
+    "x06_ann_lsh_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(v: Column): Column = concat(
+        Seq(1, 17, 33, 49).map(i =>
+          when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("bucket", bucket($"v"))
+      val q = e.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(q), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id <= 2
+      ), scored AS (
+        SELECT q.query_id, e.vec_id,
+          CAST(round(1e6 * list_dot_product(e.v, q.qv) /
+            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_ppm
+        FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+      )
+      SELECT query_id, vec_id, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  // ---------------------------------------------------------------------
+  // x07 — text quality stats: token counts, average token length,
+  // punctuation and stopword ratios, and a composite quality flag — the
+  // standard pre-training filter columns. Pure narrow map.
+  val x07 = Q(
+    "x07_text_stats",
+    (s, dir) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      docs(s, dir)
+        .withColumn("toks", split(lower($"text"), " "))
+        .withColumn("n_tokens", size($"toks"))
+        .withColumn("n_distinct_tokens", size(array_distinct($"toks")))
+        .withColumn("sum_tok_len",
+          aggregate(transform($"toks", t => length(t)), lit(0), (acc, x) => acc + x))
+        .withColumn("avg_tok_len_ppm",
+          round(lit(1e6) * $"sum_tok_len" / $"n_tokens").cast("long"))
+        .withColumn("n_punct", regexp_count($"text", lit("[^a-zA-Z0-9 ]")))
+        .withColumn("n_stop",
+          size(filter($"toks", t => t.isin(stop: _*))))
+        .withColumn("stop_ratio_ppm",
+          round(lit(1e6) * $"n_stop" / $"n_tokens").cast("long"))
+        .withColumn("quality_ok",
+          ($"n_tokens" >= 10 && $"n_tokens" <= 500 &&
+           $"stop_ratio_ppm" <= 500000L).cast("int"))
+        .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"avg_tok_len_ppm",
+                $"n_punct", $"stop_ratio_ppm", $"quality_ok")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        len(list_distinct(toks)) AS n_distinct_tokens,
+        CAST(round(1e6 * list_sum(list_transform(toks, t -> len(t))) / len(toks)) AS BIGINT) AS avg_tok_len_ppm,
+        len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+        CAST(round(1e6 * len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / len(toks)) AS BIGINT) AS stop_ratio_ppm,
+        CAST(len(toks) >= 10 AND len(toks) <= 500 AND
+             round(1e6 * len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / len(toks)) <= 500000 AS INT) AS quality_ok
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x08 — language identification by marker-token voting (the n-gram
+  // heuristic in its simplest deterministic form): score each language's
+  // marker set against the token set, argmax with a fixed tie order.
+  val x08 = Q(
+    "x08_langid_heuristic",
+    (s, dir) => {
+      import s.implicits._
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "fast", "small"),
+        "de" -> Seq("table", "window", "hash", "order"),
+        "fr" -> Seq("query", "row", "line", "part"),
+        "es" -> Seq("data", "scan", "merge", "filter"))
+      val d = docs(s, dir)
+        .withColumn("toks", split(lower($"text"), " "))
+      val scored = profiles.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(filter($"toks", t => t.isin(words: _*))))
+      }
+      scored
+        .withColumn("predicted_lang",
+          when($"score_en" >= $"score_de" && $"score_en" >= $"score_fr" && $"score_en" >= $"score_es", "en")
+          .when($"score_de" >= $"score_fr" && $"score_de" >= $"score_es", "de")
+          .when($"score_fr" >= $"score_es", "fr")
+          .otherwise("es"))
+        .select($"doc_id", $"lang".as("labeled_lang"), $"predicted_lang",
+          $"score_en", $"score_de", $"score_fr", $"score_es")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang AS labeled_lang,
+        CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+             WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+             WHEN score_fr >= score_es THEN 'fr'
+             ELSE 'es' END AS predicted_lang,
+        score_en, score_de, score_fr, score_es
+      FROM (SELECT doc_id, lang,
+              len(list_filter(toks, t -> t IN ('the','a','fast','small'))) AS score_en,
+              len(list_filter(toks, t -> t IN ('table','window','hash','order'))) AS score_de,
+              len(list_filter(toks, t -> t IN ('query','row','line','part'))) AS score_fr,
+              len(list_filter(toks, t -> t IN ('data','scan','merge','filter'))) AS score_es
+            FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents))
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x09 — token counting with a BPE-ish greedy regex (≤4-char alpha
+  // pieces, digits, punctuation as singletons) next to whitespace
+  // counts — the cheap proxy for "how many model tokens is this corpus".
+  val x09 = Q(
+    "x09_token_count",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          size(split($"text", " ")).as("n_ws_tokens"),
+          regexp_count($"text", lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]")).as("n_bpe_pieces"),
+          regexp_count($"text", lit("[a-zA-Z]+")).as("n_words"),
+          regexp_count($"text", lit("[0-9]+")).as("n_numbers"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_pieces,
+        len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_words,
+        len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x10 — document fingerprinting via rolling char 5-grams (winnowing,
+  // simplified to the document-level min-hash of the gram set): all
+  // array-lambda work, no explode, no shuffle beyond the final sort.
+  val x10 = Q(
+    "x10_fingerprint_rolling",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .filter(length($"text") >= 5)
+        .withColumn("grams", expr(
+          "transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
+        .select($"doc_id",
+          array_min(transform($"grams", g => md5(g))).as("min_gram_hash"),
+          size($"grams").as("n_grams"),
+          size(array_distinct($"grams")).as("n_distinct_grams"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        list_min(list_transform(range(1, len(text) - 3), i -> md5(substr(text, i, 5)))) AS min_gram_hash,
+        len(text) - 4 AS n_grams,
+        len(list_distinct(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5)))) AS n_distinct_grams
+      FROM documents
+      WHERE len(text) >= 5
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x11 — multimodal column plumbing: media as an opaque binary column
+  // with typed metadata extraction through graft.ops.Multimodal's
+  // batched mapPartitions pipeline (the decode itself is a deterministic
+  // stub — see Multimodal.scala — but the schema, partitioning, and
+  // batch shape are the real 100 TB path).
+  val x11 = Q(
+    "x11_multimodal_meta",
+    (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("media"))
+        .as[graft.ops.MediaIn]
+      graft.ops.Multimodal.extractMeta(media)
+        .toDF()
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        strlen(text) AS n_bytes,
+        sha256(text) AS checksum,
+        16 + strlen(text) % 64 AS width,
+        16 + (strlen(text) // 64) % 64 AS height,
+        'fake/rgb8' AS format
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  def queries: Seq[Q] = Seq(
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
 }
