@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.DimStore
+import graft.streaming.{DimRouter, TableProcess}
+
+/** The DIM layer end-to-end in batch form: config routing, projection,
+  * create-on-first-write (K4), MERGE upsert (K3), last-writer-wins. */
+class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("DimStore.upsert keeps the latest record per pk across calls") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("dimstore").toString
+    val path = s"$base/dim_user"
+    DimStore.upsert(s, path,
+      Seq((1L, "alice", 10L), (2L, "bob", 10L)).toDF("id", "name", "ver"),
+      "id", "ver")
+    DimStore.upsert(s, path,
+      Seq((1L, "alice2", 20L), (3L, "carol", 20L)).toDF("id", "name", "ver"),
+      "id", "ver")
+    val rows = DimStore.read(s, path)
+      .select("id", "name").as[(Long, String)].collect().sorted
+    rows shouldBe Seq((1L, "alice2"), (2L, "bob"), (3L, "carol"))
+  }
+
+  test("DimRouter routes per config, projects exact columns, upserts per pk") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("dimrouter").toString
+    val config = Seq(
+      TableProcess("user_info", "dim_user_info", "id,name", "id"),
+      TableProcess("sku_info", "dim_sku_info", "id,price", "id"))
+    val batch1 = Seq(
+      ("user_info", 1L, "alice", 9.99, 100L),
+      ("user_info", 2L, "bob", 0.0, 100L),
+      ("sku_info", 7L, "widget", 3.50, 100L),
+      ("unconfigured", 9L, "dropme", 1.0, 100L))
+      .toDF("source_table", "id", "name", "price", "ver")
+    DimRouter.routeBatch(batch1, config, base, "ver")
+    val batch2 = Seq(("user_info", 1L, "alice-renamed", 9.99, 200L))
+      .toDF("source_table", "id", "name", "price", "ver")
+    DimRouter.routeBatch(batch2, config, base, "ver")
+
+    val users = DimStore.read(s, s"$base/dim_user_info")
+    users.columns.sorted shouldBe Array("id", "name", "ver")
+    users.select("id", "name").as[(Long, String)].collect().sorted shouldBe
+      Seq((1L, "alice-renamed"), (2L, "bob"))
+
+    val skus = DimStore.read(s, s"$base/dim_sku_info")
+    skus.columns.sorted shouldBe Array("id", "price", "ver")
+    skus.select("id", "price").as[(Long, Double)].collect() shouldBe
+      Array((7L, 3.50))
+
+    // unconfigured source dropped entirely (reference drops missing-key
+    // records, TableProcessFunction.java:118-121)
+    new java.io.File(s"$base/dropme").exists() shouldBe false
+    new java.io.File(base).listFiles().map(_.getName).sorted shouldBe
+      Array("dim_sku_info", "dim_user_info")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.Extensions
+
+/** Positive-case coverage for the dedup/similarity operators: the
+  * driver fixtures contain no engineered duplicates, so these specs
+  * write a synthetic documents table WITH exact and near duplicates and
+  * assert the operators actually find them. */
+class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  /** A corpus with: docs 0/1 exact dups (modulo case/whitespace),
+    * docs 2/3 near-dups (one word changed out of 40), docs 4..13
+    * unrelated random-ish texts. */
+  private lazy val dir: String = {
+    val s = spark
+    import s.implicits._
+    val base = Seq.tabulate(40)(i => s"tok${i % 13} word$i").mkString(" ")
+    val near = base.replace("word20", "changed20")
+    val rows =
+      Seq((0L, base, "en", "srcA", base.length.toLong),
+          (1L, "  " + base.toUpperCase + " ", "en", "srcA", base.length.toLong),
+          (2L, base + " tail one", "en", "srcB", base.length.toLong),
+          (3L, near + " tail one", "en", "srcB", near.length.toLong)) ++
+      Seq.tabulate(10) { i =>
+        val txt = Seq.tabulate(30)(j => s"u${i}t$j distinct$i$j").mkString(" ")
+        (4L + i, txt, "en", "srcC", txt.length.toLong)
+      }
+    val d = Files.createTempDirectory("extsem").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("x01 exact dedup collapses case/whitespace-normalized duplicates") {
+    val out = Extensions.x01.run(spark, dir).collect()
+    val byKeeper = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    byKeeper(0L) shouldBe 2L        // doc 1 folded into doc 0
+    byKeeper.keySet should not contain 1L
+    out.map(_.getLong(2)).sum shouldBe 14L  // every doc accounted for
+  }
+
+  test("x02 MinHash+LSH surfaces the engineered near-dup pair without crossJoin") {
+    val out = Extensions.x02.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact dup pair (identical modulo case/whitespace; the stray
+    // whitespace tokens cost a few shingles, so just-below 1.0)
+    val dup = out.find(p => p._1 == 0L && p._2 == 1L)
+    dup should not be empty
+    dup.get._3 should be > 900000L
+    // near-dup pair: one token change in 40 → jaccard well above 0.5
+    val nd = out.find(p => p._1 == 2L && p._2 == 3L)
+    nd should not be empty
+    nd.get._3 should be > 500000L
+    // unrelated docs never pair up
+    out.count(p => p._1 >= 4L) shouldBe 0
+  }
+
+  test("x03 SimHash: near-dups land within small hamming distance, unrelated far") {
+    val fp = Extensions.x03.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    hamming(fp(0L), fp(1L)) shouldBe 0   // same normalized token set
+    hamming(fp(2L), fp(3L)) should be <= 8
+    hamming(fp(0L), fp(7L)) should be > 8
+  }
+
+  test("x04 blocked n-gram Jaccard finds the same-source near-dup pair") {
+    val out = Extensions.x04.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pair = out.find(p => p._1 == 2L && p._2 == 3L)
+    pair should not be empty
+    pair.get._3 should be > 500000L
+  }
+
+  test("x05/x06 similarity search agree on a planted nearest neighbor") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("extemb").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val close = q.map(x => x + 0.01f)    // planted neighbor of vec 0
+    val rows = (0L, q, 0) +: (1L, close, 0) +:
+      Seq.tabulate(48)(i => (2L + i, vec(), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val brute = Extensions.x05.run(s, d).collect()
+    brute.head.getLong(0) shouldBe 1L    // planted neighbor ranks first
+    brute.head.getLong(2) should be > 990000L
+
+    val ann = Extensions.x06.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // query 0's bucket contains its planted neighbor at rank 1
+    ann.find(r => r._1 == 0L && r._3 == 1).map(_._2) shouldBe Some(1L)
+  }
+}

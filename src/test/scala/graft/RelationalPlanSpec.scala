@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.{Registry, Relational}
+
+/** Smoke + physical-plan assertions: the plans must be the ones we'd
+  * want at 100 TB, not just any plan that returns rows (builder prompt:
+  * "iterate until it's the plan you'd want"). */
+class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def plan(q: graft.queries.Q): String =
+    q.run(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("every registered query returns rows on sf0.001 (except candidate-pair queries)") {
+    val mayBeEmpty = Set("q06_anti_join", "x02_minhash_lsh_neardup",
+      "x04_ngram_jaccard_blocked")
+    Registry.all.foreach { q =>
+      val n = q.run(spark, sf0001).count()
+      withClue(s"${q.name}: ") {
+        if (!mayBeEmpty(q.name)) assert(n > 0, "expected rows")
+      }
+    }
+  }
+
+  test("registry names are unique and every query has an oracle") {
+    val names = Registry.all.map(_.name)
+    names.distinct.size shouldBe names.size
+    Registry.all.filter(_.oracle.isEmpty) shouldBe empty
+  }
+
+  test("q02: filter and projection are pushed to the parquet scan") {
+    val p = plan(Relational.q02)
+    p should include("PushedFilters")
+    p should include("o_orderstatus")
+    // pruned read schema — no l_/extra columns
+    p.toLowerCase should not include "o_orderdate"
+  }
+
+  test("q03: small dims broadcast, fact join does not broadcast the fact") {
+    val p = plan(Relational.q03)
+    p should include("BroadcastHashJoin")
+    // customer⋈orders on the key: AQE picks SMJ or shuffled hash, either
+    // is scale-safe; what must NOT happen is a broadcast of orders
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q20: global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.q20)
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q01: aggregation is partial+final hash agg with one keyed exchange") {
+    val p = plan(Relational.q01)
+    p should include("partial_sum")                      // map-side combine
+    p should include("Exchange hashpartitioning")        // one keyed shuffle
+    p should include("PushedFilters")                    // scan-level filter
+  }
+
+  test("flagship entry returns rows") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}

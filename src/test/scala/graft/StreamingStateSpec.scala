@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming._
+
+/** Golden tests for the stateful streaming operators (SURVEY §5.3):
+  * A1 dedup, A2 is_new repair, W2 bounce state machine — each fed
+  * through a real MemoryStream so state crosses micro-batch boundaries.
+  */
+class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def runStream[I <: Product: scala.reflect.runtime.universe.TypeTag,
+                        O <: Product: scala.reflect.runtime.universe.TypeTag](
+      batches: Seq[Seq[I]],
+      pipe: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O],
+      name: String): Seq[O] = {
+    val s = spark
+    implicit val ei: org.apache.spark.sql.Encoder[I] =
+      org.apache.spark.sql.Encoders.product[I]
+    implicit val eo: org.apache.spark.sql.Encoder[O] =
+      org.apache.spark.sql.Encoders.product[O]
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[I]
+    val q = pipe(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // one empty pass so watermark movement from the last batch can
+      // fire pending event-time timers
+      q.processAllAvailable()
+      s.table(name).as[O].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("DedupDaily emits exactly the first event per (mid, day) across batches") {
+    val day = 86400000L
+    val batches = Seq(
+      Seq(PageLog("m1", "home", None, 1000L), PageLog("m1", "cart", Some("home"), 2000L),
+          PageLog("m2", "home", None, 1500L)),
+      Seq(PageLog("m1", "good", Some("cart"), 3000L),          // same day → dropped
+          PageLog("m1", "home", None, day + 500L),             // next day → kept
+          PageLog("m2", "home", None, 1600L)))                 // same day → dropped
+    val out = runStream[PageLog, PageLog](batches, DedupDaily(_), "dedup_out")
+    out.map(e => (e.mid, e.ts)).sorted shouldBe
+      Seq(("m1", 1000L), ("m1", day + 500L), ("m2", 1500L))
+  }
+
+  test("DedupDaily batch mode matches the window-function analogue") {
+    val s = spark
+    import s.implicits._
+    val events = (1 to 200).map { i =>
+      PageLog(s"m${i % 7}", s"p$i", None, (i % 50) * 3600000L + i)
+    }
+    val streamed = DedupDaily(s.createDataset(events)).collect()
+      .map(e => (e.mid, Dates.toDate(e.ts))).toSet
+    val expected = events.groupBy(e => (e.mid, Dates.toDate(e.ts))).keySet
+    streamed shouldBe expected
+  }
+
+  test("VisitorFlagRepair rewrites stale is_new=1 and backfills state for is_new=0") {
+    val day = 86400000L
+    val batches = Seq(
+      Seq(PageLog("m1", "home", None, 1000L, "1"),      // first visit, day 0 → stays 1
+          PageLog("m1", "cart", None, 2000L, "1")),     // same day → stays 1
+      Seq(PageLog("m1", "home", None, day + 100L, "1"), // claims new on day 1 → repaired to 0
+          PageLog("m2", "home", None, day + 200L, "0")))// old visitor, no state → backfill
+    val out = runStream[PageLog, PageLog](batches, VisitorFlagRepair(_), "isnew_out")
+    out.map(e => (e.mid, e.ts, e.isNew)).sorted shouldBe Seq(
+      ("m1", 1000L, "1"), ("m1", 2000L, "1"), ("m1", day + 100L, "0"),
+      ("m2", day + 200L, "0"))
+  }
+
+  test("VisitorFlagRepair: is_new=1 on a later day after 0-backfill stays 0") {
+    val day = 86400000L
+    val batches = Seq(
+      Seq(PageLog("m3", "home", None, day + 100L, "0")),  // backfills state=yesterday
+      Seq(PageLog("m3", "home", None, day + 200L, "1")))  // claims new → repaired
+    val out = runStream[PageLog, PageLog](batches, VisitorFlagRepair(_), "isnew_out2")
+    out.map(e => (e.ts, e.isNew)).sorted shouldBe
+      Seq((day + 100L, "0"), (day + 200L, "0"))
+  }
+
+  /** The reference's own commented fixture
+    * (DwdTrafficUserJumpDetail.java:57-65): mid 101 bounces by timeout;
+    * mid 102 home→good_list is not a bounce, then a later lone entry
+    * bounces once the watermark passes. */
+  test("BounceDetector matches the reference CEP fixture semantics") {
+    val batches = Seq(
+      Seq(PageLog("101", "home", None, 10000L),
+          PageLog("102", "home", None, 12000L),
+          PageLog("102", "good_list", Some("home"), 15000L)),
+      Seq(PageLog("102", "home", None, 50000L)),
+      // watermark pusher: far-future event lets every pending timer fire
+      Seq(PageLog("999", "home", Some("x"), 500000L)))
+    val out = runStream[PageLog, Bounce](batches, BounceDetector(_), "bounce_out")
+    out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe Seq(
+      ("101", 10000L, "timeout"),
+      ("102", 50000L, "timeout"))
+  }
+
+  test("BounceDetector: back-to-back entries within gap emit the first as next_entry bounce") {
+    val batches = Seq(
+      Seq(PageLog("201", "home", None, 1000L),
+          PageLog("201", "home", None, 5000L),   // 4s later, also entry → first is a bounce
+          PageLog("201", "detail", Some("home"), 6000L)), // normal follow-up → second not a bounce
+      Seq(PageLog("999", "home", Some("x"), 500000L)))
+    val out = runStream[PageLog, Bounce](batches, BounceDetector(_), "bounce_out2")
+    out.map(b => (b.mid, b.ts, b.reason)) shouldBe Seq(("201", 1000L, "next_entry"))
+  }
+
+  test("BounceDetector batch mode classifies every entry exactly once") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      PageLog("a", "home", None, 0L),
+      PageLog("a", "list", Some("home"), 4000L),
+      PageLog("a", "home", None, 60000L),            // lone entry at end → bounce
+      PageLog("b", "home", None, 0L),
+      PageLog("b", "home", None, 3000L))             // entry→entry: first bounces
+    val out = BounceDetector(s.createDataset(events)).collect()
+    // batch mode has no watermark → trailing pendings don't time out;
+    // only in-sequence decisions emit
+    out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe Seq(
+      ("b", 0L, "next_entry"))
+  }
+}
