@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension installer — the supported hook for native functions
+  * (and, later, rules/strategies):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  * // or: spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * After installation `vec_cosine(a, b)` is available in SQL and
+  * `expr("vec_cosine(...)")`, planned as a native codegen'd expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.vecCosine)
+  }
+}
+
+object GraftExtensions {
+  private val vecCosine = (
+    new FunctionIdentifier("vec_cosine"),
+    new ExpressionInfo(classOf[VecCosine].getName, null, "vec_cosine",
+      "vec_cosine(a, b) - cosine similarity of two float vectors", ""),
+    (children: Seq[Expression]) => VecCosine(children.head, children(1)))
+
+  /** Register into an already-built session (tests, REPL) — the same
+    * registry write `injectFunction` performs at session build time.
+    * Production code should prefer `withExtensions`/`spark.sql.extensions`. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(vecCosine._1, vecCosine._2, vecCosine._3)
+}

@@ -534,7 +534,88 @@ object Relational {
       LIMIT 20
     """))
 
+  // ---------------------------------------------------------------------
+  // q21 — pivot (wide conditional aggregation): revenue matrix
+  // returnflag × linestatus via the Dataset pivot API (compiles to the
+  // same conditional-agg plan as q19's CASE WHENs — one hash agg, no
+  // extra shuffle).
+  val q21 = Q(
+    "q21_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum($"l_extendedprice"))
+        .na.fill(0.0)
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS F,
+        COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS O
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  // ---------------------------------------------------------------------
+  // q22 — exact percentiles (median / p95 with linear interpolation),
+  // reported in cents so both engines' double interpolation hashes
+  // identically.
+  val q22 = Q(
+    "q22_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)") * 100).cast("long").as("median_cents"),
+          round(expr("percentile(o_totalprice, 0.95)") * 100).cast("long").as("p95_cents"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS median_cents,
+        CAST(round(quantile_cont(o_totalprice, 0.95) * 100) AS BIGINT) AS p95_cents,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
+  // ---------------------------------------------------------------------
+  // q23 — correlated scalar subquery: orders beating their customer's
+  // average. Catalyst de-correlates this into an aggregate + join (no
+  // per-row re-execution), which is exactly the rewrite that makes the
+  // pattern viable at scale.
+  val q23 = Q(
+    "q23_correlated_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("graft_q23_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM graft_q23_orders o
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(o_totalprice) FROM graft_q23_orders i
+          WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o
+      WHERE o_totalprice > 2 * (
+        SELECT AVG(o_totalprice) FROM orders i
+        WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.SkewJoin
+
+/** The two manual scale levers SURVEY §7 commits to beyond AQE:
+  * key salting for skew, bucketing for shuffle-free co-located joins. */
+class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("saltedJoin returns exactly the plain join's rows and shuffles on (key, salt)") {
+    val s = spark
+    import s.implicits._
+    // 90% of the big side lands on one hot key
+    val big = (1 to 10000).map(i => (if (i % 10 != 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "name")
+    val plain = big.join(dim, Seq("k"))
+    val salted = SkewJoin.saltedJoin(big, dim, "k", salts = 8)
+    salted.count() shouldBe plain.count()
+    salted.columns.sorted shouldBe plain.columns.sorted
+    val a = salted.select($"k", $"payload", $"name").as[(Long, String, String)]
+      .collect().sorted
+    val b = plain.select($"k", $"payload", $"name").as[(Long, String, String)]
+      .collect().sorted
+    a shouldBe b
+    // the exchange must carry the salt, not just the hot key
+    salted.queryExecution.executedPlan.toString should include("__salt")
+  }
+
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    val s = spark
+    import s.implicits._
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      (1 to 5000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bj_big")
+      (1 to 5000 by 7).map(i => (i.toLong, s"d$i")).toDF("k", "dim")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bj_dim")
+      val joined = s.table("bj_big").join(s.table("bj_dim"), "k")
+      joined.count() shouldBe (1 to 5000 by 7).size
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides report bucketed scans and the join needs no shuffle
+      plan should include("SelectedBucketsCount")
+      plan should not include "Exchange hashpartitioning"
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      s.sql("DROP TABLE IF EXISTS bj_big")
+      s.sql("DROP TABLE IF EXISTS bj_dim")
+    }
+  }
+}

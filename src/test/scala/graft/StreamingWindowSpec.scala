@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.PageLog
+
+/** W1 (watermarks), W3 (windows incl. session windows), W4 (late-data
+  * drop) in their native Structured Streaming form: tumbling-window
+  * aggregation with append-mode emission gated by the watermark, the
+  * built-in session_window, and a late event observedly dropped. */
+class StreamingWindowSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("tumbling window agg emits closed windows only; late data beyond watermark is dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[PageLog]
+    val counts = mem.toDS()
+      .withWatermark("eventTime", "5 seconds")
+      .groupBy(window($"eventTime", "10 seconds").as("w"), $"mid")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".cast("long").as("w_start"), $"mid", $"n")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): 2 events for m1; [10,20): 1 event for m1
+      mem.addData(Seq(PageLog("m1", "a", None, 1000L),
+                      PageLog("m1", "b", None, 4000L),
+                      PageLog("m1", "c", None, 12000L)))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (12s - 5s = 7s) hasn't passed 10s
+      s.table("win_out").count() shouldBe 0
+      // advance watermark past window [0,10) end...
+      mem.addData(Seq(PageLog("m2", "d", None, 30000L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val afterClose = s.table("win_out").as[(Long, String, Long)].collect().toSet
+      afterClose should contain(0L, "m1", 2L)
+      // ...then send an event INTO the closed [0,10) window: watermark
+      // is 25s, the event is 6s late beyond it → dropped, count stays 2
+      mem.addData(Seq(PageLog("m1", "late", None, 2000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(PageLog("m2", "e", None, 60000L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val finalRows = s.table("win_out").as[(Long, String, Long)].collect().toSet
+      finalRows.filter(r => r._1 == 0L && r._2 == "m1").map(_._3) shouldBe Set(2L)
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the gap and splits across it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[PageLog]
+    val sessions = mem.toDS()
+      .withWatermark("eventTime", "2 seconds")
+      .groupBy(session_window($"eventTime", "10 seconds").as("sw"), $"mid")
+      .agg(count(lit(1)).as("n"))
+      .select($"mid", $"n",
+        ($"sw.end".cast("long") - $"sw.start".cast("long")).as("span_s"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one session: 0s,4s,8s (gaps < 10s) — then a new session at 60s
+      mem.addData(Seq(PageLog("m1", "a", None, 0L),
+                      PageLog("m1", "b", None, 4000L),
+                      PageLog("m1", "c", None, 8000L),
+                      PageLog("m1", "d", None, 60000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(PageLog("m9", "wm", None, 200000L)))  // close everything
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = s.table("sess_out").as[(String, Long, Long)].collect()
+        .filter(_._1 == "m1").sortBy(_._2)
+      rows should have length 2
+      rows.map(_._2) shouldBe Seq(1L, 3L)       // 1-event session + 3-event session
+      // 3-event session spans 8s of events + 10s gap tail = 18s
+      rows.find(_._2 == 3L).get._3 shouldBe 18L
+    } finally q.stop()
+  }
+}
