@@ -531,6 +531,78 @@ object Extensions {
       ORDER BY doc_id
     """))
 
+  // ---------------------------------------------------------------------
+  // x12 — IVF-style ANN: a fixed coarse quantizer (four "centroid"
+  // vectors — in production the k-means output, here vectors 10/20/30/40
+  // so both engines share them) partitions the corpus into inverted
+  // lists by nearest centroid; each query probes its own top-2 lists
+  // only. Same complement to x06's LSH: the probe side reads |corpus|/k
+  // per query, and the list assignment is one broadcast join + argmax —
+  // no shuffle of the big side beyond its initial list bucketing.
+  private val IvfCentroids = Seq(10L, 20L, 30L, 40L)
+  private val IvfProbes = 2
+
+  val x12 = Q(
+    "x12_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+      val cents = e.filter($"vec_id".isin(IvfCentroids: _*))
+        .select($"vec_id".as("cent_id"), $"v".as("cv"))
+      // nearest centroid per vector (rank 1 = inverted-list assignment,
+      // rank <= IvfProbes for the query's probe set)
+      def ranked(src: DataFrame, rankCol: String) = {
+        val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+        src.join(broadcast(cents))
+          .withColumn("ccos", cosine($"v", $"cv"))
+          .withColumn(rankCol, row_number().over(w))
+      }
+      val lists = ranked(e, "crank").filter($"crank" === 1)
+        .select($"vec_id", $"v", $"cent_id".as("list_id"))
+      val probes = ranked(e.filter($"vec_id" <= 2), "crank")
+        .filter($"crank" <= IvfProbes)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"cent_id".as("list_id"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      lists.join(broadcast(probes), Seq("list_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ), cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        WHERE vec_id IN (${IvfCentroids.mkString(", ")})
+      ), assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.cent_id) AS crank
+        FROM e, cents c
+      ), lists AS (
+        SELECT vec_id, v, cent_id AS list_id FROM assign WHERE crank = 1
+      ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id AS list_id
+        FROM assign WHERE vec_id <= 2 AND crank <= $IvfProbes
+      ), scored AS (
+        SELECT p.query_id, l.vec_id,
+          CAST(round(1e6 * list_dot_product(l.v, p.qv) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(p.qv, p.qv)))) AS BIGINT) AS cos_ppm
+        FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+      )
+      SELECT query_id, vec_id, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
   def queries: Seq[Q] = Seq(
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
 }

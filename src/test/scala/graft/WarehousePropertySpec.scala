@@ -37,6 +37,20 @@ class WarehousePropertySpec extends AnyFunSuite with Matchers with SparkFixture 
     counts("action") should be >= counts("page")
   }
 
+  test("approx_count_distinct (HLL sketch) lands within 5% of exact per day") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.load(spark, sf0001, "events")
+    val rows = e.groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+           approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      math.abs(r.getLong(2) - exact) / exact should be <= 0.05
+    }
+  }
+
   test("w08 bounce ⊆ w05-style entries and disjoint sessions hold") {
     val bounces = Warehouse.w08.run(spark, sf0001).collect().map(_.getLong(0)).toSet
     val sessions = Warehouse.w09.run(spark, sf0001)
