@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.ops.SkewJoin
+import graft.ops.{SkewJoin, TopK}
 
 /** The two manual scale levers SURVEY §7 commits to beyond AQE:
   * key salting for skew, bucketing for shuffle-free co-located joins. */
@@ -28,6 +28,39 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     a shouldBe b
     // the exchange must carry the salt, not just the hot key
     salted.queryExecution.executedPlan.toString should include("__salt")
+  }
+
+  test("TopK.perKey equals the window row_number form (q09 semantics)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables.load(s, sf0001, "orders")
+    val heap = TopK.perKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().sorted
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val window = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().sorted
+    heap shouldBe window
+  }
+
+  test("TopK.perKey map-side pruning bounds the shuffled rows") {
+    val s = spark
+    import s.implicits._
+    // 100k rows, 10 keys, k=2: the exchange should carry at most
+    // k · keys · partitions rows, far below the input
+    val df = (1 to 100000).map(i => (i % 10L, i.toLong)).toDF("k", "v")
+      .repartition(8)
+    val out = TopK.perKey(df, Seq("k"), Seq(("v", false)), k = 2)
+    out.count() shouldBe 20
+    out.as[(Long, Long)].collect().toSet shouldBe
+      (0 until 10).flatMap { r =>
+        val top = (1 to 100000).filter(_ % 10 == r).sorted.reverse.take(2)
+        top.map(v => (r.toLong, v.toLong))
+      }.toSet
   }
 
   test("bucketed tables co-locate the join: no exchange in the plan") {

@@ -50,6 +50,38 @@ class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
       Seq(("m1", 1000L), ("m1", day + 500L), ("m2", 1500L))
   }
 
+  test("DedupDailyTWS (transformWithState + RocksDB) matches DedupDaily across batches") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[PageLog] =
+      org.apache.spark.sql.Encoders.product[PageLog]
+    val day = 86400000L
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[PageLog]
+      val q = DedupDailyTWS(mem.toDS())
+        .writeStream.format("memory").queryName("dedup_tws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(Seq(PageLog("m1", "home", None, 1000L),
+                        PageLog("m1", "cart", Some("home"), 2000L)))
+        q.processAllAvailable()
+        mem.addData(Seq(PageLog("m1", "good", Some("cart"), 3000L),
+                        PageLog("m1", "home", None, day + 500L)))
+        q.processAllAvailable()
+        s.table("dedup_tws").as[PageLog].collect().map(e => (e.mid, e.ts)).sorted shouldBe
+          Seq(("m1", 1000L), ("m1", day + 500L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("DedupDaily batch mode matches the window-function analogue") {
     val s = spark
     import s.implicits._
