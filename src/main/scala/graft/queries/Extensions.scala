@@ -7,9 +7,14 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** LLM-training-data pipeline operators over the `documents` and
-  * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
-  * n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
-  * and text analysis (stats, language-ID, tokenization, fingerprints).
+  * `embeddings` fixtures: deduplication (exact, MinHash+LSH [Broder,
+  * "On the resemblance and containment of documents", 1997], SimHash
+  * [Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002], n-gram Jaccard), similarity search
+  * (brute-force + LSH-bucketed + IVF ANN), and text analysis (stats,
+  * language-ID, tokenization, fingerprints [Schleimer/Wilkerson/Aiken,
+  * "Winnowing: local algorithms for document fingerprinting", SIGMOD
+  * 2003]).
   *
   * Every operator is designed for the 100 TB shape first:
   *   - no all-pairs `crossJoin` anywhere — candidate generation is always
