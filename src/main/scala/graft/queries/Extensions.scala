@@ -608,6 +608,48 @@ object Extensions {
       ORDER BY query_id, rank
     """))
 
+  // ---------------------------------------------------------------------
+  // x13 — embedding-cosine near-duplicate pairs: the semantic-dedup
+  // complement to x02's lexical MinHash. Candidates come from the same
+  // sign-bit LSH buckets as x06 (equi-join, no crossJoin); only
+  // bucket-mates get a cosine, and pairs ≥ 0.9 become (keeper, dup)
+  // edges — keeper = lower vec_id, the same keep-first rule as x01.
+  val x13 = Q(
+    "x13_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(v: Column): Column = concat(
+        Seq(1, 17, 33, 49).map(i =>
+          when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("bucket", bucket($"v"))
+        .select($"vec_id", $"v", $"bucket")
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("keeper_id"), col("b.vec_id").as("dup_id"),
+          round(lit(1e6) * cosine(col("a.v"), col("b.v"))).cast("long").as("cos_ppm"))
+        .filter($"cos_ppm" >= 900000L)
+        .orderBy($"keeper_id", $"dup_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+      )
+      SELECT keeper_id, dup_id, cos_ppm FROM (
+        SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
+          CAST(round(1e6 * list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT) AS cos_ppm
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      WHERE cos_ppm >= 900000
+      ORDER BY keeper_id, dup_id
+    """))
+
   def queries: Seq[Q] = Seq(
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
 }

@@ -97,5 +97,12 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     // query 0's bucket contains its planted neighbor at rank 1
     ann.find(r => r._1 == 0L && r._3 == 1).map(_._2) shouldBe Some(1L)
+
+    // x13 semantic near-dup: the planted pair is the one bucketed
+    // cosine-dup edge, with keeper = lower id
+    val nd = Extensions.x13.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    nd.map(p => (p._1, p._2)) should contain((0L, 1L))
+    nd.find(p => p._1 == 0L && p._2 == 1L).get._3 should be > 990000L
   }
 }

@@ -63,6 +63,24 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
       }.toSet
   }
 
+  test("date-partitioned writes prune partitions at the scan (PartitionFilters)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("partp").toString
+    graft.core.Tables.load(s, sf0001, "events")
+      .withColumn("event_date", to_date($"ts"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val q = s.read.parquet(dir).filter($"event_date" === "2024-01-03")
+    val scan = q.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters")
+    scan should include("event_date")
+    // pruned read: only one date directory's rows
+    val expected = graft.core.Tables.load(s, sf0001, "events")
+      .filter(to_date($"ts") === "2024-01-03").count()
+    q.count() shouldBe expected
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     val s = spark
     import s.implicits._
