@@ -71,4 +71,29 @@ object TopK {
       .repartition(keyCols.map(col): _*)  // one shuffle, pruned payload
       .mapPartitions(prune)               // final per-key merge
   }
+
+  /** The same operator as a first-class plan node
+    * (graft.plans.TopKPerKey → partial/final TopKPerKeyExec), planned
+    * by Catalyst via an injected strategy. Registers the strategy in
+    * the session's `experimental.extraStrategies` (the public hook) on
+    * first use; `GraftExtensions` injects it at build time for
+    * production sessions. Prefer this form where the planner must see
+    * the operator (e.g. under further rule rewrites); `perKey` where a
+    * library-level transform suffices. */
+  def perKeyPlanned(df: DataFrame, keyCols: Seq[String],
+                    order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not in ${analyzed.output.map(_.name)}"))
+    val sortOrder = order.map { case (c, asc) =>
+      SortOrder(attr(c), if (asc) Ascending else Descending) }
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      TopKPerKey(k, keyCols.map(attr), sortOrder, analyzed))
+  }
 }

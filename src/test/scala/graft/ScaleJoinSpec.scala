@@ -47,6 +47,28 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     heap shouldBe window
   }
 
+  test("TopKPerKey plan node: strategy plans partial/exchange/final, results match window form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables.load(s, sf0001, "orders")
+    val planned = TopK.perKeyPlanned(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+    val plan = planned.queryExecution.executedPlan.toString
+    plan should include("TopKPerKeyFinal")
+    plan should include("TopKPerKeyPartial")
+    plan should include("Exchange hashpartitioning")
+    val got = planned.select($"o_custkey", $"o_orderkey")
+      .as[(Long, Long)].collect().sorted
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect().sorted
+    got shouldBe expected
+  }
+
   test("TopK.perKey map-side pruning bounds the shuffled rows") {
     val s = spark
     import s.implicits._
