@@ -69,6 +69,41 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe expected
   }
 
+  test("RowNumberTopKRewrite: the window row_number<=k idiom plans as TopKPerKey") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val prev = s.experimental.extraOptimizations
+    try {
+      if (!prev.contains(graft.plans.RowNumberTopKRewrite))
+        s.experimental.extraOptimizations = prev :+ graft.plans.RowNumberTopKRewrite
+      if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+      val orders = graft.core.Tables.load(s, sf0001, "orders")
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      // the user writes the window idiom and DROPS rn — rewrite fires
+      val idiom = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey")
+      val plan = idiom.queryExecution.executedPlan.toString
+      plan should include("TopKPerKeyFinal")
+      plan.contains("WindowExec") shouldBe false
+      // keeping rn in the output must NOT rewrite (operator can't emit it)
+      val keepsRn = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn")
+      keepsRn.queryExecution.executedPlan.toString.contains("TopKPerKey") shouldBe false
+      // and results match the unrewritten form
+      val expected = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).select($"o_custkey", $"o_orderkey")
+        .as[(Long, Long)].collect().sorted
+      idiom.as[(Long, Long)].collect().sorted shouldBe expected
+    } finally s.experimental.extraOptimizations = prev
+  }
+
   test("TopK.perKey map-side pruning bounds the shuffled rows") {
     val s = spark
     import s.implicits._
