@@ -610,41 +610,48 @@ object Extensions {
 
   // ---------------------------------------------------------------------
   // x13 — embedding-cosine near-duplicate pairs: the semantic-dedup
-  // complement to x02's lexical MinHash. Candidates come from the same
-  // sign-bit LSH buckets as x06 (equi-join, no crossJoin); only
-  // bucket-mates get a cosine, and pairs ≥ 0.9 become (keeper, dup)
+  // complement to x02's lexical MinHash. Candidates come from an 8-bit
+  // sign-bucket LSH (256 buckets — equi-join, no crossJoin; random
+  // pairs collide with p≈1/256 so candidates stay ~n²/512, and a
+  // production build stacks B such bands for recall, exactly like
+  // x02's MinHash bands). Norms are precomputed per vector, so the
+  // per-pair work is one dot product. Pairs ≥ 0.9 become (keeper, dup)
   // edges — keeper = lower vec_id, the same keep-first rule as x01.
+  private val X13Dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+
   val x13 = Q(
     "x13_embedding_neardup",
     (s, dir) => {
       import s.implicits._
       def bucket(v: Column): Column = concat(
-        Seq(1, 17, 33, 49).map(i =>
+        X13Dims.map(i =>
           when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
       val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("bucket", bucket($"v"))
-        .select($"vec_id", $"v", $"bucket")
+        .withColumn("norm",
+          sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .select($"vec_id", $"v", $"bucket", $"norm")
+      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("keeper_id"), col("b.vec_id").as("dup_id"),
-          round(lit(1e6) * cosine(col("a.v"), col("b.v"))).cast("long").as("cos_ppm"))
+          round(lit(1e6) * dot / (col("a.norm") * col("b.norm")))
+            .cast("long").as("cos_ppm"))
         .filter($"cos_ppm" >= 900000L)
         .orderBy($"keeper_id", $"dup_id")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+          (${X13Dims.map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")}) AS bucket,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         FROM embeddings
       )
       SELECT keeper_id, dup_id, cos_ppm FROM (
         SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
-          CAST(round(1e6 * list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT) AS cos_ppm
+          CAST(round(1e6 * list_dot_product(a.v, b.v) / (a.norm * b.norm)) AS BIGINT) AS cos_ppm
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cos_ppm >= 900000
       ORDER BY keeper_id, dup_id
