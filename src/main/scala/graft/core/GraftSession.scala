@@ -35,6 +35,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // graft extensions: vec_cosine, TopKPerKey strategy, row_number
+      // top-k rewrite (functions/GraftExtensions.scala)
+      .withExtensions(new graft.functions.GraftExtensions)
 
   /** Get-or-create with graft defaults; used by tests and local mains.
     * `SparkEntry.queries` functions never call this — they accept whatever
