@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The five derived streams of the reference's log fan-out
+  * (BaseLogApp side-output tags, app/dwd/BaseLogApp.java:98-162). */
+final case class LogStreams(
+    dirty: DataFrame,
+    err: DataFrame,
+    start: DataFrame,
+    page: DataFrame,
+    display: DataFrame)
+
+/** Job-level facade: one function per reference application, so a user
+  * of the reference maps their four `main()`s directly onto this
+  * library (plug a Kafka/file/memory source in, pick sinks out).
+  *
+  * | reference job (gmall-logger/src/main/java) | here |
+  * |---|---|
+  * | app/dim/DimApp.java                        | [[Jobs.dimApp]] |
+  * | app/dwd/BaseLogApp.java                    | [[Jobs.baseLogSplit]] |
+  * | app/dwd/DwdTrafficUniqueVisitorDetail.java | [[Jobs.uniqueVisitorDetail]] |
+  * | app/dwd/DwdTrafficUserJumpDetail.java      | [[Jobs.userJumpDetail]] |
+  */
+object Jobs {
+
+  /** BaseLogApp: parse raw JSON lines against `schema`, divert dirty
+    * rows (P2), split clean rows into err/start/page (M2), and explode
+    * page displays with parent denormalization (M3). Works identically
+    * on batch and streaming DataFrames; each returned stream gets its
+    * own sink (or one cached foreachBatch writes all five — see
+    * StreamingPipelineSpec). Intended semantics, not the reference's
+    * tag bugs (SURVEY §7.4). */
+  def baseLogSplit(raw: DataFrame, schema: StructType,
+                   rawCol: String = "value"): LogStreams = {
+    val parsed = Sources.parseJson(raw, schema, rawCol)
+    val clean = parsed
+      .filter(col("parsed").isNotNull && col("parsed.mid").isNotNull)
+      .select("parsed.*")
+    val dirty = parsed
+      .filter(col("parsed").isNull || col("parsed.mid").isNull)
+      .select(col(rawCol).as("raw"))
+    val err   = clean.filter(col("err").isNotNull)
+    val start = clean.filter(col("err").isNull && col("start").isNotNull)
+    val page  = clean.filter(col("err").isNull && col("start").isNull)
+    val display = page
+      .filter(org.apache.spark.sql.functions.size(col("displays")) > 0)
+      .select(col("mid"), col("page_id"), col("ts"), explode(col("displays")).as("d"))
+      .select(col("mid"), col("page_id"), col("ts"),
+        col("d.pos").as("pos"), col("d.item").as("item"))
+    LogStreams(dirty, err, start, page, display)
+  }
+
+  /** DwdTrafficUniqueVisitorDetail: session-entry pages only (P3), then
+    * first visit per device per day (A1). */
+  def uniqueVisitorDetail(pages: Dataset[PageLog]): Dataset[PageLog] =
+    DedupDaily(pages.filter((e: PageLog) => e.lastPageId.isEmpty))
+
+  /** DwdTrafficUserJumpDetail: the CEP bounce detection (W2). */
+  def userJumpDetail(pages: Dataset[PageLog],
+                     gapMs: Long = BounceDetector.DefaultGapMs): Dataset[Bounce] =
+    BounceDetector(pages, gapMs)
+
+  /** DimApp: CDC stream routed per config row to MERGE-upserted dim
+    * tables (J1/P6/K3/K4). */
+  def dimApp(cdc: DataFrame,
+             loadConfig: org.apache.spark.sql.SparkSession => Seq[TableProcess],
+             basePath: String, versionCol: String, checkpoint: String) =
+    DimRouter.start(cdc, loadConfig, basePath, versionCol, checkpoint)
+}

@@ -42,33 +42,21 @@ class StreamingPipelineSpec extends AnyFunSuite with Matchers with SparkFixture 
     // schema-on-read parse of the raw line stream; from_json null marks dirty
     val raw = s.readStream.schema(StructType(Seq(StructField("value", StringType))))
       .option("wholetext", "false").text(in)
-    val parsed = Sources.parseJson(raw, logSchema)
 
-    val q = parsed.writeStream
+    val q = raw.writeStream
       .option("checkpointLocation", chk)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val b = batch.cache()
         try {
-          val clean = b.filter(col("parsed").isNotNull && col("parsed.mid").isNotNull)
-            .select("parsed.*")
-          b.filter(col("parsed").isNull || col("parsed.mid").isNull)
-            .select(col("value").as("raw"))
-            .write.mode("append").parquet(s"$out/dirty")
-          clean.filter(col("err").isNotNull)
-            .select(col("mid"), col("err"), col("ts"))
+          val streams = graft.streaming.Jobs.baseLogSplit(b.toDF(), logSchema)
+          streams.dirty.write.mode("append").parquet(s"$out/dirty")
+          streams.err.select(col("mid"), col("err"), col("ts"))
             .write.mode("append").parquet(s"$out/err")
-          clean.filter(col("err").isNull && col("start").isNotNull)
-            .select(col("mid"), col("start"), col("ts"))
+          streams.start.select(col("mid"), col("start"), col("ts"))
             .write.mode("append").parquet(s"$out/start")
-          val pages = clean.filter(col("err").isNull && col("start").isNull)
-          pages.select(col("mid"), col("page_id"), col("last_page_id"), col("ts"))
+          streams.page.select(col("mid"), col("page_id"), col("last_page_id"), col("ts"))
             .write.mode("append").parquet(s"$out/page")
-          pages.filter(org.apache.spark.sql.functions.size(col("displays")) > 0)
-            .select(col("mid"), col("page_id"), col("ts"),
-              explode(col("displays")).as("d"))
-            .select(col("mid"), col("page_id"), col("ts"),
-              col("d.pos").as("pos"), col("d.item").as("item"))
-            .write.mode("append").parquet(s"$out/display")
+          streams.display.write.mode("append").parquet(s"$out/display")
         } finally { b.unpersist(); () }
       }
       .start()
@@ -84,5 +72,20 @@ class StreamingPipelineSpec extends AnyFunSuite with Matchers with SparkFixture 
     val disp = s.read.parquet(s"$out/display")
       .as[(String, String, Long, Int, String)].collect().sortBy(_._4)
     disp shouldBe Array(("m1", "home", 1000L, 0, "a"), ("m1", "home", 1000L, 1, "b"))
+  }
+
+  test("Jobs.uniqueVisitorDetail = entry filter + daily dedup composition") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val events = Seq(
+      graft.streaming.PageLog("m1", "home", None, 1000L),          // entry, day 0 → kept
+      graft.streaming.PageLog("m1", "cart", Some("home"), 2000L),  // not entry → dropped
+      graft.streaming.PageLog("m1", "home", None, 3000L),          // entry, same day → deduped
+      graft.streaming.PageLog("m1", "home", None, day + 1L),       // entry, day 1 → kept
+      graft.streaming.PageLog("m2", "home", Some("x"), 500L))      // never enters
+    val uv = graft.streaming.Jobs.uniqueVisitorDetail(s.createDataset(events))
+      .collect().map(e => (e.mid, e.ts)).sorted
+    uv shouldBe Seq(("m1", 1000L), ("m1", day + 1L))
   }
 }
