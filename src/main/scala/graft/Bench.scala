@@ -34,10 +34,17 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       q.name -> (if (ok) dt else -1.0)
     }
-    val qj = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the default-locale f-interpolator would print a
+    // comma decimal separator on e.g. de_DE JVMs and break json.load
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qj = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
+    val headlineNames = qs.filter(_.headline).map(_.name).toSet
+    val headline = results.filter(r => headlineNames(r._1) && r._2 >= 0)
+      .map(_._2).sum
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline":${num(headline)},"queries":$qj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,11 @@ object Tables {
     // reader rejects outright; read it as a nanos long and truncate to
     // micros with integer division (matches DuckDB's nanos→micros
     // truncation; a double division would lose precision at 1e18).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy flag is session-wide and sticky — scope the mutation
+    // to the one table that needs it (the scan consults the conf at
+    // execution, so set-and-restore would break the deferred read).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -38,13 +38,19 @@ case class VecCosine(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_cosine"
 
+  /** Null semantics match the built-in `aggregate(zip_with(...))`
+    * formulation: a null element anywhere — or a length mismatch,
+    * which zip_with pads with nulls — yields NULL, never a silently
+    * wrong score. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -62,15 +68,22 @@ case class VecCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("bad")
       s"""
-        |final int $n = Math.min($a.numElements(), $b.numElements());
+        |final int $n = $a.numElements();
+        |boolean $bad = $n != $b.numElements();
         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; !$bad && $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
         |  final double $xi = (double) $a.getFloat($i);
         |  final double $yi = (double) $b.getFloat($i);
         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         |}
-        |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        |if ($bad) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        |}
       """.stripMargin
     })
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, hash, row_number, struct}
 
 /** K3/K4 — keyed upsert (MERGE) dim store over parquet.
   *
@@ -33,15 +33,28 @@ object DimStore {
     val merged =
       if (fs.exists(target)) spark.read.parquet(path).unionByName(batch)
       else batch
-    val w = Window.partitionBy(col(pk)).orderBy(col(versionCol).desc)
+    // version desc, then a deterministic content tie-break so equal
+    // versions don't pick a nondeterministic winner across reruns
+    val w = Window.partitionBy(col(pk))
+      .orderBy(col(versionCol).desc, hash(struct(merged.columns.map(col): _*)).desc)
     val latest = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // crash-safe swap: the live table is renamed aside before the new
+    // snapshot takes its place, so no window exists where the table is
+    // simply gone; an interrupted upsert leaves either the old table or
+    // (old at .__old, new at target). A leftover .__old from a previous
+    // crash is cleaned up first. (On Delta this whole dance is one
+    // transactional MERGE.)
     val tmp = new Path(path + ".__tmp")
+    val old = new Path(path + ".__old")
     latest.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) fs.rename(target, old)
     fs.rename(tmp, target)
+    if (hadTarget) fs.delete(old, true)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -73,12 +73,15 @@ final case class TopKPerKeyExec(
     val childOutput = child.output
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // normalize: the InternalRow contract doesn't guarantee UnsafeRow
+      // (non-codegen children emit GenericInternalRow/JoinedRow)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
         .asInstanceOf[Ordering[UnsafeRow]]
       // max-heap under the sort order: head = worst row currently kept
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       it.foreach { row =>
-        val unsafe = row.asInstanceOf[UnsafeRow]
+        val unsafe = toUnsafe(row)
         val key = keyProj(unsafe)
         heaps.get(key) match {
           case Some(h) =>

@@ -16,8 +16,22 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    /** included in Bench headline timings */
+    /** flagship query marker: reported as the `headline` group in the
+      * Bench JSON alongside the uniform all-query timings */
     headline: Boolean = false)
+
+object Q {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.sum
+  import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+  /** Shared exact-arithmetic helpers for the determinism contract —
+    * one definition so Relational/Warehouse/Extensions can't drift. */
+  val DEC: DecimalType = DecimalType(18, 4)
+  def dec(c: Column): Column = c.cast(DEC)
+  /** Exact-arithmetic sum: identical bits in Spark and DuckDB. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+}
 
 object Registry {
   def all: Seq[Q] =

@@ -16,10 +16,8 @@ import graft.core.Tables
   */
 object Relational {
 
-  private val DEC = DecimalType(18, 4)
-  private def dec(c: Column): Column = c.cast(DEC)
-  /** Exact-arithmetic sum: identical bits in Spark and DuckDB. */
-  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  private def dec(c: Column): Column = Q.dec(c)
+  private def dsum(c: Column): Column = Q.dsum(c)
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)

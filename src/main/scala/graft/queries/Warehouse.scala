@@ -24,8 +24,7 @@ import graft.core.Tables
   */
 object Warehouse {
 
-  private val DEC = DecimalType(18, 4)
-  private def dsum(c: Column): Column = sum(c.cast(DEC)).cast(DoubleType)
+  private def dsum(c: Column): Column = Q.dsum(c)
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")

@@ -35,6 +35,26 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     d
   }
 
+  test("x02/x04 survive short documents (0/1/2 tokens) without crashing") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("extshort").toString
+    Seq(
+      (0L, "", "en", "srcA", 0L),                 // empty text
+      (1L, "one", "en", "srcA", 3L),              // 1 token
+      (2L, "two words", "en", "srcA", 9L),        // 2 tokens
+      (3L, "a b c d e f g h", "en", "srcA", 15L), // enough for shingles
+      (4L, "a b c d e f g h", "en", "srcA", 15L)) // its exact dup
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // must not throw (sequence(1,0) descends in Spark — guarded), and
+    // the long dup pair must still surface
+    val x02 = Extensions.x02.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    x02 should contain((3L, 4L))
+    noException should be thrownBy Extensions.x04.run(s, d).collect()
+  }
+
   test("x01 exact dedup collapses case/whitespace-normalized duplicates") {
     val out = Extensions.x01.run(spark, dir).collect()
     val byKeeper = out.map(r => r.getLong(1) -> r.getLong(2)).toMap

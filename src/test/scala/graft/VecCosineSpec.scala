@@ -62,6 +62,21 @@ class VecCosineSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe None
   }
 
+  test("vec_cosine: null element or length mismatch yields NULL like the built-in form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)),
+      (2L, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f, 2f, 3f)),
+      (3L, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f, 2f)))
+      .toDF("id", "a", "b")
+    val out = df.select($"id", expr("vec_cosine(a, b)").as("c")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    out(1L) shouldBe true   // null element → NULL
+    out(2L) shouldBe true   // length mismatch → NULL (zip_with pads null)
+    out(3L) shouldBe false
+  }
+
   test("vec_cosine works in pure SQL and ranks the embeddings fixture like the query path") {
     val s = spark
     s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
