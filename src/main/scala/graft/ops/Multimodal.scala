@@ -56,4 +56,31 @@ object Multimodal {
       }
     }
   }
+
+  /** Frame sampling: each media blob fans out to every `stride`-th
+    * "frame" (STUB: a frame is a fixed-size byte window — a real build
+    * swaps the windowing for codec frame extraction and keeps the
+    * one-to-many iterator shape). One row in, O(frames) rows out, no
+    * shuffle; the per-frame checksum stands in for decoded pixels. */
+  def sampleFrames(ds: Dataset[MediaIn], frameBytes: Int = 100,
+                   stride: Int = 4): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.media.length / frameBytes
+        (0 until nFrames by stride).iterator.map { idx =>
+          val frame = java.util.Arrays.copyOfRange(
+            r.media, idx * frameBytes, (idx + 1) * frameBytes)
+          MediaFrame(r.doc_id, idx, frame.length, sha256Hex(frame))
+        }
+      }
+    }
+  }
 }
+
+/** One sampled frame of a media blob. */
+final case class MediaFrame(
+    doc_id: Long,
+    frame_idx: Int,
+    n_bytes: Int,
+    checksum: String)

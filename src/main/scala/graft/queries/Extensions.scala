@@ -683,6 +683,32 @@ object Extensions {
       ORDER BY keeper_id, dup_id
     """))
 
+  // ---------------------------------------------------------------------
+  // x14 — multimodal frame sampling: every 4th 100-byte window of each
+  // blob becomes a frame row via ops.Multimodal.sampleFrames (the
+  // one-to-many mapPartitions fan-out a video frame-sampler has; the
+  // "decode" is the documented stub). The oracle reproduces the
+  // windowing with substring arithmetic on the same utf-8 bytes.
+  val x14 = Q(
+    "x14_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("media"))
+        .as[graft.ops.MediaIn]
+      graft.ops.Multimodal.sampleFrames(media)
+        .toDF()
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""
+      SELECT doc_id, frame_idx, 100 AS n_bytes,
+        sha256(substr(text, frame_idx * 100 + 1, 100)) AS checksum
+      FROM (SELECT doc_id, text,
+              unnest(range(0, greatest(strlen(text) // 100, 0), 4)) AS frame_idx
+            FROM documents)
+      ORDER BY doc_id, frame_idx
+    """))
+
   def queries: Seq[Q] = Seq(
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14)
 }
