@@ -709,6 +709,61 @@ object Extensions {
       ORDER BY doc_id, frame_idx
     """))
 
+  // ---------------------------------------------------------------------
+  // x15 — document-length histogram via width_bucket: the corpus-shape
+  // profile every filtering pipeline reports. One narrow map + one
+  // small agg.
+  val x15 = Q(
+    "x15_length_histogram",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        // explicit 50-char buckets (1..12, 13 = overflow) — DuckDB has
+        // no width_bucket, so both engines share the arithmetic form
+        .withColumn("bucket",
+          least(floor(length($"text") / 50) + 1, lit(13)).cast("int"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             min(length($"text")).as("min_len"),
+             max(length($"text")).as("max_len"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT CAST(least(floor(len(text) / 50) + 1, 13) AS INT) AS bucket,
+        COUNT(*) AS n_docs, MIN(len(text)) AS min_len, MAX(len(text)) AS max_len
+      FROM documents
+      GROUP BY 1
+      ORDER BY bucket
+    """))
+
+  // ---------------------------------------------------------------------
+  // x16 — corpus vocabulary stats: global type/token ratio and
+  // per-source vocabulary — the "is this slice diverse enough" check.
+  // Token explode shuffles once on the token for the distinct.
+  val x16 = Q(
+    "x16_corpus_vocab",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct($"tok").as("n_types"),
+             round(lit(1e6) * countDistinct($"tok") / count(lit(1)))
+               .cast("long").as("type_token_ppm"))
+        .orderBy($"source")
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+        CAST(round(1e6 * COUNT(DISTINCT tok) / COUNT(*)) AS BIGINT) AS type_token_ppm
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE len(tok) > 0
+      GROUP BY source
+      ORDER BY source
+    """))
+
   def queries: Seq[Q] = Seq(
-    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14)
+    x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
+    x15, x16)
 }

@@ -612,8 +612,87 @@ object Relational {
       ORDER BY o_orderkey
     """))
 
+  // ---------------------------------------------------------------------
+  // q24 — ordered array aggregation: collect_list is unordered by
+  // contract, so determinism comes from sort_array + a bounded group
+  // (the nation→region hierarchy). concat_ws makes the value
+  // hash-comparable as a plain string.
+  val q24 = Q(
+    "q24_array_agg",
+    (s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"),
+             count(lit(1)).as("n_nations"))
+        .orderBy($"r_name")
+    },
+    Some("""
+      SELECT r_name,
+        list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS nations,
+        COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name
+    """))
+
+  // ---------------------------------------------------------------------
+  // q25 — regex surface: extraction, replacement, and counting with a
+  // dialect-neutral pattern (both engines: Java regex vs RE2-flavored,
+  // identical for simple classes).
+  val q25 = Q(
+    "q25_regex",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          regexp_extract($"p_type", "^([A-Z]+)", 1).as("type_head"),
+          regexp_replace($"p_brand", "[0-9]+", "#").as("brand_masked"),
+          regexp_count($"p_name", lit("[aeiou]")).as("n_vowels"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        COALESCE(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS type_head,
+        regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+        len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
+      FROM part
+      ORDER BY p_partkey
+    """))
+
+  // ---------------------------------------------------------------------
+  // q26 — grouping() markers on rollup: the GROUPING_ID surface that
+  // distinguishes "NULL because subtotal" from "NULL in the data".
+  val q26 = Q(
+    "q26_grouping_id",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             grouping($"o_orderstatus").cast("int").as("g_status"),
+             grouping($"o_orderpriority").cast("int").as("g_priority"))
+        .select(
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          $"n", $"g_status", $"g_priority")
+        .orderBy($"status", $"priority", $"g_status", $"g_priority")
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             COALESCE(o_orderpriority, '(all)') AS priority,
+             COUNT(*) AS n,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority, g_status, g_priority
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23)
+    q21, q22, q23, q24, q25, q26)
 }
