@@ -52,6 +52,35 @@ class StreamingWindowSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: built-in streaming dedup, state bounded by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[PageLog]
+    val deduped = mem.toDS()
+      .withWatermark("eventTime", "10 seconds")
+      .dropDuplicatesWithinWatermark("mid", "pageId")
+    val q = deduped.writeStream.format("memory").queryName("ddw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(PageLog("m1", "home", None, 1000L),
+                      PageLog("m1", "home", None, 2000L),    // dup within watermark
+                      PageLog("m1", "cart", None, 3000L)))
+      q.processAllAvailable()
+      s.table("ddw_out").count() shouldBe 2
+      // watermark must advance in its OWN batch (it moves at batch
+      // boundaries) so the (m1, home) state expires first...
+      mem.addData(Seq(PageLog("m9", "wm", None, 400000L)))
+      q.processAllAvailable()
+      // ...then the same key re-emits as a fresh record
+      mem.addData(Seq(PageLog("m1", "home", None, 500000L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      s.table("ddw_out").as[PageLog].collect()
+        .count(e => e.mid == "m1" && e.pageId == "home") shouldBe 2
+    } finally q.stop()
+  }
+
   test("session_window merges events within the gap and splits across it") {
     val s = spark
     import s.implicits._
