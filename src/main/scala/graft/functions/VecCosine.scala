@@ -36,6 +36,12 @@ case class VecCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Must be explicit: the expression returns NULL for length-mismatch
+    * and null-element inputs even when both children are non-nullable —
+    * without this override the codegen NULL branch is unreachable and a
+    * mismatch silently scores 0.0. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_cosine"
 
   /** Null semantics match the built-in `aggregate(zip_with(...))`

@@ -29,6 +29,7 @@ object DimStore {
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
              pk: String, versionCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, path)
     val target = new Path(path)
     val merged =
       if (fs.exists(target)) spark.read.parquet(path).unionByName(batch)
@@ -41,22 +42,38 @@ object DimStore {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    // crash-safe swap: the live table is renamed aside before the new
-    // snapshot takes its place, so no window exists where the table is
-    // simply gone; an interrupted upsert leaves either the old table or
-    // (old at .__old, new at target). A leftover .__old from a previous
-    // crash is cleaned up first. (On Delta this whole dance is one
-    // transactional MERGE.)
+    // Crash-safe swap. Invariant: at every point at least one complete
+    // copy of the table exists at target or at .__old, and recover()
+    // below restores .__old to target when a crash left the table
+    // missing — it never deletes .__old unless target is present.
+    // (On Delta this whole dance is one transactional MERGE.)
     val tmp = new Path(path + ".__tmp")
     val old = new Path(path + ".__old")
     latest.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    val hadTarget = fs.exists(target)
-    if (hadTarget) fs.rename(target, old)
-    fs.rename(tmp, target)
-    if (hadTarget) fs.delete(old, true)
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to failed")
+    if (fs.exists(target)) {
+      renameOrThrow(target, old)
+      renameOrThrow(tmp, target)
+      fs.delete(old, true)
+    } else {
+      renameOrThrow(tmp, target)
+    }
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Recover from an upsert interrupted between its two renames: if the
+    * table is missing but a .__old backup exists, restore it. Called
+    * automatically before reads and upserts. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val target = new Path(path)
+    val old = new Path(path + ".__old")
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, path)
     spark.read.parquet(path)
+  }
 }

@@ -35,17 +35,38 @@ object Extensions {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Bounded persist: one cached copy per (label, dir) for the JVM's
-    * lifetime, so repeated runs of the same query (Bench warm-up +
-    * timed pass, Verify) reuse one materialization instead of
-    * stranding a new cached copy per invocation. */
-  private val persistCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
-  private def persisted(label: String, dir: String)(build: => DataFrame): DataFrame = {
-    lazy val built = build
-    persistCache.getOrElseUpdate(
-      (label, dir, System.identityHashCode(built.sparkSession)),
-      built.persist())
+  /** Bounded persist: one cached copy per (session, label, dir), so
+    * repeated runs of the same query reuse one materialization instead
+    * of stranding a new cached copy per invocation. Sessions key a
+    * WeakHashMap — a stopped/collected session's entries go with it
+    * (no leak, no identity-hash collision with a later session). */
+  private val persistCaches =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  private def persisted(s: SparkSession, label: String, dir: String)
+                       (build: => DataFrame): DataFrame = {
+    val cache = persistCaches.synchronized {
+      var c = persistCaches.get(s)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty
+        persistCaches.put(s, c)
+      }
+      c
+    }
+    cache.getOrElseUpdate((label, dir), build.persist())
+  }
+
+  /** Unpersist and forget every cached intermediate — Bench calls this
+    * between its warm-up and timed passes so timed numbers include the
+    * (dominant) cache-build cost instead of reusing warm-up state. */
+  def clearPersistedIntermediates(): Unit = persistCaches.synchronized {
+    val it = persistCaches.values().iterator()
+    while (it.hasNext) {
+      it.next().values.foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+    persistCaches.clear()
   }
 
   // ---------------------------------------------------------------------
@@ -92,7 +113,7 @@ object Extensions {
     "x02_minhash_lsh_neardup",
     (s, dir) => {
       import s.implicits._
-      val sh = persisted("x02_shingles", dir) { docs(s, dir)
+      val sh = persisted(s, "x02_shingles", dir) { docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         // short docs: sequence(1, 0) is DESCENDING [1,0] in Spark, and
         // element_at(toks, 0) always throws — guard to an empty array
@@ -255,7 +276,7 @@ object Extensions {
       // and orders it BEFORE the cheap distance conjuncts, evaluating
       // array_intersect for every hash-matched pair instead of the few
       // survivors.
-      val pairs = persisted("x04_pairs", dir) {
+      val pairs = persisted(s, "x04_pairs", dir) {
         d.as("a").join(d.as("b"),
             col("a.source") === col("b.source") && col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id") &&
@@ -693,8 +714,15 @@ object Extensions {
     "x14_multimodal_frames",
     (s, dir) => {
       import s.implicits._
+      // ASCII-normalize before byte-windowing: DuckDB's sha256 only
+      // accepts VARCHAR, so the oracle must window characters — with
+      // multi-byte text its char windows would diverge from the byte
+      // windows the real pipeline cuts. Forcing 1 byte = 1 char keeps
+      // the oracle exact; a production frame sampler has no oracle and
+      // windows raw bytes.
       val media = docs(s, dir)
-        .select($"doc_id", $"text".cast("binary").as("media"))
+        .select($"doc_id",
+          regexp_replace($"text", "[^\\x00-\\x7F]", "?").cast("binary").as("media"))
         .as[graft.ops.MediaIn]
       graft.ops.Multimodal.sampleFrames(media)
         .toDF()
@@ -702,10 +730,12 @@ object Extensions {
     },
     Some("""
       SELECT doc_id, frame_idx, 100 AS n_bytes,
-        sha256(substr(text, frame_idx * 100 + 1, 100)) AS checksum
-      FROM (SELECT doc_id, text,
-              unnest(range(0, greatest(strlen(text) // 100, 0), 4)) AS frame_idx
-            FROM documents)
+        sha256(substr(t, frame_idx * 100 + 1, 100)) AS checksum
+      FROM (SELECT doc_id, t,
+              unnest(range(0, greatest(len(t) // 100, 0), 4)) AS frame_idx
+            FROM (SELECT doc_id,
+                    regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+                  FROM documents))
       ORDER BY doc_id, frame_idx
     """))
 
