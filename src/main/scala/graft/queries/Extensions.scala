@@ -793,7 +793,42 @@ object Extensions {
       ORDER BY source
     """))
 
+  // ---------------------------------------------------------------------
+  // x17 — per-label embedding centroids via the typed VecMean
+  // Aggregator (functions/VecMean.scala — the k-means/IVF training
+  // primitive): partial (sum, count) states shuffle, never raw vectors.
+  // The oracle reproduces the element-wise mean with a constant
+  // generate_series cross join.
+  val x17 = Q(
+    "x17_label_centroids",
+    (s, dir) => {
+      import s.implicits._
+      val vecMean = udaf(graft.functions.VecMean)
+      emb(s, dir)
+        .groupBy($"label")
+        .agg(vecMean($"embedding").as("centroid"), count(lit(1)).as("n"))
+        .select($"label", $"n",
+          round(lit(1e6) * sqrt(
+            aggregate(transform($"centroid", x => x * x), lit(0.0), (acc, x) => acc + x)))
+            .cast("long").as("centroid_norm_ppm"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH comp AS (
+        SELECT label, i, avg(embedding[i]) AS m
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), norms AS (
+        SELECT label, sqrt(SUM(m * m)) AS nrm FROM comp GROUP BY label
+      ), counts AS (
+        SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+      )
+      SELECT label, n, CAST(round(1e6 * nrm) AS BIGINT) AS centroid_norm_ppm
+      FROM norms JOIN counts USING (label)
+      ORDER BY label
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16)
+    x15, x16, x17)
 }

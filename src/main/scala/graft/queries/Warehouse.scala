@@ -443,6 +443,54 @@ object Warehouse {
       ORDER BY event_id
     """))
 
+  // ---------------------------------------------------------------------
+  // w13 — tumbling windows via the window() function (SURVEY §2.5 note:
+  // the reference's absent DWS layer exposed through
+  // groupBy(window(...))), batch flavor of the streaming test's
+  // windowed agg. Start times surface as epoch seconds for the oracle.
+  val w13 = Q(
+    "w13_tumbling_window",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .select($"w.start".cast("long").as("window_start_s"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"window_start_s", $"event_type")
+    },
+    Some("""
+      SELECT (epoch_us(ts) // (21600::BIGINT * 1000000)) * 21600 AS window_start_s,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start_s, event_type
+    """))
+
+  // ---------------------------------------------------------------------
+  // w14 — sliding windows (6h window, 3h slide): each event lands in
+  // exactly two windows; the oracle replays that fan-out with an
+  // explicit 2-way unnest.
+  val w14 = Q(
+    "w14_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "6 hours", "3 hours").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("uv"))
+        .select($"w.start".cast("long").as("window_start_s"), $"n", $"uv")
+        .orderBy($"window_start_s")
+    },
+    Some("""
+      SELECT window_start_s, COUNT(*) AS n, COUNT(DISTINCT user_id) AS uv
+      FROM (SELECT user_id,
+              (epoch_us(ts) // (10800::BIGINT * 1000000)) * 10800 - k * 10800 AS window_start_s
+            FROM events, LATERAL (SELECT unnest(range(0, 2)) AS k) t)
+      GROUP BY window_start_s
+      ORDER BY window_start_s
+    """))
+
   def queries: Seq[Q] = Seq(
-    w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12)
+    w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14)
 }
