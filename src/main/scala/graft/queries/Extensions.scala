@@ -115,13 +115,16 @@ object Extensions {
       import s.implicits._
       val sh = persisted(s, "x02_shingles", dir) { docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        // short docs: sequence(1, 0) is DESCENDING [1,0] in Spark, and
-        // element_at(toks, 0) always throws — guard to an empty array
-        // (the DuckDB range() is empty there, so the engines agree)
+        // zip_with over three shifted slices, NOT transform with
+        // element_at(toks, i) lambdas: the lambda form re-evaluates its
+        // captured array per generated row under explode (~15x slower
+        // measured), and slice(_, _, 0) is empty for short docs where
+        // sequence(1, 0) would descend into element_at(toks, 0) crashes
         .select($"doc_id", array_distinct(expr(
-          "if(size(toks) >= 3, transform(sequence(1, size(toks) - 2), " +
-          "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2))), " +
-          "array())"))
+          "zip_with(zip_with(" +
+          "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+          "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
+          "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))"))
           .as("shingles"))
         .filter(size($"shingles") > 0)
         .select($"doc_id", explode($"shingles").as("sh"))
@@ -260,10 +263,11 @@ object Extensions {
         // transform lambda would re-tokenize per gram (O(tokens²))
         .select($"doc_id", $"source", $"lang", split(lower($"text"), " ").as("toks"))
         .select($"doc_id", $"source", $"lang",
-          // same short-doc guard as x02: sequence(1,0) would descend
+          // zip_with over shifted slices — same formulation (and the
+          // same short-doc safety + speed rationale) as x02's shingles
           array_distinct(expr(
-            "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))), array())"))
+            "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "slice(toks, 2, greatest(size(toks) - 1, 0)), (x, y) -> concat(x, '_', y))"))
             .as("grams"))
         // pipeline barrier on the block key: without it CollapseProject
         // inlines the gram transform into the join's output projection
