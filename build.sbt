@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output is [info]-prefixed by sbt's logger by default, which
+// corrupts Bench's one-line JSON contract (the driver greps stdout for a
+// parseable line). StdoutOutput passes the child's stdout/stderr through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -504,9 +504,9 @@ object Relational {
     },
     Some("""
       SELECT l_linestatus,
-        SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-        SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
-        SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
         CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS discounted_revenue
       FROM lineitem
       GROUP BY l_linestatus

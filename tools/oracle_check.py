@@ -50,10 +50,21 @@ def main(out_dir, sf_dir):
             orel = con.execute(sql)
             ocols = [d[0] for d in orel.description]
             orows = orel.fetchall()
+            # separate statement AFTER fetchall: con.execute shares one
+            # cursor, so an interleaved DESCRIBE would clobber orel
+            otypes = [str(t) for t in con.execute(f"DESCRIBE {sql}").df()["column_type"]]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # The real driver may fetch through pandas/arrow, where DuckDB
+        # HUGEINT (e.g. an uncast SUM over integers) renders as float or
+        # Decimal and hash-mismatches Spark's BIGINT even when the values
+        # are equal via fetchall. Surface those as loud warnings.
+        for c, t in zip(ocols, otypes):
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+                print(f"WARN {name}: oracle column {c} is {t} — cast it "
+                      f"(BIGINT/DOUBLE) or the driver's pandas fetch may mismatch")
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1
