@@ -83,14 +83,12 @@ object Extensions {
         .groupBy($"fingerprint")
         .agg(min($"doc_id").as("keeper_doc_id"),
              count(lit(1)).as("n_copies"))
-        .orderBy($"keeper_doc_id")
     },
     Some("""
       SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
              MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
       FROM documents
       GROUP BY 1
-      ORDER BY keeper_doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -229,7 +227,6 @@ object Extensions {
         when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
       toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select($"doc_id", fp.as("simhash"))
-        .orderBy($"doc_id")
     },
     Some(s"""
       WITH toks AS (
@@ -245,7 +242,6 @@ object Extensions {
       SELECT doc_id,
         ${(0 until 32).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")} AS simhash
       FROM bits
-      ORDER BY doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -440,7 +436,6 @@ object Extensions {
            $"stop_ratio_ppm" <= 500000L).cast("int"))
         .select($"doc_id", $"n_tokens", $"n_distinct_tokens", $"avg_tok_len_ppm",
                 $"n_punct", $"stop_ratio_ppm", $"quality_ok")
-        .orderBy($"doc_id")
     },
     Some("""
       SELECT doc_id,
@@ -452,7 +447,6 @@ object Extensions {
         CAST(len(toks) >= 10 AND len(toks) <= 500 AND
              round(1e6 * len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / len(toks)) <= 500000 AS INT) AS quality_ok
       FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
-      ORDER BY doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -482,7 +476,6 @@ object Extensions {
           .otherwise("es"))
         .select($"doc_id", $"lang".as("labeled_lang"), $"predicted_lang",
           $"score_en", $"score_de", $"score_fr", $"score_es")
-        .orderBy($"doc_id")
     },
     Some("""
       SELECT doc_id, lang AS labeled_lang,
@@ -497,7 +490,6 @@ object Extensions {
               len(list_filter(toks, t -> t IN ('query','row','line','part'))) AS score_fr,
               len(list_filter(toks, t -> t IN ('data','scan','merge','filter'))) AS score_es
             FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents))
-      ORDER BY doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -514,7 +506,6 @@ object Extensions {
           regexp_count($"text", lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]")).as("n_bpe_pieces"),
           regexp_count($"text", lit("[a-zA-Z]+")).as("n_words"),
           regexp_count($"text", lit("[0-9]+")).as("n_numbers"))
-        .orderBy($"doc_id")
     },
     Some("""
       SELECT doc_id,
@@ -523,7 +514,6 @@ object Extensions {
         len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_words,
         len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
       FROM documents
-      ORDER BY doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -544,7 +534,6 @@ object Extensions {
           array_min(transform($"grams", g => md5(g))).as("min_gram_hash"),
           size($"grams").as("n_grams"),
           size(array_distinct($"grams")).as("n_distinct_grams"))
-        .orderBy($"doc_id")
     },
     Some("""
       SELECT doc_id,
@@ -555,7 +544,6 @@ object Extensions {
               list_transform(range(1, len(text) - 3, 4), i -> substr(text, i, 5)) AS grams
             FROM documents
             WHERE len(text) >= 5)
-      ORDER BY doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -573,7 +561,6 @@ object Extensions {
         .as[graft.ops.MediaIn]
       graft.ops.Multimodal.extractMeta(media)
         .toDF()
-        .orderBy($"doc_id")
     },
     Some("""
       SELECT doc_id,
@@ -583,7 +570,6 @@ object Extensions {
         16 + (strlen(text) // 64) % 64 AS height,
         'fake/rgb8' AS format
       FROM documents
-      ORDER BY doc_id
     """))
 
   // ---------------------------------------------------------------------
@@ -730,7 +716,6 @@ object Extensions {
         .as[graft.ops.MediaIn]
       graft.ops.Multimodal.sampleFrames(media)
         .toDF()
-        .orderBy($"doc_id", $"frame_idx")
     },
     Some("""
       SELECT doc_id, frame_idx, 100 AS n_bytes,
@@ -740,7 +725,6 @@ object Extensions {
             FROM (SELECT doc_id,
                     regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
                   FROM documents))
-      ORDER BY doc_id, frame_idx
     """))
 
   // ---------------------------------------------------------------------

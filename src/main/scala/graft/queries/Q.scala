@@ -6,11 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are SQL-expressible) an equivalent DuckDB oracle.
   *
   * Determinism contract (what makes the driver's hash-compare pass):
-  *   - every query ends in a total ORDER BY (unique tie-break keys);
   *   - every floating-point aggregate goes through exact DECIMAL(18,4)
   *     arithmetic and is cast to DOUBLE at the end, so Spark and DuckDB
   *     produce bit-identical doubles regardless of summation order;
   *   - column aliases match the oracle SQL exactly.
+  *
+  * Output-ordering policy: the driver's compare canonicalizes row order
+  * (it hash-compares value multisets over un-coalesced parquet — the
+  * round-1 review's "let the oracle sort"), so queries do NOT impose a
+  * final total order on fact-sized outputs. A global ORDER BY would make
+  * the range-partitioner's sampling job re-execute the entire upstream
+  * pipeline — measured ~2x on map-only pipelines — and is the canonical
+  * 100 TB anti-pattern. Final sorts remain only where they carry
+  * semantics (top-k before LIMIT → TakeOrderedAndProject) or on tiny
+  * aggregate outputs where presentation order is free.
   */
 final case class Q(
     name: String,

@@ -65,13 +65,11 @@ object Relational {
       t(s, dir, "orders")
         .filter($"o_orderstatus" === "F" && $"o_totalprice" > 100000.0)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-        .orderBy($"o_orderkey")
     },
     Some("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders
       WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
-      ORDER BY o_orderkey
     """))
 
   // ---------------------------------------------------------------------
@@ -109,21 +107,29 @@ object Relational {
     headline = true)
 
   // ---------------------------------------------------------------------
-  // q04 — large fact⋈fact join (lineitem⋈orders): Catalyst/AQE picks
-  // sort-merge or shuffled-hash; both sides shuffle on the join key once
-  // and the aggregation reuses that partitioning.
+  // q04 — large fact⋈fact join (lineitem⋈orders). The naive form joins
+  // the full lineitem then runs countDistinct(o_orderkey) over the joined
+  // rows — a second expand+shuffle over fact-sized data. Since lineitem is
+  // N:1 to orders, aggregating lineitem to order grain FIRST shrinks the
+  // join's left side ~4x and turns countDistinct into a plain count (each
+  // orderkey appears once post-agg). Decimal partial sums keep the result
+  // bit-identical to the naive plan; the oracle is the naive SQL. At
+  // 100 TB this pre-aggregation is the difference between one keyed
+  // shuffle of order-grain rows and two fact-sized ones. (q27 keeps the
+  // rewrite visible end-to-end in SQL form.)
   val q04 = Q(
     "q04_fact_join",
     (s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
       val o  = t(s, dir, "orders")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val perOrder = li.groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
+          .as("rev"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .groupBy($"o_orderpriority")
-        .agg(
-          dsum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))
-            .as("revenue"),
-          countDistinct($"o_orderkey").as("n_orders"))
+        .agg(sum($"rev").cast(DoubleType).as("revenue"),
+             count(lit(1)).as("n_orders"))
         .orderBy($"o_orderpriority")
     },
     Some("""
@@ -146,13 +152,11 @@ object Relational {
       val o = t(s, dir, "orders").filter($"o_totalprice" > 250000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")
     },
     Some("""
       SELECT c_custkey, c_name FROM customer
       WHERE EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
-      ORDER BY c_custkey
     """))
 
   // ---------------------------------------------------------------------
@@ -165,12 +169,10 @@ object Relational {
       val o = t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select($"c_custkey", $"c_name", $"c_mktsegment")
-        .orderBy($"c_custkey")
     },
     Some("""
       SELECT c_custkey, c_name, c_mktsegment FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      ORDER BY c_custkey
     """))
 
   // ---------------------------------------------------------------------
@@ -186,7 +188,6 @@ object Relational {
         .groupBy($"c_custkey", $"c_mktsegment")
         .agg(count($"o_orderkey").as("n_orders"),
              dsum(coalesce($"o_totalprice", lit(0.0))).as("total_spend"))
-        .orderBy($"c_custkey")
     },
     Some("""
       SELECT c_custkey, c_mktsegment,
@@ -194,7 +195,6 @@ object Relational {
         CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment
-      ORDER BY c_custkey
     """))
 
   // ---------------------------------------------------------------------
@@ -231,7 +231,6 @@ object Relational {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
-        .orderBy($"o_custkey", $"rn")
     },
     Some("""
       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -239,7 +238,6 @@ object Relational {
           ROW_NUMBER() OVER (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) WHERE rn <= 3
-      ORDER BY o_custkey, rn
     """))
 
   // ---------------------------------------------------------------------
@@ -259,7 +257,6 @@ object Relational {
             .cast(DoubleType))
         .withColumn("prev_event_id", lag($"event_id", 1).over(w))
         .select($"user_id", $"event_id", $"running_value", $"prev_event_id")
-        .orderBy($"user_id", $"event_id")
     },
     Some("""
       SELECT user_id, event_id,
@@ -268,7 +265,6 @@ object Relational {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
       FROM events WHERE event_type = 'purchase'
-      ORDER BY user_id, event_id
     """))
 
   // ---------------------------------------------------------------------
@@ -474,7 +470,6 @@ object Relational {
           substring($"c_name", 1, 8).as("name_prefix"),
           concat_ws("|", $"c_mktsegment", $"c_name").as("joined"),
           length($"c_name").as("name_len"))
-        .orderBy($"c_custkey")
     },
     Some("""
       SELECT c_custkey,
@@ -483,7 +478,6 @@ object Relational {
         CONCAT_WS('|', c_mktsegment, c_name) AS joined,
         LENGTH(c_name) AS name_len
       FROM customer
-      ORDER BY c_custkey
     """))
 
   // ---------------------------------------------------------------------
@@ -609,7 +603,6 @@ object Relational {
       WHERE o_totalprice > 2 * (
         SELECT AVG(o_totalprice) FROM orders i
         WHERE i.o_custkey = o.o_custkey)
-      ORDER BY o_orderkey
     """))
 
   // ---------------------------------------------------------------------
@@ -651,7 +644,6 @@ object Relational {
           regexp_extract($"p_type", "^([A-Z]+)", 1).as("type_head"),
           regexp_replace($"p_brand", "[0-9]+", "#").as("brand_masked"),
           regexp_count($"p_name", lit("[aeiou]")).as("n_vowels"))
-        .orderBy($"p_partkey")
     },
     Some("""
       SELECT p_partkey,
@@ -659,7 +651,6 @@ object Relational {
         regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
         len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
       FROM part
-      ORDER BY p_partkey
     """))
 
   // ---------------------------------------------------------------------

@@ -60,14 +60,12 @@ object Warehouse {
         .filter($"j.type".isin("signup", "purchase", "click"))
         .select($"j.data.event_id".as("event_id"), $"j.type".as("op"),
                 $"j.data.user_id".as("user_id"))
-        .orderBy($"event_id")
     },
     Some("""
       SELECT event_id, event_type AS op, user_id
       FROM events
       WHERE event_id % 11 <> 0
         AND event_type IN ('signup', 'purchase', 'click')
-      ORDER BY event_id
     """))
 
   // ---------------------------------------------------------------------
@@ -82,13 +80,11 @@ object Warehouse {
         .withColumn("j", from_json($"raw", envSchema))
         .filter($"j.type".isNull)
         .select($"event_id", $"raw")
-        .orderBy($"event_id")
     },
     Some("""
       SELECT event_id, '{corrupt' || props AS raw
       FROM events
       WHERE event_id % 11 = 0
-      ORDER BY event_id
     """))
 
   // ---------------------------------------------------------------------
@@ -155,7 +151,6 @@ object Warehouse {
           explode($"displays").as("d"))
         .select($"event_id", $"user_id", $"page_id", $"ts_str",
           $"d.pos".as("pos"), $"d.item".as("item"))
-        .orderBy($"event_id", $"pos")
     },
     Some("""
       SELECT event_id, user_id, page_id, ts_str, pos,
@@ -165,7 +160,6 @@ object Warehouse {
               unnest(generate_series(0, event_id % 3)) AS pos
             FROM events
             WHERE event_type IN ('view','click','purchase'))
-      ORDER BY event_id, pos
     """))
 
   // ---------------------------------------------------------------------
@@ -184,7 +178,6 @@ object Warehouse {
         .filter($"rn" === 1)
         .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("event_date"),
                 $"event_id", $"event_type")
-        .orderBy($"user_id", $"event_date")
     },
     Some("""
       SELECT user_id, strftime(ts, '%Y-%m-%d') AS event_date, event_id, event_type
@@ -193,7 +186,6 @@ object Warehouse {
               ORDER BY ts, event_id) AS rn
             FROM events)
       WHERE rn = 1
-      ORDER BY user_id, event_date
     """))
 
   // ---------------------------------------------------------------------
@@ -218,7 +210,6 @@ object Warehouse {
             .otherwise("0"))
         .select($"event_id", $"user_id", $"event_date",
                 $"is_new_claimed", $"is_new_repaired")
-        .orderBy($"event_id")
     },
     Some("""
       SELECT event_id, user_id, event_date, is_new_claimed,
@@ -229,7 +220,6 @@ object Warehouse {
               CASE WHEN event_id % 3 = 0 THEN '1' ELSE '0' END AS is_new_claimed,
               MIN(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id) AS first_date
             FROM events)
-      ORDER BY event_id
     """))
 
   // ---------------------------------------------------------------------
@@ -261,7 +251,6 @@ object Warehouse {
         .select($"sink_table", $"event_id",
           concat_ws(",", $"ks").as("kept_cols"),
           concat_ws(",", transform($"ks", k => element_at($"kept", k))).as("kept_vals"))
-        .orderBy($"event_id")
     },
     Some("""
       SELECT CASE event_type WHEN 'purchase' THEN 'dwd_purchase'
@@ -277,7 +266,6 @@ object Warehouse {
           ELSE CAST(event_id AS VARCHAR) END AS kept_vals
       FROM events
       WHERE event_type IN ('purchase','click','view')
-      ORDER BY event_id
     """))
 
   // ---------------------------------------------------------------------
@@ -298,7 +286,6 @@ object Warehouse {
         .filter(($"prev_ep".isNull || $"ep" - $"prev_ep" > 600L * 1000000L) &&
                 ($"next_ep".isNull || $"next_ep" - $"ep" > 10L * 1000000L))
         .select($"event_id", $"user_id", ($"ep" / 1000000L).cast("long").as("epoch_s"))
-        .orderBy($"event_id")
     },
     Some("""
       SELECT event_id, user_id, epoch_us(ts) // 1000000 AS epoch_s
@@ -308,7 +295,6 @@ object Warehouse {
             FROM events)
       WHERE (prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600 * 1000000)
         AND (next_ts IS NULL OR epoch_us(next_ts) - epoch_us(ts) > 10 * 1000000)
-      ORDER BY event_id
     """))
 
   // ---------------------------------------------------------------------
@@ -333,7 +319,6 @@ object Warehouse {
              (min($"ep") / 1000000L).cast("long").as("start_s"),
              (max($"ep") / 1000000L).cast("long").as("end_s"),
              dsum($"value").as("session_value"))
-        .orderBy($"user_id", $"session_seq")
     },
     Some("""
       WITH flagged AS (
@@ -355,7 +340,6 @@ object Warehouse {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
       FROM sessioned
       GROUP BY user_id, session_seq
-      ORDER BY user_id, session_seq
     """))
 
   // ---------------------------------------------------------------------
@@ -375,7 +359,6 @@ object Warehouse {
         .select($"user_id", $"event_type".as("last_event_type"),
           round($"value" * 100).cast("long").as("last_value_cents"),
           (unix_micros($"ts") / 1000000L).cast("long").as("last_epoch_s"))
-        .orderBy($"user_id")
     },
     Some("""
       SELECT user_id, event_type AS last_event_type,
@@ -385,7 +368,6 @@ object Warehouse {
               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
       WHERE rn = 1
-      ORDER BY user_id
     """))
 
   // ---------------------------------------------------------------------
@@ -432,7 +414,6 @@ object Warehouse {
         .filter($"event_type" === "purchase")
         .select($"event_id",
           to_json(struct($"event_id", $"event_type", $"user_id")).as("payload"))
-        .orderBy($"event_id")
     },
     Some("""
       SELECT event_id,
@@ -440,7 +421,6 @@ object Warehouse {
         '","user_id":' || user_id || '}' AS payload
       FROM events
       WHERE event_type = 'purchase'
-      ORDER BY event_id
     """))
 
   // ---------------------------------------------------------------------
