@@ -111,13 +111,19 @@ object Extensions {
     "x02_minhash_lsh_neardup",
     (s, dir) => {
       import s.implicits._
-      val sh = persisted(s, "x02_shingles", dir) { docs(s, dir)
+      // Per-doc distinct shingle hashes kept PACKED in an array column
+      // (documents are length-bounded, so the per-doc set is too). The
+      // packed form makes the K-signature a pure map — array_min over K
+      // XOR'd copies, zero shuffle before the band join — and candidate
+      // verification an array_intersect over the (tiny) surviving pair
+      // set, instead of an exploded fact-sized shingle table feeding a
+      // groupBy plus a 3-way self-join. zip_with over shifted slices,
+      // NOT transform with element_at(toks, i) lambdas: the lambda form
+      // re-evaluates its captured array per generated row (~15x slower
+      // measured), and slice(_, _, 0) is empty for short docs where
+      // sequence(1, 0) would descend into element_at(toks, 0) crashes.
+      val hs = persisted(s, "x02_hashes", dir) { docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        // zip_with over three shifted slices, NOT transform with
-        // element_at(toks, i) lambdas: the lambda form re-evaluates its
-        // captured array per generated row under explode (~15x slower
-        // measured), and slice(_, _, 0) is empty for short docs where
-        // sequence(1, 0) would descend into element_at(toks, 0) crashes
         .select($"doc_id", array_distinct(expr(
           "zip_with(zip_with(" +
           "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
@@ -125,19 +131,16 @@ object Extensions {
           "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))"))
           .as("shingles"))
         .filter(size($"shingles") > 0)
-        .select($"doc_id", explode($"shingles").as("sh"))
-        .select($"doc_id",
-          conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long").as("h"))
+        .select($"doc_id", expr(
+          "transform(shingles, sh -> " +
+          "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))").as("hs"))
       }
-      // ^ the shingle table feeds three passes (signature agg + both
-      // sides of the intersection join): one bounded cached copy
-      // instead of re-hashing the corpus per pass — at 100 TB this is
-      // a materialized intermediate table, same idea
-      // one aggregation pass yields both the K-signature and the set
-      // size (shingles are already distinct per doc pre-hash)
-      val aggs = Seeds.zipWithIndex.map { case (seed, i) =>
-        min($"h".bitwiseXOR(lit(seed))).as(s"h$i") } :+ count(lit(1)).as("n")
-      val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      // ^ cached: feeds the signature pass and both sides of the
+      // verification join — one materialization, as a real pipeline
+      // would keep a fingerprint table
+      val sigCols = Seeds.zipWithIndex.map { case (seed, i) =>
+        expr(s"array_min(transform(hs, h -> h ^ ${seed}L))").as(s"h$i") }
+      val sig = hs.select(($"doc_id" +: sigCols :+ size($"hs").as("n")): _*)
       val bands = sig.select($"doc_id", explode(array(
         (0 until B).map(b => struct(lit(b).as("band"),
           col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
@@ -148,17 +151,15 @@ object Extensions {
           col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sig.select($"doc_id", $"n")
-      val inter = cand
-        .join(sh.as("ta"), $"doc_a" === col("ta.doc_id"))
-        .join(sh.as("tb"), $"doc_b" === col("tb.doc_id") && col("ta.h") === col("tb.h"))
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ni"))
-      cand.join(inter, Seq("doc_a", "doc_b"), "left")
-        .na.fill(0L, Seq("ni"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      // Exact-Jaccard verification on candidates only: join the packed
+      // hash sets to the (tiny) pair set and intersect in place. No
+      // exploded join, no groupBy; a pair with zero overlap yields
+      // ni = 0 naturally instead of needing a left join + fill.
+      cand.join(hs.select($"doc_id".as("doc_a"), $"hs".as("ha")), "doc_a")
+        .join(hs.select($"doc_id".as("doc_b"), $"hs".as("hb")), "doc_b")
+        .withColumn("ni", size(array_intersect($"ha", $"hb")).cast("long"))
         .withColumn("jaccard_ppm",
-          round(lit(1e6) * $"ni" / ($"na" + $"nb" - $"ni")).cast("long"))
+          round(lit(1e6) * $"ni" / (size($"ha") + size($"hb") - $"ni")).cast("long"))
         .filter($"jaccard_ppm" >= 500000L)
         .select($"doc_a", $"doc_b", $"jaccard_ppm")
         .orderBy($"doc_a", $"doc_b")

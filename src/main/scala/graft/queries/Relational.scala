@@ -299,14 +299,24 @@ object Relational {
     """))
 
   // ---------------------------------------------------------------------
-  // q12 — CUBE over returnflag × linestatus.
+  // q12 — CUBE over returnflag × linestatus. CUBE physically plans as
+  // Expand (one copy of every input row per grouping set — 4x the fact
+  // table through the first agg). Since SUM/COUNT re-aggregate exactly,
+  // collapse the fact to the base (flag, status) grid FIRST — |flags| x
+  // |statuses| rows — and cube the tiny aggregate: the Expand now blows
+  // up 6 rows, not 600k (and not 4 x 100 TB). Decimal partials keep the
+  // result bit-identical to the direct cube; oracle is the direct SQL.
   val q12 = Q(
     "q12_cube",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum(dec($"l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      base
         .cube($"l_returnflag", $"l_linestatus")
-        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum($"pq").cast(DoubleType).as("sum_qty"),
+             sum($"pn").cast("long").as("n"))
         .select(
           coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
           coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
@@ -561,10 +571,16 @@ object Relational {
       import s.implicits._
       t(s, dir, "orders")
         .groupBy($"o_orderstatus")
+        // one percentile(…, array(…)) buffer, not one per quantile: the
+        // exact-percentile aggregate collects the group's values, so two
+        // separate calls would hold (and sort) every value twice
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)") * 100).cast("long").as("median_cents"),
-          round(expr("percentile(o_totalprice, 0.95)") * 100).cast("long").as("p95_cents"),
+          expr("percentile(o_totalprice, array(0.5, 0.95))").as("ps"),
           count(lit(1)).as("n"))
+        .select($"o_orderstatus",
+          round(element_at($"ps", 1) * 100).cast("long").as("median_cents"),
+          round(element_at($"ps", 2) * 100).cast("long").as("p95_cents"),
+          $"n")
         .orderBy($"o_orderstatus")
     },
     Some("""
