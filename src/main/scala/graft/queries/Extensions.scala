@@ -647,50 +647,69 @@ object Extensions {
 
   // ---------------------------------------------------------------------
   // x13 — embedding-cosine near-duplicate pairs: the semantic-dedup
-  // complement to x02's lexical MinHash. Candidates come from an 8-bit
-  // sign-bucket LSH (256 buckets — equi-join, no crossJoin; random
-  // pairs collide with p≈1/256 so candidates stay ~n²/512, and a
-  // production build stacks B such bands for recall, exactly like
-  // x02's MinHash bands). Norms are precomputed per vector, so the
-  // per-pair work is one dot product. Pairs ≥ 0.9 become (keeper, dup)
-  // edges — keeper = lower vec_id, the same keep-first rule as x01.
-  private val X13Dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+  // complement to x02's lexical MinHash. Candidates come from B=4
+  // INDEPENDENT 8-bit sign-bucket LSH bands (disjoint dimension sets,
+  // OR'd by a union + distinct — the classic banding construction, same
+  // as x02's MinHash bands). A single 8-bit band catches a cos≥0.9 pair
+  // with p ≈ 0.856⁸ ≈ 0.29; four bands lift recall to 1-(1-0.29)⁴ ≈
+  // 0.75 while random pairs still collide at only ~B/256, so candidates
+  // stay ~n²/64 — an equi-join on the (band, bucket) key, never a
+  // crossJoin. Norms are precomputed per vector; per-pair work is one
+  // dot product. Pairs ≥ 0.9 become (keeper, dup) edges — keeper =
+  // lower vec_id, the same keep-first rule as x01. Recall vs a single
+  // band is asserted on planted near-dups in ExtensionsSemanticsSpec.
+  /** Band b reads the 8 sign bits at dims b*16+1, b*16+3, …, b*16+15
+    * (disjoint across bands, covering 32 of the 64 dims). */
+  private[graft] val X13Bands: Seq[Seq[Int]] =
+    (0 until 4).map(b => (0 until 8).map(k => b * 16 + 2 * k + 1))
 
   val x13 = Q(
     "x13_embedding_neardup",
     (s, dir) => {
       import s.implicits._
-      def bucket(v: Column): Column = concat(
-        X13Dims.map(i =>
+      def bucket(v: Column, dims: Seq[Int]): Column = concat(
+        dims.map(i =>
           when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
       val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
-        .withColumn("bucket", bucket($"v"))
         .withColumn("norm",
           sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
-        .select($"vec_id", $"v", $"bucket", $"norm")
+        .select($"vec_id", $"v", $"norm", explode(array(
+          X13Bands.zipWithIndex.map { case (dims, b) =>
+            struct(lit(b).as("band"), bucket($"v", dims).as("bucket")) }: _*)).as("bb"))
+        .select($"vec_id", $"v", $"norm",
+          $"bb.band".as("band"), $"bb.bucket".as("bucket"))
       val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") &&
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("keeper_id"), col("b.vec_id").as("dup_id"),
           round(lit(1e6) * dot /
             when(col("a.norm") * col("b.norm") > 0, col("a.norm") * col("b.norm")))
             .cast("long").as("cos_ppm"))
         .filter($"cos_ppm" >= 900000L)
+        .distinct()  // a pair may collide in several bands — emit once
         .orderBy($"keeper_id", $"dup_id")
     },
     Some(s"""
       WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
-          (${X13Dims.map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")}) AS bucket,
-          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+          ${X13Bands.zipWithIndex.map { case (dims, b) =>
+            "(" + dims.map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+              .mkString(" || ") + s") AS bucket$b" }.mkString(", ")}
         FROM embeddings
+      ),
+      banded AS (
+        ${X13Bands.indices.map(b =>
+          s"SELECT vec_id, v, norm, $b AS band, bucket$b AS bucket FROM e")
+          .mkString(" UNION ALL ")}
       )
-      SELECT keeper_id, dup_id, cos_ppm FROM (
+      SELECT DISTINCT keeper_id, dup_id, cos_ppm FROM (
         SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
           CAST(round(1e6 * list_dot_product(a.v, b.v) / (a.norm * b.norm)) AS BIGINT) AS cos_ppm
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cos_ppm >= 900000
       ORDER BY keeper_id, dup_id
     """))
@@ -817,7 +836,136 @@ object Extensions {
       ORDER BY label
     """))
 
+  // ---------------------------------------------------------------------
+  // x18 — k-means (Lloyd's algorithm, k=4, 2 iterations) over the
+  // embedding corpus: the clustering step an IVF index or semantic-dedup
+  // bucketing trains with. Iteration state (k x 64 doubles) is collected
+  // to the driver and re-broadcast as literals — the same tiny-state
+  // pattern MLlib's KMeans uses; the per-row work stays fully
+  // distributed (one narrow map per assignment, one keyed agg per
+  // centroid update — at 100 TB each iteration is one scan + one
+  // 256-row shuffle). Determinism contract: centroid components are
+  // EXACT DECIMAL(18,8) sums cast to double (bit-identical in DuckDB),
+  // so the iterated centroids — and therefore every assignment — match
+  // the oracle's unrolled two iterations exactly; distances use the
+  // same left-fold (x-y)^2 formulation on both sides. Seeds = the k
+  // lowest vec_ids. (An empty cluster would keep its previous centroid
+  // on the Spark side; with data-drawn seeds every cluster keeps at
+  // least its seed, so the oracle needn't model that branch.)
+  private val KmK = 4
+  private def kmDec = org.apache.spark.sql.types.DecimalType(18, 8)
+
+  val x18 = Q(
+    "x18_kmeans_lloyd",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val seeds: Array[Array[Double]] =
+        e.filter($"vec_id" < KmK).orderBy($"vec_id")
+          .collect().map(_.getSeq[Double](1).toArray)
+      def dist2(c: Array[Double]): Column =
+        aggregate(zip_with($"v", typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      def assign(cents: Array[Array[Double]]): DataFrame = {
+        val d = cents.map(dist2)
+        e.withColumn("cluster",
+          when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0)
+            .when(d(1) <= d(2) && d(1) <= d(3), 1)
+            .when(d(2) <= d(3), 2)
+            .otherwise(3))
+      }
+      def step(cents: Array[Array[Double]]): Array[Array[Double]] = {
+        val rows = assign(cents)
+          .select($"cluster", posexplode($"v"))
+          .groupBy($"cluster", $"pos")
+          .agg(sum($"col".cast(kmDec)).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val byCluster = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(1)).map(r =>
+            r.getDecimal(2).doubleValue() / r.getLong(3))
+        }
+        Array.tabulate(KmK)(c => byCluster.getOrElse(c, cents(c)))
+      }
+      val c1 = step(seeds)  // Lloyd iteration 1
+      val a2 = assign(c1)   // iteration 2 assignment = graded output
+      val compCols = (0 until 4).map(i =>
+        round(lit(1e6) * sum(element_at($"v", i + 1).cast(kmDec)).cast("double")
+          / count(lit(1))).cast("long").as(s"c${i + 1}_ppm"))
+      a2.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"), compCols: _*)
+        .orderBy($"cluster")
+    },
+    Some {
+      def dists(cs: String) = (0 until KmK).map(k =>
+        s"list_sum(list_transform(range(1, 65), i -> (v[i] - $cs.c$k[i]) * (v[i] - $cs.c$k[i]))) AS d$k")
+        .mkString(",\n              ")
+      val pick = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      consts1 AS (SELECT ${(0 until KmK).map(k =>
+        s"(SELECT v FROM e WHERE vec_id = $k) AS c$k").mkString(", ")}),
+      a1 AS (
+        SELECT vec_id, v, $pick
+        FROM (SELECT vec_id, v,
+              ${dists("k")}
+              FROM e, consts1 k)),
+      m1 AS (
+        SELECT cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cluster, unnest(v) AS x, unnest(range(1, 65)) AS pos FROM a1)
+        GROUP BY cluster, pos),
+      c1l AS (SELECT cluster, list(c ORDER BY pos) AS c FROM m1 GROUP BY cluster),
+      consts2 AS (SELECT ${(0 until KmK).map(k =>
+        s"(SELECT c FROM c1l WHERE cluster = $k) AS c$k").mkString(", ")}),
+      a2 AS (
+        SELECT vec_id, v, $pick
+        FROM (SELECT vec_id, v,
+              ${dists("k")}
+              FROM e, consts2 k))
+      SELECT cluster, COUNT(*) AS n_members,
+        ${(0 until 4).map(i =>
+          s"CAST(round(1e6 * CAST(SUM(CAST(v[${i + 1}] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c${i + 1}_ppm")
+          .mkString(",\n        ")}
+      FROM a2 GROUP BY cluster ORDER BY cluster
+    """
+    })
+
+  // ---------------------------------------------------------------------
+  // x19 — Z-order (Morton) curve values: the clustering key behind
+  // ops.ZOrder.clusterBy (Delta/Iceberg's OPTIMIZE ZORDER BY analogue;
+  // file-skipping effect measured in ZOrderSpec). This query checks the
+  // bit-interleave expression itself against the oracle's integer
+  // arithmetic: per 16-cell z-grid bucket of the (custkey, orderkey)
+  // space, the row count and the z range.
+  val x19 = Q(
+    "x19_zorder_curve",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select(graft.ops.ZOrder.zval(
+          pmod($"o_custkey", lit(256)), pmod($"o_orderkey", lit(256)), 8).as("z"))
+        .groupBy(shiftright($"z", 12).as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min($"z").as("min_z"), max($"z").as("max_z"))
+        .orderBy($"z_bucket")
+    },
+    Some {
+      // every term fully parenthesized: DuckDB's bitwise <<, & and |
+      // share one precedence level (left-associative), so a bare
+      // `a << 1 | b << 3` chain would parse as `((a << 1) | b) << 3`
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
+        s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})"))
+      s"""
+      SELECT z >> 12 AS z_bucket, COUNT(*) AS n, MIN(z) AS min_z, MAX(z) AS max_z
+      FROM (SELECT ${terms.mkString(" | ")} AS z FROM orders)
+      GROUP BY 1 ORDER BY 1
+    """
+    })
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17)
+    x15, x16, x17, x18, x19)
 }

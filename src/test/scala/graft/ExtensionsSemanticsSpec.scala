@@ -125,4 +125,44 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     nd.map(p => (p._1, p._2)) should contain((0L, 1L))
     nd.find(p => p._1 == 0L && p._2 == 1L).get._3 should be > 990000L
   }
+
+  test("x13 multi-band LSH recall on planted near-dups beats one band") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("extlsh").toString
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    // 40 planted pairs (i, 1000+i) at cos ≈ 0.93 plus 100 distractors
+    val bases = Seq.tabulate(40)(_ => vec())
+    val dups = bases.map(_.map(x => x + 0.38 * rnd.nextGaussian()))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // ground truth = planted pairs whose actual cosine clears the 0.9 gate
+    val truth = bases.indices.filter(i => cos(bases(i), dups(i)) >= 0.9)
+    truth.size should be > 20  // the plant worked
+    val rows =
+      bases.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat), 0) } ++
+      dups.zipWithIndex.map { case (v, i) => (1000L + i, v.map(_.toFloat), 0) } ++
+      Seq.tabulate(100)(i => (2000L + i, vec().map(_.toFloat), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val found = Extensions.x13.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.count(i => found((i.toLong, 1000L + i)))
+    // single-band expected recall at cos 0.93 is ~0.4; four OR'd bands
+    // lift it to ~0.87 — assert comfortably between the two so the test
+    // passes only with banding in effect
+    hit.toDouble / truth.size should be >= 0.6
+    // and strictly more than band 0 alone would surface (computed
+    // directly from the sign patterns, no Spark needed)
+    def bucket(v: Array[Double], dims: Seq[Int]): String =
+      dims.map(i => if (v(i - 1) >= 0) '1' else '0').mkString
+    val band0 = Extensions.X13Bands.head
+    val band0Hits = truth.count(i =>
+      bucket(bases(i), band0) == bucket(dups(i), band0))
+    hit should be > band0Hits
+  }
 }
