@@ -33,11 +33,29 @@ final case class TableProcess(
   */
 object DimRouter {
 
+  /** K4 — dynamic DDL on config: the reference issues
+    * `CREATE TABLE IF NOT EXISTS <schema>.<sinkTable>(...)` the first
+    * time a config row appears (TableProcessFunction.checkTable,
+    * app/func/TableProcessFunction.java:48-102). Here the analogue is a
+    * catalog-registered external table over the dim path, so the dim is
+    * immediately queryable by name (`spark.table("graft_dim.dim_x")`).
+    * Idempotent — IF NOT EXISTS both levels. */
+  def ensureTable(spark: SparkSession, db: String, tp: TableProcess,
+                  basePath: String): Unit = {
+    require(db.matches("[A-Za-z0-9_]+") && tp.sinkTable.matches("[A-Za-z0-9_]+"),
+      s"unsafe identifier in config: $db.${tp.sinkTable}")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
+      s"USING parquet LOCATION '$basePath/${tp.sinkTable}'")
+  }
+
   /** One micro-batch: route + project + upsert. `versionCol` orders
     * writes for last-writer-wins (the reference relies on Kafka
-    * per-partition order; a version column is the batch equivalent). */
+    * per-partition order; a version column is the batch equivalent).
+    * `catalogDb` (when set) applies K4's dynamic DDL per config row. */
   def routeBatch(batch: DataFrame, config: Seq[TableProcess],
-                 basePath: String, versionCol: String): Unit = {
+                 basePath: String, versionCol: String,
+                 catalogDb: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     config.foreach { tp =>
       val keep = tp.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
@@ -45,9 +63,19 @@ object DimRouter {
       val routed = batch
         .filter(col("source_table") === tp.sourceTable)
         .select(cols: _*)
-      if (!routed.isEmpty)
+      if (!routed.isEmpty) {
         DimStore.upsert(spark, s"$basePath/${tp.sinkTable}", routed,
           tp.sinkPk, versionCol)
+        // register AFTER the first upsert: the external table's schema
+        // is inferred from the (now populated) location, mirroring the
+        // reference's all-varchar DDL with real inferred types instead.
+        // The refresh drops any cached file listing so readers see each
+        // upsert's directory swap.
+        catalogDb.foreach { db =>
+          ensureTable(spark, db, tp, basePath)
+          spark.catalog.refreshTable(s"$db.${tp.sinkTable}")
+        }
+      }
     }
   }
 
@@ -56,13 +84,14 @@ object DimRouter {
     * by whatever feeds `cdc` — file source in tests, Kafka+Debezium in
     * production). */
   def start(cdc: DataFrame, loadConfig: SparkSession => Seq[TableProcess],
-            basePath: String, versionCol: String,
-            checkpoint: String): StreamingQuery =
+            basePath: String, versionCol: String, checkpoint: String,
+            catalogDb: Option[String] = None): StreamingQuery =
     cdc.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        routeBatch(batch.toDF(), loadConfig(batch.sparkSession), basePath, versionCol)
+        routeBatch(batch.toDF(), loadConfig(batch.sparkSession), basePath,
+          versionCol, catalogDb)
       }
       .start()
 }

@@ -82,4 +82,32 @@ class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
     new java.io.File(base).listFiles().map(_.getName).sorted shouldBe
       Array("dim_sku_info", "dim_user_info")
   }
+
+  test("K4 dynamic DDL: a new config row creates a catalog table; dims query by name") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("dimddl").toString
+    val config = Seq(TableProcess("user_info", "dim_ddl_user", "id,name", "id"))
+    val batch = Seq(("user_info", 1L, "alice", 100L))
+      .toDF("source_table", "id", "name", "ver")
+    DimRouter.routeBatch(batch, config, base, "ver", catalogDb = Some("graft_dim"))
+    // table materialized in the catalog and queryable BY NAME
+    s.catalog.tableExists("graft_dim.dim_ddl_user") shouldBe true
+    s.table("graft_dim.dim_ddl_user").select("id", "name")
+      .as[(Long, String)].collect() shouldBe Array((1L, "alice"))
+    // a later upsert swaps the directory; the refresh keeps the catalog
+    // view consistent
+    DimRouter.routeBatch(
+      Seq(("user_info", 1L, "alice2", 200L)).toDF("source_table", "id", "name", "ver"),
+      config, base, "ver", catalogDb = Some("graft_dim"))
+    s.sql("SELECT name FROM graft_dim.dim_ddl_user WHERE id = 1")
+      .as[String].collect() shouldBe Array("alice2")
+    // idempotent on replay (IF NOT EXISTS at both levels)
+    noException should be thrownBy
+      DimRouter.ensureTable(s, "graft_dim", config.head, base)
+    // malicious config identifiers are rejected, not spliced into SQL
+    an[IllegalArgumentException] should be thrownBy
+      DimRouter.ensureTable(s, "graft_dim",
+        TableProcess("x", "evil`; DROP TABLE t--", "id", "id"), base)
+  }
 }
