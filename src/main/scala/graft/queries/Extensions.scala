@@ -965,7 +965,170 @@ object Extensions {
     """
     })
 
+  // ---------------------------------------------------------------------
+  // x20 — stratified sampling: per-language keep rates from a broadcast
+  // config, membership decided by a deterministic integer hash of the
+  // document id (Knuth multiplicative constant) — NOT rand(), so the
+  // sample is reproducible run-to-run and engine-to-engine, survives
+  // retries/speculative tasks, and needs no shuffle at all: the plan is
+  // scan → broadcast-join(3 rows) → filter, linear at 100 TB.
+  val x20 = Q(
+    "x20_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rates = Seq(("en", 50), ("de", 20), ("zh", 20)).toDF("lang", "rate")
+      docs(s, dir)
+        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+        .join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("rate", coalesce($"rate", lit(10)))
+        .filter($"bucket" < $"rate")
+        .select($"doc_id", $"lang", $"bucket")
+    },
+    Some("""
+      SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+      FROM documents
+      WHERE (doc_id * 2654435761) % 100 <
+        CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'zh' THEN 20
+                  ELSE 10 END
+    """))
+
+  // ---------------------------------------------------------------------
+  // x21 — deterministic train/val/test split: a second (salted) integer
+  // hash buckets every document 80/10/10. Same no-shuffle assignment as
+  // x20; the summary agg is one keyed hash-agg. Hash-based splits are
+  // the only splits that stay stable when the corpus is re-read,
+  // re-partitioned, or appended to — positional splits don't.
+  val x21 = Q(
+    "x21_train_val_split",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("b", pmod($"doc_id" * 1103515245L + 12345L, lit(100)))
+        .withColumn("split",
+          when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chars").cast("long").as("sum_chars"))
+        .orderBy($"split", $"lang")
+    },
+    Some("""
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+        lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (SELECT lang, n_chars,
+              (doc_id * 1103515245 + 12345) % 100 AS b
+            FROM documents)
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
+  // x22 — PII redaction: regex scrub of emails and phone-shaped digit
+  // runs before a corpus ships to training. Narrow map, codegen'd
+  // regexp_replace — linear scan at 100 TB. The fixture text carries no
+  // PII, so a deterministic contact line is appended per doc first;
+  // the patterns stay in the RE2-compatible subset so Spark (java.util
+  // .regex) and DuckDB (RE2) agree byte-for-byte.
+  val x22 = Q(
+    "x22_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9][0-9-]{6,}[0-9]"
+      docs(s, dir)
+        .withColumn("raw", concat($"text",
+          lit(" contact user"), $"doc_id", lit("@mail.example +1-202-555-0"),
+          pmod($"doc_id", lit(100)), lit(" now")))
+        .select($"doc_id",
+          regexp_replace(regexp_replace($"raw", email, "[EMAIL]"),
+            phone, "[PHONE]").as("clean"),
+          regexp_count($"raw", lit(email)).as("n_emails"),
+          regexp_count($"raw", lit(phone)).as("n_phones"))
+    },
+    Some("""
+      SELECT doc_id,
+        regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\+[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS clean,
+        len(regexp_extract_all(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(raw, '\+[0-9][0-9-]{6,}[0-9]')) AS n_phones
+      FROM (SELECT doc_id,
+              text || ' contact user' || doc_id || '@mail.example +1-202-555-0'
+                   || (doc_id % 100) || ' now' AS raw
+            FROM documents)
+    """))
+
+  // ---------------------------------------------------------------------
+  // x23 — benchmark decontamination: flag training documents sharing any
+  // token n-gram with a held-out benchmark set (here 3-grams and the
+  // doc_id % 97 slice stand in for the 13-grams and the eval suite of a
+  // production pipeline). The benchmark's distinct shingle set is tiny
+  // by construction, so the containment probe is a BROADCAST semi-join
+  // against the exploded corpus shingles — the corpus never shuffles,
+  // which is what makes decontamination affordable at 100 TB.
+  val x23 = Q(
+    "x23_decontam_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", explode(array_distinct(expr(
+          "zip_with(zip_with(" +
+          "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+          "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
+          "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))")))
+          .as("sh"))
+      val bench = sh.filter(pmod($"doc_id", lit(97)) === 0)
+        .select($"sh").distinct()
+      sh.filter(pmod($"doc_id", lit(97)) =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(t) - 1, 1)),
+          i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      ),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x24 — approximate distinct (HLL++): the A3 count-distinct surface at
+  // the cardinalities where exact distinct stops scaling. Sketch values
+  // are engine-specific, so the oracle contract checks each engine's
+  // sketch against ITS OWN exact count within a 10% band (rsd=0.005
+  // lands far inside it) — the exact counts still hash-compare exactly.
+  val x24 = Q(
+    "x24_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_uv"),
+             approx_count_distinct($"user_id", 0.005).as("a"))
+        .select($"event_type", $"exact_uv",
+          (abs($"a" - $"exact_uv") <= $"exact_uv" * 0.1)
+            .as("approx_within_10pct"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_uv,
+        abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+          <= COUNT(DISTINCT user_id) * 0.1 AS approx_within_10pct
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24)
 }

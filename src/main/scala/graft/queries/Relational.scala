@@ -732,8 +732,83 @@ object Relational {
       ORDER BY o_orderpriority
     """))
 
+  // ---------------------------------------------------------------------
+  // q28 — as-of join: for each event, the latest order of the same
+  // customer at-or-before the event time (plus how many came before).
+  // Spark has no ASOF JOIN operator; the scalable composition is the
+  // union-and-running-window trick: tag both sides, shuffle ONCE on the
+  // key, and a running max/sum over (time, side) answers every event's
+  // as-of lookup in a single linear pass — never a per-event probe or a
+  // fan-out join. Orders sort before events at equal timestamps, so
+  // "at-or-before" includes same-instant orders.
+  val q28 = Q(
+    "q28_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts".cast("timestamp").as("t"),
+                lit(1).as("side"))
+      val o = t(s, dir, "orders")
+        .select(lit(-1L).as("event_id"), $"o_custkey".as("user_id"),
+                $"o_orderdate".cast("timestamp").as("t"), lit(0).as("side"))
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"side", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("last_o", max(when($"side" === 0, $"t")).over(w))
+        .withColumn("np", sum(when($"side" === 0, 1L).otherwise(0L)).over(w))
+        .filter($"side" === 1)
+        .select($"event_id", $"user_id",
+          coalesce(date_format($"last_o", "yyyy-MM-dd"), lit("(none)"))
+            .as("last_order_date"),
+          $"np".as("n_prior_orders"))
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+        COALESCE(strftime(MAX(o.o_orderdate), '%Y-%m-%d'), '(none)') AS last_order_date,
+        COUNT(o.o_orderkey) AS n_prior_orders
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY e.event_id, e.user_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // q29 — range (band) join: price lineitems into quantity tiers. The
+  // naive plan is a broadcast nested-loop on `lo <= q <= hi`; the 100 TB
+  // shape expands the tiny tier table to one row per covered integer
+  // quantity (sequence + explode on the SMALL side only) so the fact
+  // side flows through an ordinary broadcast hash equi-join — no
+  // nested-loop, no shuffle of lineitem.
+  val q29 = Q(
+    "q29_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(("small", 1, 9), ("medium", 10, 24), ("large", 25, 50))
+        .toDF("tier", "lo", "hi")
+      val expanded = tiers.select($"tier",
+        explode(sequence($"lo", $"hi")).as("q"))
+      t(s, dir, "lineitem")
+        .withColumn("q", $"l_quantity".cast("int"))
+        .join(broadcast(expanded), "q")
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n_items"),
+             sum(dec($"l_quantity")).cast("long").as("sum_qty"),
+             dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"tier")
+    },
+    Some("""
+      SELECT t.tier, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN (VALUES ('small', 1, 9), ('medium', 10, 24), ('large', 25, 50))
+        AS t(tier, lo, hi)
+        ON l.l_quantity BETWEEN t.lo AND t.hi
+      GROUP BY t.tier
+      ORDER BY t.tier
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
