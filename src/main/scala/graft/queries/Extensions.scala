@@ -1104,8 +1104,12 @@ object Extensions {
   // x24 — approximate distinct (HLL++): the A3 count-distinct surface at
   // the cardinalities where exact distinct stops scaling. Sketch values
   // are engine-specific, so the oracle contract checks each engine's
-  // sketch against ITS OWN exact count within a 10% band (rsd=0.005
-  // lands far inside it) — the exact counts still hash-compare exactly.
+  // sketch against ITS OWN exact count within a 10% band. Default rsd
+  // (0.05): Spark flattens the HLL register file into aggregation-buffer
+  // columns, and a tighter rsd (e.g. 0.005 → 64 Ki registers → ~6 k
+  // buffer columns) degrades the hash agg to row-at-a-time buffer copies
+  // — measured 28 s vs 0.4 s at sf0.1. At these group cardinalities the
+  // default sketch sits in its linear-counting regime anyway (≪1% err).
   val x24 = Q(
     "x24_approx_distinct",
     (s, dir) => {
@@ -1113,7 +1117,7 @@ object Extensions {
       Tables.load(s, dir, "events")
         .groupBy($"event_type")
         .agg(countDistinct($"user_id").as("exact_uv"),
-             approx_count_distinct($"user_id", 0.005).as("a"))
+             approx_count_distinct($"user_id").as("a"))
         .select($"event_type", $"exact_uv",
           (abs($"a" - $"exact_uv") <= $"exact_uv" * 0.1)
             .as("approx_within_10pct"))

@@ -60,14 +60,14 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
 
     val zTouched = touched(fileRanges(zDir))
     val linTouched = touched(fileRanges(linDir))
-    // linear layout: every file spans all of b, so any box predicate on
-    // (a, b) touches every file whose a-range matches — and each file
-    // covers a ~16-wide a-slice, 2 of 16 files here; but a predicate on
-    // b ALONE touches all 16. The z layout bounds both dims per file.
-    // For the box, z should touch only the files whose rectangle
-    // intersects it: 1-2 of 16 vs 2 for linear... the decisive case is
-    // the b-only predicate below.
-    zTouched should be <= linTouched
+    // The z layout bounds BOTH dims per file: the box can only touch
+    // files whose rectangle intersects it — at most a 2x2 neighborhood
+    // of the ideal 4x4 file grid (range-partition sampling shifts cell
+    // boundaries run to run, so the exact count is 1-4, not fixed).
+    // The linear layout touches the 2 a-slices overlapping the box. The
+    // decisive, deterministic case is the b-only predicate below.
+    zTouched should be <= 4
+    linTouched shouldBe 2
     // b-only predicate: linear-by-a cannot skip anything; z-order can.
     def touchedB(ranges: Seq[(Long, Long, Long, Long)]): Int =
       ranges.count { case (_, _, bmin, bmax) => bmax >= 64 && bmin < 96 }
