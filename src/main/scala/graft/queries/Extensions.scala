@@ -1132,7 +1132,45 @@ object Extensions {
       ORDER BY event_type
     """))
 
+  // ---------------------------------------------------------------------
+  // x25 — end-to-end corpus curation: the composition a training-data
+  // pipeline actually ships — language allowlist + length/token quality
+  // gates (narrow pushed-down filters FIRST, so the expensive hash only
+  // runs on survivors) + exact dedup keep-first (x01's fingerprint, one
+  // keyed shuffle). The filters prune before the shuffle, which is the
+  // order that matters at 100 TB: dedup bandwidth scales with the
+  // POST-filter corpus.
+  val x25 = Q(
+    "x25_corpus_curation",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"fingerprint").orderBy($"doc_id")
+      docs(s, dir)
+        .filter($"lang".isin("en", "de", "fr") &&
+                $"n_chars".between(100, 500))
+        .withColumn("n_toks", size(split($"text", " ")).cast("long"))
+        .filter($"n_toks" >= 20)
+        .withColumn("fingerprint",
+          sha2(regexp_replace(trim(lower($"text")), "\\s+", " "), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang", $"n_toks")
+    },
+    Some("""
+      SELECT doc_id, lang, n_toks
+      FROM (SELECT doc_id, lang, n_toks,
+              ROW_NUMBER() OVER (
+                PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+            FROM (SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                  FROM documents
+                  WHERE lang IN ('en', 'de', 'fr')
+                    AND n_chars BETWEEN 100 AND 500)
+            WHERE n_toks >= 20)
+      WHERE rn = 1
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
 }

@@ -807,8 +807,82 @@ object Relational {
       ORDER BY t.tier
     """))
 
+  // ---------------------------------------------------------------------
+  // q30 — retention cohorts: users grouped by first-seen day, counted at
+  // each day offset. The per-user first day comes from a window min over
+  // the SAME user_id partitioning the final agg shuffles on — one
+  // shuffle total, no self-join of the fact table against its own
+  // "first touch" aggregate.
+  val q30 = Q(
+    "q30_retention_cohort",
+    (s, dir) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      t(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("d"))
+        .withColumn("cohort_d", min($"d").over(wu))
+        .groupBy(date_format($"cohort_d", "yyyy-MM-dd").as("cohort_day"),
+                 datediff($"d", $"cohort_d").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+    Some("""
+      SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+             date_diff('day', cohort_d, d) AS day_offset,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d,
+              MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_d
+            FROM events)
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
+  // q31 — ordered funnel (view → later click → later purchase per
+  // user): three chained window mins over ONE user_id sort — each stage
+  // anchors on the previous stage's timestamp, so "click" only counts
+  // after the first view, "purchase" only after that click. Catalyst
+  // runs all three in a single Window operator chain over one
+  // shuffle+sort; no self-joins, no CEP pass.
+  val q31 = Q(
+    "q31_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id")
+      t(s, dir, "events")
+        .select($"user_id", $"ts".cast("timestamp").as("t"), $"event_type")
+        .withColumn("tv", min(when($"event_type" === "view", $"t")).over(wu))
+        .withColumn("tc",
+          min(when($"event_type" === "click" && $"t" > $"tv", $"t")).over(wu))
+        .withColumn("tp",
+          min(when($"event_type" === "purchase" && $"t" > $"tc", $"t")).over(wu))
+        .agg(
+          countDistinct(when($"tv".isNotNull, $"user_id")).as("n_view"),
+          countDistinct(when($"tc".isNotNull, $"user_id")).as("n_view_click"),
+          countDistinct(when($"tp".isNotNull, $"user_id")).as("n_full_funnel"))
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, ts, event_type,
+          MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS tv
+        FROM events),
+      s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+            OVER (PARTITION BY user_id) AS tc
+        FROM s1),
+      s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+            OVER (PARTITION BY user_id) AS tp
+        FROM s2)
+      SELECT COUNT(DISTINCT CASE WHEN tv IS NOT NULL THEN user_id END) AS n_view,
+        COUNT(DISTINCT CASE WHEN tc IS NOT NULL THEN user_id END) AS n_view_click,
+        COUNT(DISTINCT CASE WHEN tp IS NOT NULL THEN user_id END) AS n_full_funnel
+      FROM s3
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }

@@ -471,6 +471,38 @@ object Warehouse {
       ORDER BY window_start_s
     """))
 
+  // ---------------------------------------------------------------------
+  // w15 — SCD-2 dim history: the K3 upsert's history-keeping variant.
+  // Where w10 keeps only the latest record per key (SCD-1), this builds
+  // the full validity-interval table from the change stream: each change
+  // opens an interval that the key's NEXT change closes (lead over one
+  // keyed sort — the same single-shuffle shape as w05/w10). -1 marks the
+  // open (current) interval, mirroring the reference dim table's
+  // "latest row wins" read path.
+  val w15 = Q(
+    "w15_scd2_intervals",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev(s, dir)
+        .withColumn("next_ts", lead($"ts", 1).over(w))
+        .select($"user_id", $"event_id", $"event_type".as("state"),
+          (unix_micros($"ts") / 1000000L).cast("long").as("valid_from_s"),
+          coalesce((unix_micros($"next_ts") / 1000000L).cast("long"), lit(-1L))
+            .as("valid_to_s"),
+          $"next_ts".isNull.as("is_current"))
+    },
+    Some("""
+      SELECT user_id, event_id, event_type AS state,
+        epoch_us(ts) // 1000000 AS valid_from_s,
+        COALESCE(epoch_us(next_ts) // 1000000, -1) AS valid_to_s,
+        next_ts IS NULL AS is_current
+      FROM (SELECT *, LEAD(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+            FROM events)
+    """))
+
   def queries: Seq[Q] = Seq(
-    w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14)
+    w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14,
+    w15)
 }
