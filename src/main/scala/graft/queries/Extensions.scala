@@ -1170,7 +1170,51 @@ object Extensions {
       WHERE rn = 1
     """))
 
+  // ---------------------------------------------------------------------
+  // x26 — repetition filter (the Gopher/MassiveText duplicate-line and
+  // repeated-n-gram quality gates [Rae et al., "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", 2021, §A.1.1]):
+  // a document whose single most frequent word bigram covers too much of
+  // the text is boilerplate/spam-shaped. Per-doc work is a bounded
+  // array: bigram list → aggregate( count max over the doc's own
+  // distinct bigrams ) — all inside one narrow map via array lambdas, no
+  // explode-shuffle; the corpus streams through linearly at 100 TB.
+  val x26 = Q(
+    "x26_repetition_filter",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .withColumn("grams", expr(
+          "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+          "(x, y) -> concat(x, '_', y))"))
+        .filter(size($"grams") > 0)
+        .withColumn("top_n", expr(
+          "array_max(transform(array_distinct(grams), " +
+          "g -> size(filter(grams, x -> x = g))))").cast("long"))
+        .select($"doc_id", size($"grams").cast("long").as("n_grams"), $"top_n",
+          (round(lit(1e6) * $"top_n" / size($"grams"))).cast("long")
+            .as("top_gram_ppm"))
+    },
+    Some("""
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        CAST(top_n AS BIGINT) AS top_n,
+        CAST(round(1e6 * top_n / len(grams)) AS BIGINT) AS top_gram_ppm
+      FROM (
+        SELECT doc_id, grams,
+          list_max(list_transform(list_distinct(grams),
+            g -> len(list_filter(grams, x -> x = g)))) AS top_n
+        FROM (
+          SELECT doc_id, list_transform(
+            range(1, greatest(len(t), 1)),
+            i -> t[i] || '_' || t[i+1]) AS grams
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                FROM documents))
+        WHERE len(grams) > 0)
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
 }
