@@ -102,6 +102,20 @@ object Extensions {
   // (candidates ≈ true near-dups, not O(n²)).
   private val K = 8  // minhash functions
   private val B = 4  // bands (rows per band r = K/B = 2)
+
+  /** Word-trigram shingle builder over a `toks` array column, shared by
+    * x02 and x23 (one definition so the gotcha-laden slice bounds —
+    * greatest(size-2, 0) to keep 0/1/2-token docs from descending into
+    * element_at crashes — can't drift between them). */
+  private val TrigramExpr: String =
+    "zip_with(zip_with(" +
+    "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+    "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
+    "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))"
+  /** The DuckDB mirror over a `t` token list (distinct trigram list). */
+  private val TrigramSql: String =
+    "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)), " +
+    "i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))"
   /** Fixed 60-bit XOR seeds (golden-ratio multiples), identical in the
     * DuckDB oracle below. */
   private val Seeds: Seq[Long] =
@@ -124,12 +138,7 @@ object Extensions {
       // sequence(1, 0) would descend into element_at(toks, 0) crashes.
       val hs = persisted(s, "x02_hashes", dir) { docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", array_distinct(expr(
-          "zip_with(zip_with(" +
-          "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
-          "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
-          "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))"))
-          .as("shingles"))
+        .select($"doc_id", array_distinct(expr(TrigramExpr)).as("shingles"))
         .filter(size($"shingles") > 0)
         .select($"doc_id", expr(
           "transform(shingles, sh -> " +
@@ -172,9 +181,7 @@ object Extensions {
         SELECT doc_id,
           ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
         FROM (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(len(t) - 1, 1)),
-            i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))) AS sh
+          SELECT doc_id, unnest($TrigramSql) AS sh
           FROM toks)
       ),
       sig AS (
@@ -849,9 +856,11 @@ object Extensions {
   // so the iterated centroids — and therefore every assignment — match
   // the oracle's unrolled two iterations exactly; distances use the
   // same left-fold (x-y)^2 formulation on both sides. Seeds = the k
-  // lowest vec_ids. (An empty cluster would keep its previous centroid
-  // on the Spark side; with data-drawn seeds every cluster keeps at
-  // least its seed, so the oracle needn't model that branch.)
+  // lowest vec_ids. An emptied cluster (possible when seed vectors tie:
+  // the CASE assigns ties to the lowest cluster) keeps its previous
+  // centroid on BOTH sides — Spark via getOrElse(seed), the oracle via
+  // COALESCE to the seed vector — so the engines cannot diverge on
+  // degenerate (duplicate-heavy) corpora.
   private val KmK = 4
   private def kmDec = org.apache.spark.sql.types.DecimalType(18, 8)
 
@@ -919,7 +928,7 @@ object Extensions {
         GROUP BY cluster, pos),
       c1l AS (SELECT cluster, list(c ORDER BY pos) AS c FROM m1 GROUP BY cluster),
       consts2 AS (SELECT ${(0 until KmK).map(k =>
-        s"(SELECT c FROM c1l WHERE cluster = $k) AS c$k").mkString(", ")}),
+        s"COALESCE((SELECT c FROM c1l WHERE cluster = $k), (SELECT v FROM e WHERE vec_id = $k)) AS c$k").mkString(", ")}),
       a2 AS (
         SELECT vec_id, v, $pick
         FROM (SELECT vec_id, v,
@@ -971,23 +980,27 @@ object Extensions {
   // document id (Knuth multiplicative constant) — NOT rand(), so the
   // sample is reproducible run-to-run and engine-to-engine, survives
   // retries/speculative tasks, and needs no shuffle at all: the plan is
-  // scan → broadcast-join(3 rows) → filter, linear at 100 TB.
+  // scan → broadcast-join(3 rows) → filter, linear at 100 TB. The id is
+  // reduced mod 1e9+7 BEFORE the multiply so the product stays under
+  // 2^63 for any 64-bit id — unmasked, ids past ~3.5e9 (well inside a
+  // 100 TB corpus) would hit ANSI ARITHMETIC_OVERFLOW.
   val x20 = Q(
     "x20_stratified_sample",
     (s, dir) => {
       import s.implicits._
       val rates = Seq(("en", 50), ("de", 20), ("zh", 20)).toDF("lang", "rate")
       docs(s, dir)
-        .withColumn("bucket", pmod($"doc_id" * 2654435761L, lit(100)))
+        .withColumn("bucket",
+          pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L, lit(100)))
         .join(broadcast(rates), Seq("lang"), "left")
         .withColumn("rate", coalesce($"rate", lit(10)))
         .filter($"bucket" < $"rate")
         .select($"doc_id", $"lang", $"bucket")
     },
     Some("""
-      SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+      SELECT doc_id, lang, ((doc_id % 1000000007) * 2654435761) % 100 AS bucket
       FROM documents
-      WHERE (doc_id * 2654435761) % 100 <
+      WHERE ((doc_id % 1000000007) * 2654435761) % 100 <
         CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'zh' THEN 20
                   ELSE 10 END
     """))
@@ -1003,7 +1016,9 @@ object Extensions {
     (s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .withColumn("b", pmod($"doc_id" * 1103515245L + 12345L, lit(100)))
+        .withColumn("b",
+          pmod(pmod($"doc_id", lit(1000000007L)) * 1103515245L + 12345L,
+            lit(100)))
         .withColumn("split",
           when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test"))
         .groupBy($"split", $"lang")
@@ -1016,7 +1031,7 @@ object Extensions {
                   ELSE 'test' END AS split,
         lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM (SELECT lang, n_chars,
-              (doc_id * 1103515245 + 12345) % 100 AS b
+              ((doc_id % 1000000007) * 1103515245 + 12345) % 100 AS b
             FROM documents)
       GROUP BY 1, 2
       ORDER BY 1, 2
@@ -1073,12 +1088,7 @@ object Extensions {
       import s.implicits._
       val sh = docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", explode(array_distinct(expr(
-          "zip_with(zip_with(" +
-          "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
-          "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
-          "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))")))
-          .as("sh"))
+        .select($"doc_id", explode(array_distinct(expr(TrigramExpr))).as("sh"))
       val bench = sh.filter(pmod($"doc_id", lit(97)) === 0)
         .select($"sh").distinct()
       sh.filter(pmod($"doc_id", lit(97)) =!= 0)
@@ -1086,11 +1096,9 @@ object Extensions {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hits"))
     },
-    Some("""
+    Some(s"""
       WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-          range(1, greatest(len(t) - 1, 1)),
-          i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))) AS sh
+        SELECT doc_id, unnest($TrigramSql) AS sh
         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
       ),
       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)

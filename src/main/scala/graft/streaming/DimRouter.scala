@@ -39,14 +39,24 @@ object DimRouter {
     * app/func/TableProcessFunction.java:48-102). Here the analogue is a
     * catalog-registered external table over the dim path, so the dim is
     * immediately queryable by name (`spark.table("graft_dim.dim_x")`).
-    * Idempotent — IF NOT EXISTS both levels. */
+    * Idempotent — IF NOT EXISTS both levels — and memoized per target:
+    * the streaming hot path must not pay 2 catalog DDL round-trips per
+    * config row per micro-batch forever (against a Hive metastore each
+    * is an RPC), so registration runs once per (db, table) per JVM and
+    * only the cheap refreshTable stays per-batch. */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def ensureTable(spark: SparkSession, db: String, tp: TableProcess,
                   basePath: String): Unit = {
     require(db.matches("[A-Za-z0-9_]+") && tp.sinkTable.matches("[A-Za-z0-9_]+"),
       s"unsafe identifier in config: $db.${tp.sinkTable}")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
-      s"USING parquet LOCATION '$basePath/${tp.sinkTable}'")
+    // keyed on the location too: re-pointing a dim at a new path (tests,
+    // backfills) must re-issue the DDL, not hit the memo
+    if (registered.add(s"$db.${tp.sinkTable}@$basePath")) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
+        s"USING parquet LOCATION '$basePath/${tp.sinkTable}'")
+    }
   }
 
   /** One micro-batch: route + project + upsert. `versionCol` orders

@@ -67,6 +67,8 @@ object Jobs {
     * tables (J1/P6/K3/K4). */
   def dimApp(cdc: DataFrame,
              loadConfig: org.apache.spark.sql.SparkSession => Seq[TableProcess],
-             basePath: String, versionCol: String, checkpoint: String) =
-    DimRouter.start(cdc, loadConfig, basePath, versionCol, checkpoint)
+             basePath: String, versionCol: String, checkpoint: String,
+             catalogDb: Option[String] = None) =
+    DimRouter.start(cdc, loadConfig, basePath, versionCol, checkpoint,
+      catalogDb)
 }

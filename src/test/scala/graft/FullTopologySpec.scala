@@ -107,7 +107,8 @@ class FullTopologySpec extends AnyFunSuite with Matchers with SparkFixture {
       TableProcess("sku_info", "dim_sku", "id", "id"))
     val dimQ = Jobs.dimApp(
       s.readStream.schema(cdcSchema).option("maxFilesPerTrigger", 1).json(cdcIn),
-      _ => config, s"$out/dim", "v", dir("chk_dim"))
+      _ => config, s"$out/dim", "v", dir("chk_dim"),
+      catalogDb = Some("graft_dim_topo"))
     Files.write(Paths.get(s"$cdcIn/c1.json"),
       ("""{"source_table":"user_info","id":1,"name":"x","v":1}""" + "\n" +
        """{"source_table":"sku_info","id":7,"name":"s","v":1}""").getBytes)
@@ -145,5 +146,8 @@ class FullTopologySpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("id", "name").as[(Long, String)].collect().sorted
     dimUser shouldBe Seq((1L, "y"), (2L, "z"))
     s.read.parquet(s"$out/dim/dim_sku").select("id").as[Long].collect() shouldBe Array(7L)
+    // K4 through the app entry point: dims are catalog tables by name
+    s.sql("SELECT name FROM graft_dim_topo.dim_user WHERE id = 1")
+      .as[String].collect() shouldBe Array("y")
   }
 }

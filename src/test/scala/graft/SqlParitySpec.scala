@@ -50,18 +50,21 @@ class SqlParitySpec extends AnyFunSuite with Matchers with SparkFixture {
         viaSql match {
           case None => skipped ::= q.name
           case Some(df) =>
+            def rows(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+              val cols = d.columns.sorted
+              d.collect().map(r =>
+                cols.map(c => canon(r.get(r.fieldIndex(c)))).mkString("|"))
+                .toSeq.sorted
+            }
+            // the DataFrame implementation is the PRODUCT — its failure
+            // is never a dialect skip; let it fail the test loudly
+            val dfRows = rows(q.run(s, dir))
             try {
-              def rows(d: org.apache.spark.sql.DataFrame): Seq[String] = {
-                val cols = d.columns.sorted
-                d.collect().map(r =>
-                  cols.map(c => canon(r.get(r.fieldIndex(c)))).mkString("|"))
-                  .toSeq.sorted
-              }
-              if (rows(df) == rows(q.run(s, dir))) matched ::= q.name
+              if (rows(df) == dfRows) matched ::= q.name
               else mismatched ::= q.name
             } catch {
-              // parses but uses a function with different runtime
-              // semantics/typing — treated as non-portable, skipped
+              // oracle parses but uses a function with different
+              // runtime semantics/typing — non-portable, skipped
               case _: Exception => skipped ::= q.name
             }
         }

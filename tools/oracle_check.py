@@ -52,7 +52,8 @@ def main(out_dir, sf_dir):
             orows = orel.fetchall()
             # separate statement AFTER fetchall: con.execute shares one
             # cursor, so an interleaved DESCRIBE would clobber orel
-            otypes = [str(t) for t in con.execute(f"DESCRIBE {sql}").df()["column_type"]]
+            # fetchall, not .df(): keep this script pandas-free
+            otypes = [str(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
