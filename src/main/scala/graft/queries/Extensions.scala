@@ -1222,7 +1222,46 @@ object Extensions {
         WHERE len(grams) > 0)
     """))
 
+  // ---------------------------------------------------------------------
+  // x27 — mergeable-sketch rollup (Apache DataSketches HLL via Spark's
+  // hll_sketch_agg/hll_union_agg): the pattern that makes incremental
+  // distinct counting viable at 100 TB — per-day sketches are built
+  // once, persisted small, and UNIONED to any coarser grain without
+  // touching raw data again (a re-aggregatable UV, unlike exact
+  // count-distinct which must re-scan). Sketch bytes are
+  // engine-specific, so the contract mirrors x24: exact counts
+  // hash-compare, each engine checks its own estimate within a band
+  // (the union estimate at these cardinalities is ≪1% off).
+  val x27 = Q(
+    "x27_hll_sketch_rollup",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables.load(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("d"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+             hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .join(
+          Tables.load(s, dir, "events").groupBy($"event_type")
+            .agg(countDistinct($"user_id").as("exact_uv")),
+          "event_type")
+        .select($"event_type", $"n_days", $"exact_uv",
+          (abs($"est" - $"exact_uv") <= $"exact_uv" * 0.1)
+            .as("union_within_10pct"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        COUNT(DISTINCT user_id) AS exact_uv,
+        abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+          <= COUNT(DISTINCT user_id) * 0.1 AS union_within_10pct
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
 }
