@@ -42,14 +42,22 @@ object DimStore {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    // Crash-safe swap. Invariant: at every point at least one complete
-    // copy of the table exists at target or at .__old, and recover()
-    // below restores .__old to target when a crash left the table
-    // missing — it never deletes .__old unless target is present.
-    // (On Delta this whole dance is one transactional MERGE.)
+    swapIn(spark, path, latest)
+  }
+
+  /** Crash-safe table replacement (write to .__tmp, rename into place).
+    * Invariant: at every point at least one complete copy of the table
+    * exists at target or at .__old, and recover() below restores .__old
+    * to target when a crash left the table missing — it never deletes
+    * .__old unless target is present. (On Delta this whole dance is one
+    * transactional commit.) Shared by the keyed upsert above and any
+    * read-modify-write maintainer (e.g. streaming.UvSketchStore). */
+  def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
     val tmp = new Path(path + ".__tmp")
     val old = new Path(path + ".__old")
-    latest.write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
     def renameOrThrow(from: Path, to: Path): Unit =
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"rename $from -> $to failed")

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.DimStore
+
+/** Incremental UV via mergeable sketches — the streaming form of the
+  * x27 rollup and the scale answer to A3 (count-distinct over the UV
+  * stream, DwdTrafficUniqueVisitorDetail.java:82): each micro-batch
+  * folds into per-(day, type) DataSketches HLL sketches a few KB each;
+  * any coarser grain (type, month, global) is a sketch UNION over the
+  * tiny store — the raw stream is never rescanned. At 100 TB the store
+  * stays MBs while exact distinct state would be the keyspace itself.
+  *
+  * Replay safety: sketch union is set-union, so re-merging a replayed
+  * micro-batch (foreachBatch's at-least-once contract) is a no-op on
+  * the estimate — idempotent effects without a transaction log.
+  */
+object UvSketchStore {
+
+  /** foreachBatch hook: fold one micro-batch of events (ts, event_type,
+    * user_id) into the sketch store at `store`. */
+  def updateBatch(store: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val daily = batch
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new Path(store)))
+        DimStore.read(spark, store).unionByName(daily)
+          .groupBy(col("d"), col("event_type"))
+          .agg(hll_union_agg(col("sk")).as("sk"))
+      else daily
+    DimStore.swapIn(spark, store, merged)
+  }
+
+  /** Roll the store up to per-type UV estimates (one sketch union over
+    * a KB-scale table — no raw-data rescan). */
+  def estimateByType(spark: org.apache.spark.sql.SparkSession,
+                     store: String): DataFrame =
+    DimStore.read(spark, store)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("uv"))
+
+  /** Per-day drill-down from the same store. */
+  def estimateByDay(spark: org.apache.spark.sql.SparkSession,
+                    store: String): DataFrame =
+    DimStore.read(spark, store)
+      .select(col("d"), col("event_type"),
+        hll_sketch_estimate(col("sk")).as("uv"))
+}
