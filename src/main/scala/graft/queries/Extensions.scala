@@ -1184,9 +1184,13 @@ object Extensions {
   // Methods, Analysis & Insights from Training Gopher", 2021, §A.1.1]):
   // a document whose single most frequent word bigram covers too much of
   // the text is boilerplate/spam-shaped. Per-doc work is a bounded
-  // array: bigram list → aggregate( count max over the doc's own
-  // distinct bigrams ) — all inside one narrow map via array lambdas, no
-  // explode-shuffle; the corpus streams through linearly at 100 TB.
+  // array and stays inside one narrow map (no explode-shuffle — at
+  // 100 TB the exploded bigram table would be ~2x the corpus): sort the
+  // doc's bigrams, then ONE aggregate() fold tracks the longest equal
+  // run — max multiplicity in O(d log d), vs the O(d²)
+  // distinct×filter-count form it replaced (the oracle keeps that
+  // quadratic form: oracle cost is irrelevant and only values must
+  // match, not plans).
   val x26 = Q(
     "x26_repetition_filter",
     (s, dir) => {
@@ -1199,8 +1203,13 @@ object Extensions {
           "(x, y) -> concat(x, '_', y))"))
         .filter(size($"grams") > 0)
         .withColumn("top_n", expr(
-          "array_max(transform(array_distinct(grams), " +
-          "g -> size(filter(grams, x -> x = g))))").cast("long"))
+          "aggregate(array_sort(grams), " +
+          "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), " +
+          "(acc, x) -> named_struct(" +
+          "  'prev', x, " +
+          "  'run', if(x <=> acc.prev, acc.run + 1, 1), " +
+          "  'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1))), " +
+          "acc -> acc.best)").cast("long"))
         .select($"doc_id", size($"grams").cast("long").as("n_grams"), $"top_n",
           (round(lit(1e6) * $"top_n" / size($"grams"))).cast("long")
             .as("top_gram_ppm"))
