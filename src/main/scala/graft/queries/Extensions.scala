@@ -121,9 +121,10 @@ object Extensions {
   private val Seeds: Seq[Long] =
     (0 until K).map(i => (0x9E3779B97F4A7C15L * (i + 1)) & 0x0FFFFFFFFFFFFFFFL)
 
-  val x02 = Q(
-    "x02_minhash_lsh_neardup",
-    (s, dir) => {
+  /** The MinHash+LSH near-dup pair pipeline (doc_a < doc_b, exact
+    * Jaccard ≥ 0.5 verified on candidates): x02's body, shared with
+    * x28's cluster assignment. */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       // Per-doc distinct shingle hashes kept PACKED in an array column
       // (documents are length-bounded, so the per-doc set is too). The
@@ -171,10 +172,11 @@ object Extensions {
           round(lit(1e6) * $"ni" / (size($"ha") + size($"hb") - $"ni")).cast("long"))
         .filter($"jaccard_ppm" >= 500000L)
         .select($"doc_a", $"doc_b", $"jaccard_ppm")
-        .orderBy($"doc_a", $"doc_b")
-    },
-    Some(s"""
-      WITH toks AS (
+  }
+
+  /** The oracle CTE chain producing the same `pairs`, shared by the x02
+    * and x28 oracles (goes inside a WITH [RECURSIVE] list). */
+  private val NeardupPairsSqlCtes: String = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
       ),
       sh AS (
@@ -205,15 +207,24 @@ object Extensions {
         JOIN sh ta ON ta.doc_id = c.doc_a
         JOIN sh tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
         GROUP BY c.doc_a, c.doc_b
-      )
-      SELECT c.doc_a, c.doc_b,
-        CAST(round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) AS BIGINT) AS jaccard_ppm
-      FROM cand c
-      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-      JOIN sizes sa ON sa.doc_id = c.doc_a
-      JOIN sizes sb ON sb.doc_id = c.doc_b
-      WHERE round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) >= 500000
-      ORDER BY 1, 2
+      ),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b,
+          CAST(round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) AS BIGINT) AS jaccard_ppm
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) >= 500000
+      )"""
+
+  val x02 = Q(
+    "x02_minhash_lsh_neardup",
+    (s, dir) => neardupPairs(s, dir)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $NeardupPairsSqlCtes
+      SELECT doc_a, doc_b, jaccard_ppm FROM pairs ORDER BY 1, 2
     """))
 
   // ---------------------------------------------------------------------
@@ -1270,7 +1281,67 @@ object Extensions {
       ORDER BY event_type
     """))
 
+  // ---------------------------------------------------------------------
+  // x28 — dedup cluster assignment: near-dup PAIRS (x02) become
+  // connected-component CLUSTERS, each doc labeled with its component's
+  // min doc_id (the canonical keeper a dedup pass retains). Distributed
+  // min-label propagation: every iteration is one keyed join + min-agg
+  // (label(v) ← min over v's neighborhood), converging in
+  // graph-diameter rounds — the standard large-scale connected
+  // components; near-dup components are tiny chains, so a handful of
+  // rounds suffice and the driver only ever sees one SUM per round
+  // (monotone convergence witness), never the data. The oracle computes
+  // the same fixpoint as a recursive transitive closure.
+  val x28 = Q(
+    "x28_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val p = neardupPairs(s, dir).select($"doc_a", $"doc_b")
+      val edges = p.union(p.select($"doc_b", $"doc_a"))
+        .toDF("src", "dst").persist()
+      var labels = edges.select($"src".as("id")).distinct()
+        .withColumn("lbl", $"id").persist()
+      // labels shrink monotonically; the label sum is a convergence
+      // witness (strictly decreases until fixpoint)
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+      var prev = lblSum(labels)
+      var iter = 0
+      var done = false
+      while (!done && iter < 20) {
+        val nbr = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(edges("src").as("nid")).agg(min($"lbl").as("nbr_lbl"))
+        val next = labels.join(nbr, labels("id") === nbr("nid"), "left")
+          .select(labels("id"),
+            least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
+          .persist()
+        val cur = lblSum(next)
+        labels.unpersist()
+        labels = next
+        done = cur == prev
+        prev = cur
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select($"id".as("doc_id"), $"lbl".as("cluster_rep"))
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      )
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }
