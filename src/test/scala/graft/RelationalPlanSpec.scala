@@ -62,4 +62,31 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("flagship entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
+
+  test("q28 as-of join: one keyed shuffle, no join operator at all") {
+    val p = plan(Relational.q28)
+    // the union+running-window composition: a single hashpartitioning
+    // exchange on user_id replaces any per-event probe join
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q29 range join: expanded small side takes a broadcast HASH join") {
+    val p = plan(Relational.q29)
+    p should include("BroadcastHashJoin")
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x20 stratified sample: broadcast config, fact side never shuffles") {
+    val p = plan(graft.queries.Extensions.x20)
+    p should include("BroadcastHashJoin")
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("x23 decontamination: benchmark set broadcast to the corpus scan") {
+    val p = plan(graft.queries.Extensions.x23)
+    p should include("BroadcastHashJoin")
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
