@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecCosine)
+    ext.injectFunction(GraftExtensions.ngrams)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
   }
@@ -32,10 +33,21 @@ object GraftExtensions {
       "vec_cosine(a, b) - cosine similarity of two float vectors", ""),
     (children: Seq[Expression]) => VecCosine(children.head, children(1)))
 
+  private val ngrams = (
+    new FunctionIdentifier("ngrams"),
+    new ExpressionInfo(classOf[NGramsGenerator].getName, null, "ngrams",
+      "ngrams(tokens, n) - table function generating joined token n-grams",
+      ""),
+    (children: Seq[Expression]) =>
+      NGramsGenerator(children.head, children(1)))
+
   /** Register into an already-built session (tests, REPL) — the same
     * registry write `injectFunction` performs at session build time.
     * Production code should prefer `withExtensions`/`spark.sql.extensions`. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(vecCosine._1, vecCosine._2, vecCosine._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(ngrams._1, ngrams._2, ngrams._3)
+  }
 }
