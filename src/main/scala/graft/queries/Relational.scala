@@ -881,8 +881,37 @@ object Relational {
       FROM s3
     """))
 
+  // ---------------------------------------------------------------------
+  // q32 — RANGE (value-based) window frames: per-user rolling 7-day
+  // count and sum, the frame variant q10's ROWS running totals don't
+  // cover. The frame bound is an epoch-micros interval, so peers at the
+  // same timestamp are all in-frame (RANGE semantics) in both engines;
+  // the windowed sum stays exact DECIMAL so intra-frame order can't
+  // perturb the double.
+  val q32 = Q(
+    "q32_rolling_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val wr = Window.partitionBy($"user_id").orderBy($"ep")
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select($"event_id", $"user_id",
+          unix_micros($"ts".cast("timestamp")).as("ep"), $"value")
+        .select($"event_id", $"user_id", ($"ep" / 1000000L).cast("long").as("epoch_s"),
+          count(lit(1)).over(wr).as("n_7d"),
+          sum(dec($"value")).over(wr).cast(DoubleType).as("val_7d"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS epoch_s,
+        COUNT(*) OVER w AS n_7d,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS val_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }
