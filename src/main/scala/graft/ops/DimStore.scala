@@ -84,4 +84,16 @@ object DimStore {
     recover(fs, path)
     spark.read.parquet(path)
   }
+
+  /** Recover-aware existence probe. Callers deciding between "create
+    * fresh" and "read-modify-write" MUST use this, not a raw
+    * fs.exists: after a crash between swapIn's renames the table lives
+    * at .__old, and a raw exists=false would silently restart the
+    * table from empty — exactly the loss the swap invariant exists to
+    * prevent. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, path)
+    fs.exists(new Path(path))
+  }
 }

@@ -1297,7 +1297,10 @@ object Extensions {
   // the same fixpoint as a recursive transitive closure.
   val x28 = Q(
     "x28_dedup_clusters",
-    (s, dir) => {
+    (s, dir) => persisted(s, "x28_labels", dir) {
+      // ^ the final label table registers in the shared persist cache so
+      // Bench's clearPersistedIntermediates releases it — a bare
+      // .persist() here would strand one cached copy per invocation
       import s.implicits._
       val p = neardupPairs(s, dir).select($"doc_a", $"doc_b")
       val edges = p.union(p.select($"doc_b", $"doc_a"))
@@ -1318,7 +1321,7 @@ object Extensions {
       var prev = lblSum(labels)
       var iter = 0
       var done = false
-      while (!done && iter < 20) {
+      while (!done && iter < 64) {
         // exactly one hop per materialization: composing two lazy hops
         // would re-execute the uncached intermediate once per reference
         // (its plan appears on both sides of the next join) — measured
@@ -1332,6 +1335,9 @@ object Extensions {
         iter += 1
       }
       edges.unpersist()
+      // silently returning non-converged labels would be WRONG results
+      // (far ends of a >64-hop chain keep a stale rep) — fail loudly
+      require(done, s"x28 label propagation did not converge in $iter rounds")
       labels.select($"id".as("doc_id"), $"lbl".as("cluster_rep"))
     },
     Some(s"""

@@ -31,7 +31,7 @@ final case class Q(
 
 object Q {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.sum
+  import org.apache.spark.sql.functions.{lit, pmod, sum}
   import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
   /** Shared exact-arithmetic helpers for the determinism contract —
@@ -40,6 +40,13 @@ object Q {
   def dec(c: Column): Column = c.cast(DEC)
   /** Exact-arithmetic sum: identical bits in Spark and DuckDB. */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Epoch micros → whole seconds with FLOOR semantics, matching the
+    * oracle's `epoch_us(ts) // 1000000`. A bare `(c / 1000000L)
+    * .cast("long")` truncates toward zero instead — off by one for any
+    * pre-1970 timestamp not on a second boundary. pmod keeps it exact
+    * integer arithmetic (no double rounding at the boundary). */
+  def epochS(c: Column): Column =
+    ((c - pmod(c, lit(1000000L))) / 1000000L).cast("long")
 }
 
 object Registry {

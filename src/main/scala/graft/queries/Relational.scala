@@ -897,7 +897,7 @@ object Relational {
       t(s, dir, "events")
         .select($"event_id", $"user_id",
           unix_micros($"ts".cast("timestamp")).as("ep"), $"value")
-        .select($"event_id", $"user_id", ($"ep" / 1000000L).cast("long").as("epoch_s"),
+        .select($"event_id", $"user_id", Q.epochS($"ep").as("epoch_s"),
           count(lit(1)).over(wr).as("n_7d"),
           sum(dec($"value")).over(wr).cast(DoubleType).as("val_7d"))
     },

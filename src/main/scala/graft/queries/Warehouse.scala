@@ -285,7 +285,7 @@ object Warehouse {
         .withColumn("next_ep", lead($"ep", 1).over(w))
         .filter(($"prev_ep".isNull || $"ep" - $"prev_ep" > 600L * 1000000L) &&
                 ($"next_ep".isNull || $"next_ep" - $"ep" > 10L * 1000000L))
-        .select($"event_id", $"user_id", ($"ep" / 1000000L).cast("long").as("epoch_s"))
+        .select($"event_id", $"user_id", Q.epochS($"ep").as("epoch_s"))
     },
     Some("""
       SELECT event_id, user_id, epoch_us(ts) // 1000000 AS epoch_s
@@ -316,8 +316,8 @@ object Warehouse {
         .withColumn("session_seq", sum($"new_sess").over(ws))
         .groupBy($"user_id", $"session_seq")
         .agg(count(lit(1)).as("n_events"),
-             (min($"ep") / 1000000L).cast("long").as("start_s"),
-             (max($"ep") / 1000000L).cast("long").as("end_s"),
+             Q.epochS(min($"ep")).as("start_s"),
+             Q.epochS(max($"ep")).as("end_s"),
              dsum($"value").as("session_value"))
     },
     Some("""
@@ -358,7 +358,7 @@ object Warehouse {
         .filter($"rn" === 1)
         .select($"user_id", $"event_type".as("last_event_type"),
           round($"value" * 100).cast("long").as("last_value_cents"),
-          (unix_micros($"ts") / 1000000L).cast("long").as("last_epoch_s"))
+          Q.epochS(unix_micros($"ts")).as("last_epoch_s"))
     },
     Some("""
       SELECT user_id, event_type AS last_event_type,
@@ -487,8 +487,8 @@ object Warehouse {
       ev(s, dir)
         .withColumn("next_ts", lead($"ts", 1).over(w))
         .select($"user_id", $"event_id", $"event_type".as("state"),
-          (unix_micros($"ts") / 1000000L).cast("long").as("valid_from_s"),
-          coalesce((unix_micros($"next_ts") / 1000000L).cast("long"), lit(-1L))
+          Q.epochS(unix_micros($"ts")).as("valid_from_s"),
+          coalesce(Q.epochS(unix_micros($"next_ts")), lit(-1L))
             .as("valid_to_s"),
           $"next_ts".isNull.as("is_current"))
     },

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,9 +26,10 @@ object UvSketchStore {
     val daily = batch
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover-aware probe: a raw fs.exists would miss a store stranded
+    // at .__old by a crashed swap and silently restart from empty
     val merged =
-      if (fs.exists(new Path(store)))
+      if (DimStore.exists(spark, store))
         DimStore.read(spark, store).unionByName(daily)
           .groupBy(col("d"), col("event_type"))
           .agg(hll_union_agg(col("sk")).as("sk"))
