@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation — the x25 batch pipeline as a continuous
+  * ingest path: quality gates run as pushed-down narrow filters, then
+  * content-fingerprint dedup via the built-in watermark-bounded
+  * streaming dedup (state is one fingerprint per in-flight window, NOT
+  * the whole corpus — the property that keeps continuous dedup viable
+  * at 100 TB/day; historical dedup stays a batch x01 pass over the
+  * lake). Rejections flow to their own sink like the reference's dirty
+  * side output (BaseLogApp.java:46-62), so nothing is silently dropped.
+  *
+  * Input schema: (ts TIMESTAMP, doc_id LONG, lang STRING, text STRING).
+  */
+object CurationPipeline {
+
+  private def withQuality(docs: DataFrame, langs: Seq[String],
+                          minToks: Int): DataFrame =
+    docs
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("ok_lang", col("lang").isin(langs: _*))
+      .withColumn("ok_len", col("n_toks") >= minToks)
+
+  /** Accepted stream: quality-gated, first copy per normalized-content
+    * fingerprint within the watermark horizon. */
+  def clean(docs: DataFrame, langs: Seq[String], minToks: Int,
+            watermark: String): DataFrame =
+    withQuality(docs, langs, minToks)
+      .filter(col("ok_lang") && col("ok_len"))
+      .withColumn("fingerprint",
+        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("ts", "doc_id", "lang", "n_toks", "fingerprint")
+
+  /** Rejected stream (dirty side output analogue): every gated-out doc
+    * with the reason attached. Duplicates are NOT here — they are
+    * dropped by dedup state, which cannot re-emit them. */
+  def rejected(docs: DataFrame, langs: Seq[String],
+               minToks: Int): DataFrame =
+    withQuality(docs, langs, minToks)
+      .filter(!col("ok_lang") || !col("ok_len"))
+      .select(col("doc_id"), col("lang"),
+        when(!col("ok_lang"), "lang").otherwise("too_short").as("reason"))
+}
