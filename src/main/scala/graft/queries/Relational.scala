@@ -910,8 +910,52 @@ object Relational {
         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
     """))
 
+  // ---------------------------------------------------------------------
+  // q33 — multi-EXISTS decorrelation (the TPC-H Q21 shape): suppliers
+  // whose lineitem was the LAST to ship on a multi-supplier order —
+  // one EXISTS (another supplier shares the order) and one NOT EXISTS
+  // (no other supplier shipped later), both correlated on (orderkey,
+  // suppkey, shipdate). DataFrame form: a left-semi then a left-anti
+  // join, both keyed on l_orderkey with the non-equi conjuncts riding
+  // the same shuffle — the decorrelated plan Catalyst would have to
+  // derive from the SQL, written directly.
+  val q33 = Q(
+    "q33_multi_exists",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      val l2 = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+      val l3 = li.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"),
+        $"l_shipdate".as("d3"))
+      val sup = t(s, dir, "supplier")
+      li.join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+        .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3" &&
+                  $"d3" > $"l_shipdate", "left_anti")
+        .join(sup, $"l_suppkey" === sup("s_suppkey"))
+        .groupBy($"s_name")
+        .agg(countDistinct($"l_orderkey").as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    },
+    Some("""
+      SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+      FROM lineitem l1
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }
