@@ -1356,7 +1356,49 @@ object Extensions {
       FROM reach GROUP BY src
     """))
 
+  // ---------------------------------------------------------------------
+  // x29 — source-weighted data mixing: the domain-reweighting pass a
+  // training pipeline runs before tokenization (e.g. upsample curated
+  // sources, downsample crawl). Weight = percent of one full copy:
+  // 250 → 2 whole copies + a 50% chance of a third, 25 → keep 1 in 4.
+  // The fractional draw is the same deterministic overflow-safe hash as
+  // x20 (different salt), so the mix is reproducible and shuffle-free:
+  // scan → broadcast(weights) → per-row copy count → explode. Output
+  // fan-out is bounded by ceil(max_weight/100) — never a crossJoin.
+  val x29 = Q(
+    "x29_weighted_mix",
+    (s, dir) => {
+      import s.implicits._
+      val weights = Seq(("src0", 250), ("src1", 100)).toDF("source", "pct")
+      docs(s, dir)
+        .join(broadcast(weights), Seq("source"), "left")
+        .withColumn("pct", coalesce($"pct", lit(25)))
+        .withColumn("draw",
+          pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 7919L,
+            lit(100)))
+        .withColumn("n_copies",
+          ($"pct" / 100).cast("int") +
+          when($"draw" < pmod($"pct", lit(100)), 1).otherwise(0))
+        .filter($"n_copies" > 0) // sequence(1, 0) would DESCEND in Spark
+        .select($"doc_id", $"source",
+          explode(sequence(lit(1), $"n_copies")).as("c"))
+        .select($"doc_id", $"source", $"c".cast("long").as("copy"))
+    },
+    Some("""
+      SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
+      FROM (
+        SELECT doc_id, source,
+          pct // 100 + CASE WHEN ((doc_id % 1000000007) * 2654435761 + 7919) % 100
+                            < pct % 100 THEN 1 ELSE 0 END AS n_copies
+        FROM (SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 100
+                            ELSE 25 END AS pct
+              FROM documents))
+      WHERE n_copies > 0
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
-    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+    x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
+    x29)
 }
