@@ -84,3 +84,49 @@ final case class MediaFrame(
     frame_idx: Int,
     n_bytes: Int,
     checksum: String)
+
+/** A media record after resize: same id, transformed payload + dims. */
+final case class MediaResized(
+    doc_id: Long, media: Array[Byte], width: Int, height: Int)
+
+/** A media embedding ready for the ANN path (x05/x06/x12). */
+final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+object MultimodalTransforms {
+  import org.apache.spark.sql.Dataset
+
+  /** STUB resize: deterministic byte subsampling to a target budget (a
+    * real build swaps in a pixel-space scaler and keeps the shape:
+    * binary in, smaller binary + new dims out, partition-local). */
+  def resize(ds: Dataset[MediaIn], targetBytes: Int = 256): Dataset[MediaResized] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val stride = math.max(1, r.media.length / targetBytes)
+        val out = r.media.indices.by(stride).map(r.media).toArray
+        val (w, h, _) = Multimodal.decodeStub(out)
+        MediaResized(r.doc_id, out, w, h)
+      }
+    }
+  }
+
+  /** STUB feature extraction: bytes → deterministic pseudo-embedding
+    * (a real build runs a per-partition ONNX/vision session here). The
+    * output feeds the SAME similarity-search operators as text
+    * embeddings — brute-force/LSH/IVF top-k and vec_cosine — which is
+    * the point: multimodal rows join the corpus-wide ANN path with no
+    * special-casing. */
+  def embed(ds: Dataset[MediaIn], dim: Int = 64): Dataset[MediaEmbedding] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val seed = java.nio.ByteBuffer.wrap(md.digest(r.media).take(8)).getLong
+        val rnd = new java.util.Random(seed)
+        val v = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat max 1e-6f
+        MediaEmbedding(r.doc_id, v.map(_ / norm))
+      }
+    }
+  }
+}
