@@ -96,4 +96,13 @@ object DimStore {
     recover(fs, path)
     fs.exists(new Path(path))
   }
+
+  /** One recover + one existence probe + read: the per-micro-batch
+    * read-modify-write path (exists-then-read would run the recover
+    * probe twice per batch against the namenode). */
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, path)
+    if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+  }
 }

@@ -102,7 +102,10 @@ object MultimodalTransforms {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val stride = math.max(1, r.media.length / targetBytes)
+        // ceil division: floor would leave payloads in
+        // [targetBytes, 2*targetBytes) completely unshrunk
+        val stride = math.max(1,
+          (r.media.length + targetBytes - 1) / targetBytes)
         val out = r.media.indices.by(stride).map(r.media).toArray
         val (w, h, _) = Multimodal.decodeStub(out)
         MediaResized(r.doc_id, out, w, h)

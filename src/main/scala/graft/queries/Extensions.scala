@@ -78,8 +78,7 @@ object Extensions {
     (s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .withColumn("fingerprint",
-          sha2(regexp_replace(trim(lower($"text")), "\\s+", " "), 256))
+        .withColumn("fingerprint", Q.normFingerprint($"text"))
         .groupBy($"fingerprint")
         .agg(min($"doc_id").as("keeper_doc_id"),
              count(lit(1)).as("n_copies"))
@@ -1172,8 +1171,7 @@ object Extensions {
                 $"n_chars".between(100, 500))
         .withColumn("n_toks", size(split($"text", " ")).cast("long"))
         .filter($"n_toks" >= 20)
-        .withColumn("fingerprint",
-          sha2(regexp_replace(trim(lower($"text")), "\\s+", " "), 256))
+        .withColumn("fingerprint", Q.normFingerprint($"text"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"doc_id", $"lang", $"n_toks")
@@ -1337,9 +1335,18 @@ object Extensions {
       edges.unpersist()
       // silently returning non-converged labels would be WRONG results
       // (far ends of a >64-hop chain keep a stale rep) — fail loudly
-      require(done, s"x28 label propagation did not converge in $iter rounds")
-      labels.select($"id".as("doc_id"), $"lbl".as("cluster_rep"))
-    },
+      // (and release the loop's cache on the failure path)
+      if (!done) {
+        labels.unpersist()
+        throw new IllegalStateException(
+          s"x28 label propagation did not converge in $iter rounds")
+      }
+      // return the ALREADY-persisted loop result itself — the wrapper's
+      // persist() is then a no-op on the same DataFrame and the cache
+      // registry tracks the one real copy (a .select here would make
+      // the wrapper cache a second copy on top of this one)
+      labels
+    }.select(col("id").as("doc_id"), col("lbl").as("cluster_rep")),
     Some(s"""
       WITH RECURSIVE $NeardupPairsSqlCtes,
       edges AS (
@@ -1361,8 +1368,11 @@ object Extensions {
   // training pipeline runs before tokenization (e.g. upsample curated
   // sources, downsample crawl). Weight = percent of one full copy:
   // 250 → 2 whole copies + a 50% chance of a third, 25 → keep 1 in 4.
-  // The fractional draw is the same deterministic overflow-safe hash as
-  // x20 (different salt), so the mix is reproducible and shuffle-free:
+  // The fractional draw uses its own multiplier (xxhash's 2246822519 —
+  // NOT x20's 2654435761: under mod 100 an additive salt over the same
+  // multiplier is just a constant shift, perfectly correlated with the
+  // sampling buckets), so the mix composes independently with x20/x21
+  // and stays reproducible and shuffle-free:
   // scan → broadcast(weights) → per-row copy count → explode. Output
   // fan-out is bounded by ceil(max_weight/100) — never a crossJoin.
   val x29 = Q(
@@ -1374,7 +1384,7 @@ object Extensions {
         .join(broadcast(weights), Seq("source"), "left")
         .withColumn("pct", coalesce($"pct", lit(25)))
         .withColumn("draw",
-          pmod(pmod($"doc_id", lit(1000000007L)) * 2654435761L + 7919L,
+          pmod(pmod($"doc_id", lit(1000000007L)) * 2246822519L + 7919L,
             lit(100)))
         .withColumn("n_copies",
           ($"pct" / 100).cast("int") +
@@ -1388,7 +1398,7 @@ object Extensions {
       SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
       FROM (
         SELECT doc_id, source,
-          pct // 100 + CASE WHEN ((doc_id % 1000000007) * 2654435761 + 7919) % 100
+          pct // 100 + CASE WHEN ((doc_id % 1000000007) * 2246822519 + 7919) % 100
                             < pct % 100 THEN 1 ELSE 0 END AS n_copies
         FROM (SELECT doc_id, source,
                 CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 100

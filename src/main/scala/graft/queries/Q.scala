@@ -43,10 +43,23 @@ object Q {
   /** Epoch micros → whole seconds with FLOOR semantics, matching the
     * oracle's `epoch_us(ts) // 1000000`. A bare `(c / 1000000L)
     * .cast("long")` truncates toward zero instead — off by one for any
-    * pre-1970 timestamp not on a second boundary. pmod keeps it exact
-    * integer arithmetic (no double rounding at the boundary). */
+    * pre-1970 timestamp not on a second boundary. The pmod subtraction
+    * makes the numerator an exact second multiple and the division runs
+    * in DECIMAL, so the result is exact integer arithmetic over the
+    * FULL long range (a double division would silently lose exactness
+    * past |µs| ≥ 2^53, ~year 2255). */
   def epochS(c: Column): Column =
-    ((c - pmod(c, lit(1000000L))) / 1000000L).cast("long")
+    ((c - pmod(c, lit(1000000L))).cast(DecimalType(28, 0)) / 1000000L)
+      .cast("long")
+
+  /** Normalized-content fingerprint shared by the batch exact dedup
+    * (x01), the curation pipeline (x25), and the STREAMING curation
+    * dedup — one definition so the streaming dedup provably agrees with
+    * the batch historical pass. */
+  def normFingerprint(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lower, regexp_replace, sha2, trim}
+    sha2(regexp_replace(trim(lower(c)), "\\s+", " "), 256)
+  }
 }
 
 object Registry {

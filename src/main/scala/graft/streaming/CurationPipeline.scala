@@ -20,8 +20,11 @@ object CurationPipeline {
                           minToks: Int): DataFrame =
     docs
       .withColumn("n_toks", size(split(col("text"), " ")))
-      .withColumn("ok_lang", col("lang").isin(langs: _*))
-      .withColumn("ok_len", col("n_toks") >= minToks)
+      // coalesce to false: a NULL lang/text makes both gate predicates
+      // NULL, and a NULL filter drops the row from clean AND rejected —
+      // the silent loss the side output exists to prevent
+      .withColumn("ok_lang", coalesce(col("lang").isin(langs: _*), lit(false)))
+      .withColumn("ok_len", coalesce(col("n_toks") >= minToks, lit(false)))
 
   /** Accepted stream: quality-gated, first copy per normalized-content
     * fingerprint within the watermark horizon. */
@@ -29,8 +32,7 @@ object CurationPipeline {
             watermark: String): DataFrame =
     withQuality(docs, langs, minToks)
       .filter(col("ok_lang") && col("ok_len"))
-      .withColumn("fingerprint",
-        sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256))
+      .withColumn("fingerprint", graft.queries.Q.normFingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("ts", "doc_id", "lang", "n_toks", "fingerprint")

@@ -28,12 +28,13 @@ object UvSketchStore {
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     // recover-aware probe: a raw fs.exists would miss a store stranded
     // at .__old by a crashed swap and silently restart from empty
-    val merged =
-      if (DimStore.exists(spark, store))
-        DimStore.read(spark, store).unionByName(daily)
+    val merged = DimStore.readIfExists(spark, store) match {
+      case Some(existing) =>
+        existing.unionByName(daily)
           .groupBy(col("d"), col("event_type"))
           .agg(hll_union_agg(col("sk")).as("sk"))
-      else daily
+      case None => daily
+    }
     DimStore.swapIn(spark, store, merged)
   }
 
