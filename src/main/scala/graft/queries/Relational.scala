@@ -954,8 +954,89 @@ object Relational {
       LIMIT 20
     """))
 
+  // ---------------------------------------------------------------------
+  // q34 — global scalar subquery + anti join (the TPC-H Q22 shape):
+  // purchasers spending above the global per-purchase average, minus
+  // error-prone users (≥ 18 error events — every fixture user has a
+  // few errors, so a bare "never" would select nobody). The average
+  // comparison is done as an exact integer
+  // cross-multiply (su/cu > sg/cg ⇔ su_cents·cg > sg_cents·cu) — a
+  // floating average would make the boundary rows engine-dependent.
+  // The global aggregate is one broadcast row; the anti join keys on
+  // user_id. (BIGINT cross-products stay < 2^63 for any realistic
+  // per-user cents totals; both engines fail loudly, not wrongly, if
+  // that ever overflows.)
+  val q34 = Q(
+    "q34_above_avg_never_error",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val p = e.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg((sum(dec($"value")) * 10000).cast("long").as("su_cents"),
+             count(lit(1)).as("cu"))
+      val g = p.agg(sum($"su_cents").as("sg_cents"), sum($"cu").as("cg"))
+      val errUsers = e.filter($"event_type" === "error")
+        .groupBy($"user_id").agg(count(lit(1)).as("ne"))
+        .filter($"ne" >= 18).select($"user_id")
+      p.crossJoin(broadcast(g))
+        .filter($"su_cents" * $"cg" > $"sg_cents" * $"cu")
+        .join(errUsers, Seq("user_id"), "left_anti")
+        .select($"user_id", $"cu".as("n_purchases"), $"su_cents")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS su_cents,
+          COUNT(*) AS cu
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      g AS (SELECT CAST(SUM(su_cents) AS BIGINT) AS sg_cents,
+                   CAST(SUM(cu) AS BIGINT) AS cg FROM p)
+      SELECT p.user_id, p.cu AS n_purchases, p.su_cents
+      FROM p, g
+      WHERE p.su_cents * g.cg > g.sg_cents * p.cu
+        AND NOT EXISTS (SELECT 1 FROM events e
+                        WHERE e.user_id = p.user_id
+                          AND e.event_type = 'error'
+                        GROUP BY e.user_id
+                        HAVING COUNT(*) >= 18)
+    """))
+
+  // ---------------------------------------------------------------------
+  // q35 — ranking window functions beyond row_number (q09): ntile
+  // quartiles, percent_rank, cume_dist over per-user spend. All three
+  // ride ONE global ordering; the output is user-grain (small), so the
+  // single-partition window is the correct plan here — at fact grain
+  // the q09/q30 keyed-partition pattern applies instead. Rank-derived
+  // ratios are exact integer arithmetic scaled to ppm.
+  val q35 = Q(
+    "q35_rank_functions",
+    (s, dir) => {
+      import s.implicits._
+      val spend = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg((sum(dec($"value")) * 10000).cast("long").as("cents"))
+      val w = Window.orderBy($"cents", $"user_id")
+      spend.select($"user_id", $"cents",
+        ntile(4).over(w).as("quartile"),
+        (round(percent_rank().over(w) * 1e6)).cast("long").as("pr_ppm"),
+        (round(cume_dist().over(w) * 1e6)).cast("long").as("cd_ppm"))
+    },
+    Some("""
+      SELECT user_id, cents,
+        NTILE(4) OVER w AS quartile,
+        CAST(round(PERCENT_RANK() OVER w * 1e6) AS BIGINT) AS pr_ppm,
+        CAST(round(CUME_DIST() OVER w * 1e6) AS BIGINT) AS cd_ppm
+      FROM (SELECT user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      WINDOW w AS (ORDER BY cents, user_id)
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
+    q34, q35)
 }
