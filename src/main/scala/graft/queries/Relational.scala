@@ -1034,9 +1034,45 @@ object Relational {
       WINDOW w AS (ORDER BY cents, user_id)
     """))
 
+  // ---------------------------------------------------------------------
+  // q36 — correlated scalar-aggregate subquery (the TPC-H Q17 shape):
+  // revenue from "small" lineitems — quantity below 20% of the part's
+  // own average quantity. Written directly in its decorrelated form:
+  // per-part aggregate once, broadcast-join back to the fact, compare
+  // via the exact integer cross-multiply (qty·5·cnt < sum_qty — the
+  // 0.2·avg as doubles would make boundary rows engine-dependent).
+  // The per-part aggregate is |part|-sized — no broadcast HINT (part
+  // grows with the corpus; AQE broadcasts it while it fits and falls
+  // back to a keyed join when it doesn't, which is the right call at
+  // both ends of the scale).
+  val q36 = Q(
+    "q36_small_quantity_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy($"l_partkey".as("pk"))
+        .agg(sum($"l_quantity".cast("long")).as("sq"), count(lit(1)).as("cn"))
+      li.join(perPart, $"l_partkey" === $"pk")
+        .filter($"l_quantity".cast("long") * 5L * $"cn" < $"sq")
+        .agg(dsum($"l_extendedprice").as("small_qty_revenue"),
+             count(lit(1)).as("n_small"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS small_qty_revenue,
+             COUNT(*) AS n_small
+      FROM lineitem l1
+      JOIN (SELECT l_partkey AS pk,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+              COUNT(*) AS cn
+            FROM lineitem GROUP BY l_partkey) p
+        ON l1.l_partkey = p.pk
+      WHERE CAST(l1.l_quantity AS BIGINT) * 5 * p.cn < p.sq
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35)
+    q34, q35, q36)
 }

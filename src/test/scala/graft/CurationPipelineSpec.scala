@@ -49,4 +49,19 @@ class CurationPipelineSpec extends AnyFunSuite with Matchers with SparkFixture {
       .as[(Long, String)].collect().sorted shouldBe
       Array((3L, "lang"), (4L, "too_short"))
   }
+
+  test("null lang/text docs land in rejected, never silently vanish") {
+    val s = spark
+    import s.implicits._
+    // batch forms of the same expressions (the gates are identical
+    // columns; no stream needed to exercise the null semantics)
+    val in = Seq(
+      CurDoc(Timestamp.valueOf("2026-03-01 10:00:00"), 1L, null,
+        "plenty of perfectly good words in this document right here"),
+      CurDoc(Timestamp.valueOf("2026-03-01 10:00:01"), 2L, "en", null))
+      .toDF()
+    val rejected = CurationPipeline.rejected(in, Seq("en"), 5)
+      .as[(Long, String, String)].collect().map(r => (r._1, r._3)).sorted
+    rejected shouldBe Array((1L, "lang"), (2L, "too_short"))
+  }
 }
