@@ -27,19 +27,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Arity guard for binary function builders: SQL like `ngrams(arr)`
+    * must surface as an AnalysisException naming the expected
+    * signature, not an IndexOutOfBoundsException from `children(1)`. */
+  private def binary(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> "2",
+        "actualNum" -> other.size.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
   private val vecCosine = (
     new FunctionIdentifier("vec_cosine"),
     new ExpressionInfo(classOf[VecCosine].getName, null, "vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two float vectors", ""),
-    (children: Seq[Expression]) => VecCosine(children.head, children(1)))
+    binary("vec_cosine")(VecCosine(_, _)))
 
   private val ngrams = (
     new FunctionIdentifier("ngrams"),
     new ExpressionInfo(classOf[NGramsGenerator].getName, null, "ngrams",
       "ngrams(tokens, n) - table function generating joined token n-grams",
       ""),
-    (children: Seq[Expression]) =>
-      NGramsGenerator(children.head, children(1)))
+    binary("ngrams")(NGramsGenerator(_, _)))
 
   /** Register into an already-built session (tests, REPL) — the same
     * registry write `injectFunction` performs at session build time.

@@ -786,8 +786,12 @@ object Relational {
         .toDF("tier", "lo", "hi")
       val expanded = tiers.select($"tier",
         explode(sequence($"lo", $"hi")).as("q"))
+      // floor (not cast) so the tiering rule is explicit and the oracle
+      // can mirror it exactly: DuckDB CAST(DECIMAL AS INT) rounds while
+      // Spark's cast truncates, so a raw cast disagrees on fractional
+      // quantities; FLOOR agrees in both engines by construction.
       t(s, dir, "lineitem")
-        .withColumn("q", $"l_quantity".cast("int"))
+        .withColumn("q", floor($"l_quantity").cast("int"))
         .join(broadcast(expanded), "q")
         .groupBy($"tier")
         .agg(count(lit(1)).as("n_items"),
@@ -802,7 +806,7 @@ object Relational {
       FROM lineitem l
       JOIN (VALUES ('small', 1, 9), ('medium', 10, 24), ('large', 25, 50))
         AS t(tier, lo, hi)
-        ON l.l_quantity BETWEEN t.lo AND t.hi
+        ON CAST(FLOOR(l_quantity) AS INT) BETWEEN t.lo AND t.hi
       GROUP BY t.tier
       ORDER BY t.tier
     """))

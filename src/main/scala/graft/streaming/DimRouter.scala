@@ -52,10 +52,19 @@ object DimRouter {
       s"unsafe identifier in config: $db.${tp.sinkTable}")
     // keyed on the location too: re-pointing a dim at a new path (tests,
     // backfills) must re-issue the DDL, not hit the memo
-    if (registered.add(s"$db.${tp.sinkTable}@$basePath")) {
+    val key = s"$db.${tp.sinkTable}@$basePath"
+    if (!registered.contains(key)) {
+      // quote-escape the path before interpolating into the LOCATION
+      // literal; both statements are IF NOT EXISTS so a concurrent
+      // duplicate run is harmless
+      val loc = s"$basePath/${tp.sinkTable}".replace("'", "''")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
-        s"USING parquet LOCATION '$basePath/${tp.sinkTable}'")
+        s"USING parquet LOCATION '$loc'")
+      // memoize only after both statements succeed, so a transient
+      // metastore failure is retried on the next batch instead of
+      // leaving the table permanently unregistered in this JVM
+      registered.add(key)
     }
   }
 

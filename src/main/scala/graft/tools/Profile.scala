@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nRuns = args.lift(1).map(_.toInt).getOrElse(3)
-    val names = args.lift(2).getOrElse("all")
-    val explain = args.contains("+explain")
+    // flags ("+explain", "+nosort") may appear in any position; only the
+    // non-flag args are positional, so `Profile dir 3 +explain` works
+    val (flags, positional) = args.partition(_.startsWith("+"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val nRuns = positional.lift(1).map(_.toInt).getOrElse(3)
+    val names = positional.lift(2).getOrElse("all")
+    val explain = flags.contains("+explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,11 +33,15 @@ object Profile {
       if (names == "all") graft.queries.Registry.all
       else {
         val want = names.split(',').toSet
-        graft.queries.Registry.all.filter(q => want(q.name))
+        val sel = graft.queries.Registry.all.filter(q => want(q.name))
+        val missing = want -- sel.map(_.name).toSet
+        if (missing.nonEmpty)
+          System.err.println(s"[profile] WARNING: no query named ${missing.mkString(", ")}")
+        sel
       }
     // +nosort: A/B-measure the cost of a final global Sort (range
     // sampling re-executes the upstream pipeline) by stripping it.
-    val noSort = args.contains("+nosort")
+    val noSort = flags.contains("+nosort")
     def build(q: graft.queries.Q) = {
       val df = q.run(spark, sfDir)
       if (!noSort) df

@@ -60,4 +60,17 @@ class NGramsGeneratorSpec extends AnyFunSuite with Matchers {
     s.sql("SELECT gram FROM ng_in LATERAL VIEW ngrams(toks, 2) t AS gram")
       .collect().map(_.getString(0)) shouldBe Array("x_y", "y_z")
   }
+
+  test("wrong arity surfaces as AnalysisException, not IndexOutOfBounds") {
+    val s = spark
+    s.createDataFrame(Seq(Tuple1(Seq("x", "y")))).toDF("toks")
+      .createOrReplaceTempView("ng_arity")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT * FROM ng_arity LATERAL VIEW ngrams(toks) t AS g").collect()
+    }
+    e.getMessage should include ("ngrams")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT vec_cosine(array(1.0f)) FROM ng_arity").collect()
+    }.getMessage should include ("vec_cosine")
+  }
 }
