@@ -53,7 +53,14 @@ object Extensions {
       }
       c
     }
-    cache.getOrElseUpdate((label, dir), build.persist())
+    // serialized storage, not deserialized object graphs: the cached
+    // intermediates here are wide arrays of small strings (shingle
+    // sets, bigram sets, pair tables) whose object-form survives every
+    // young-gen GC while cached and turns later queries' GC pauses into
+    // the bench bottleneck. MEMORY_AND_DISK_SER keeps them as byte
+    // buffers the collector scans in O(1).
+    cache.getOrElseUpdate((label, dir),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
   }
 
   /** Unpersist and forget every cached intermediate — Bench calls this
