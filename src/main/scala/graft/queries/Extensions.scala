@@ -53,14 +53,16 @@ object Extensions {
       }
       c
     }
-    // serialized storage, not deserialized object graphs: the cached
-    // intermediates here are wide arrays of small strings (shingle
-    // sets, bigram sets, pair tables) whose object-form survives every
-    // young-gen GC while cached and turns later queries' GC pauses into
-    // the bench bottleneck. MEMORY_AND_DISK_SER keeps them as byte
-    // buffers the collector scans in O(1).
+    // MEMORY_AND_DISK, not the default MEMORY_ONLY: DataFrame caches
+    // are compressed columnar batches at any level (so there is no
+    // object-graph GC cost to avoid, and _SER would only add a serde
+    // pass per access), but MEMORY_ONLY silently DROPS batches under
+    // memory pressure and recomputes them per access — with 30
+    // extension queries' intermediates cached in one bench JVM, the
+    // drop-recompute spiral is what turned x30 into a 25 s outlier.
+    // Spilling the overflow to disk keeps rebuilds bounded.
     cache.getOrElseUpdate((label, dir),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Unpersist and forget every cached intermediate — Bench calls this

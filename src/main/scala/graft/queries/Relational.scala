@@ -795,13 +795,15 @@ object Relational {
         .join(broadcast(expanded), "q")
         .groupBy($"tier")
         .agg(count(lit(1)).as("n_items"),
-             sum(dec($"l_quantity")).cast("long").as("sum_qty"),
+             // floor before the long cast: Spark truncates a fractional
+             // decimal sum, DuckDB's CAST rounds it — FLOOR agrees
+             floor(sum(dec($"l_quantity"))).cast("long").as("sum_qty"),
              dsum($"l_extendedprice").as("revenue"))
         .orderBy($"tier")
     },
     Some("""
       SELECT t.tier, COUNT(*) AS n_items,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS BIGINT) AS sum_qty,
+        CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,4)))) AS BIGINT) AS sum_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem l
       JOIN (VALUES ('small', 1, 9), ('medium', 10, 24), ('large', 25, 50))
@@ -1054,10 +1056,14 @@ object Relational {
     (s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
+      // FLOOR, not a bare cast: Spark's cast truncates while DuckDB's
+      // CAST rounds, so the two would tier fractional quantities
+      // differently (same divergence class as q29's bucketing)
+      val qtyL = floor($"l_quantity").cast("long")
       val perPart = li.groupBy($"l_partkey".as("pk"))
-        .agg(sum($"l_quantity".cast("long")).as("sq"), count(lit(1)).as("cn"))
+        .agg(sum(qtyL).as("sq"), count(lit(1)).as("cn"))
       li.join(perPart, $"l_partkey" === $"pk")
-        .filter($"l_quantity".cast("long") * 5L * $"cn" < $"sq")
+        .filter(qtyL * 5L * $"cn" < $"sq")
         .agg(dsum($"l_extendedprice").as("small_qty_revenue"),
              count(lit(1)).as("n_small"))
     },
@@ -1067,11 +1073,11 @@ object Relational {
              COUNT(*) AS n_small
       FROM lineitem l1
       JOIN (SELECT l_partkey AS pk,
-              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+              CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
               COUNT(*) AS cn
             FROM lineitem GROUP BY l_partkey) p
         ON l1.l_partkey = p.pk
-      WHERE CAST(l1.l_quantity AS BIGINT) * 5 * p.cn < p.sq
+      WHERE CAST(FLOOR(l1.l_quantity) AS BIGINT) * 5 * p.cn < p.sq
     """))
 
   def queries: Seq[Q] = Seq(

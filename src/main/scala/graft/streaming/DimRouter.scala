@@ -54,10 +54,12 @@ object DimRouter {
     // backfills) must re-issue the DDL, not hit the memo
     val key = s"$db.${tp.sinkTable}@$basePath"
     if (!registered.contains(key)) {
-      // quote-escape the path before interpolating into the LOCATION
-      // literal; both statements are IF NOT EXISTS so a concurrent
-      // duplicate run is harmless
-      val loc = s"$basePath/${tp.sinkTable}".replace("'", "''")
+      // escape for a Spark SQL string literal before interpolating into
+      // LOCATION: backslash is an active escape character (a raw \t in
+      // the path would parse as TAB) and quotes double; both statements
+      // are IF NOT EXISTS so a concurrent duplicate run is harmless
+      val loc = s"$basePath/${tp.sinkTable}"
+        .replace("\\", "\\\\").replace("'", "''")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
         s"USING parquet LOCATION '$loc'")
