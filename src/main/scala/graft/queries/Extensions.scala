@@ -1471,8 +1471,44 @@ object Extensions {
       FROM dg d LEFT JOIN hits h USING (doc_id)
     """))
 
+  // ---------------------------------------------------------------------
+  // x31 — edit-distance near-dup (fuzzy dedup, the character-level
+  // complement of x02's token-level MinHash): candidate pairs come from
+  // prefix blocking — docs sharing their first 16 normalized chars —
+  // and only those pairs pay the O(len²) levenshtein. Blocking is the
+  // scale contract: the self-join equi-joins on the block key (hash
+  // shuffle, no crossJoin), so work is Σ|block|², not N². At 100 TB the
+  // block key gains a length bucket and a per-block cap (skewed
+  // boilerplate prefixes would otherwise make one block quadratic);
+  // the fixture's blocks are ≤3 docs so the plain key keeps the oracle
+  // expressible.
+  val x31 = Q(
+    "x31_edit_distance_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val b = docs(s, dir)
+        .select($"doc_id", lower($"text").as("t"))
+        .withColumn("blk", substring($"t", 1, 16))
+      val l = b.select($"blk", $"doc_id".as("doc_a"), $"t".as("ta"))
+      val r = b.select($"blk", $"doc_id".as("doc_b"), $"t".as("tb"))
+      l.join(r, Seq("blk"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"ta", $"tb").cast("long").as("dist"))
+        .filter($"dist" <= 25)
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 16) AS blk
+        FROM documents)
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      WHERE levenshtein(a.t, c.t) <= 25
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30)
+    x29, x30, x31)
 }

@@ -1080,9 +1080,83 @@ object Relational {
       WHERE CAST(FLOOR(l1.l_quantity) AS BIGINT) * 5 * p.cn < p.sq
     """))
 
+  // ---------------------------------------------------------------------
+  // q37 — full-outer join (reconciliation shape): high-balance customers
+  // vs high-activity event users, three-way split into left-only /
+  // right-only / matched. Both inputs aggregate or filter BEFORE the
+  // join, so the full-outer shuffles two key-grain relations, never a
+  // fact table; at 100 TB the pre-agg keeps the null-producing join at
+  // user cardinality.
+  val q37 = Q(
+    "q37_full_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_acctbal" > 5000.0)
+        .select($"c_custkey", $"c_acctbal")
+      val e = t(s, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+        .filter($"n_events" >= 20)
+      c.join(e, $"c_custkey" === $"user_id", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"user_id").as("id"),
+          when($"user_id".isNull, "customer_only")
+            .when($"c_custkey".isNull, "events_only")
+            .otherwise("both").as("side"),
+          dec($"c_acctbal").cast(DoubleType).as("acctbal"),
+          $"n_events")
+    },
+    Some("""
+      SELECT COALESCE(c.c_custkey, e.user_id) AS id,
+        CASE WHEN e.user_id IS NULL THEN 'customer_only'
+             WHEN c.c_custkey IS NULL THEN 'events_only'
+             ELSE 'both' END AS side,
+        CAST(CAST(c.c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
+        e.n_events
+      FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0) c
+      FULL OUTER JOIN
+           (SELECT user_id, COUNT(*) AS n_events FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 20) e
+        ON c.c_custkey = e.user_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // q38 — unpivot (wide→long, the inverse of q21's pivot): per-segment
+  // order metrics computed once in wide form, then melted with stack()
+  // into (segment, metric, value) rows. stack is a Generator that runs
+  // inside the same stage as the agg output — no extra shuffle; the
+  // long form is what a metrics store ingests.
+  val q38 = Q(
+    "q38_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      val wide = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+             dsum($"o_totalprice").as("total_price"),
+             dec(max($"o_totalprice")).cast(DoubleType).as("max_price"))
+      wide.select($"c_mktsegment", expr(
+        "stack(3, 'n_orders', n_orders, 'total_price', total_price, " +
+        "'max_price', max_price) AS (metric, value)"))
+    },
+    Some("""
+      WITH wide AS (
+        SELECT c_mktsegment,
+          CAST(COUNT(*) AS DOUBLE) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+          CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE) AS max_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment)
+      SELECT c_mktsegment, 'n_orders' AS metric, n_orders AS value FROM wide
+      UNION ALL
+      SELECT c_mktsegment, 'total_price', total_price FROM wide
+      UNION ALL
+      SELECT c_mktsegment, 'max_price', max_price FROM wide
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36)
+    q34, q35, q36, q37, q38)
 }
