@@ -89,4 +89,30 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("BroadcastHashJoin")
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q37 full outer: both sides reduced before the join, no nested loop") {
+    val p = plan(Relational.q37)
+    p should include("FullOuter")
+    p should not include "BroadcastNestedLoopJoin"
+    // the events side aggregates to user grain BEFORE joining: the
+    // partial agg must appear under the join, not above it
+    p should include("partial_count")
+  }
+
+  test("q38 unpivot: stack generates from the agg output without a new shuffle") {
+    val p = plan(Relational.q38)
+    p should include("Generate stack")
+    // one exchange for the customer⋈orders join keys + one for the
+    // segment agg; the generator itself must add none
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") should be <= 3
+  }
+
+  test("x31 edit-distance dedup: blocked self-join is an equi-join, never a cross join") {
+    val p = plan(graft.queries.Extensions.x31)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
 }
