@@ -26,6 +26,7 @@ class SqlParitySpec extends AnyFunSuite with Matchers with SparkFixture {
     "q23_correlated_subquery", "q26_grouping_id", "q27_preagg_join",
     "q29_range_join", "q31_funnel", "q33_multi_exists",
     "q34_above_avg_never_error", "q35_rank_functions",
+    "q37_full_outer_join", "q38_unpivot", "x31_edit_distance_neardup",
     "w01_cdc_op_filter", "w02_dirty_side_output", "w03_five_way_split",
     "w12_json_serialize", "x15_length_histogram", "x19_zorder_curve",
     "x20_stratified_sample", "x21_train_val_split", "x24_approx_distinct",
