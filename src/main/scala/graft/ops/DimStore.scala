@@ -31,8 +31,15 @@ object DimStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, path)
     val target = new Path(path)
+    // allowMissingColumns = schema evolution: a config change that adds
+    // a sink column (the reference's dynamic DDL world, where every
+    // column is nullable varchar) must not break the upsert — existing
+    // rows read back with the new column null, and a batch missing a
+    // historical column null-fills it likewise
     val merged =
-      if (fs.exists(target)) spark.read.parquet(path).unionByName(batch)
+      if (fs.exists(target))
+        spark.read.parquet(path)
+          .unionByName(batch, allowMissingColumns = true)
       else batch
     // version desc, then a deterministic content tie-break so equal
     // versions don't pick a nondeterministic winner across reruns
@@ -104,5 +111,23 @@ object DimStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, path)
     if (fs.exists(new Path(path))) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Small-file compaction: rewrite the table into ⌈bytes/target⌉
+    * files via the same crash-safe swap. Per-micro-batch upserts (and
+    * any streaming file sink) accrete one-file-per-batch fragments;
+    * at warehouse scale the resulting footer-per-file planning cost
+    * and undersized scan tasks dominate read latency, so compaction is
+    * periodic maintenance, not an optimization. coalesce (not
+    * repartition) keeps the rewrite shuffle-free — it only glues
+    * existing partitions together. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, path)
+    val bytes = fs.getContentSummary(new Path(path)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    swapIn(spark, path, spark.read.parquet(path).coalesce(nFiles))
+    nFiles
   }
 }

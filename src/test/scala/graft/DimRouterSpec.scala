@@ -110,4 +110,44 @@ class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
       DimRouter.ensureTable(s, "graft_dim",
         TableProcess("x", "evil`; DROP TABLE t--", "id", "id"), base)
   }
+
+  test("schema evolution: a batch with a new column upserts; old rows read back null") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("dimevo").toString + "/dim_evo"
+    DimStore.upsert(s, path,
+      Seq((1L, "alice", 10L)).toDF("id", "name", "ver"), "id", "ver")
+    // config adds an email sink column mid-stream
+    DimStore.upsert(s, path,
+      Seq((2L, "bob", "b@x.io", 20L)).toDF("id", "name", "email", "ver"),
+      "id", "ver")
+    val rows = DimStore.read(s, path).select("id", "name", "email")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    rows shouldBe Seq((1L, "alice", None), (2L, "bob", Some("b@x.io")))
+    // and the reverse: a batch MISSING a historical column still lands
+    DimStore.upsert(s, path,
+      Seq((3L, "carol", 30L)).toDF("id", "name", "ver"), "id", "ver")
+    DimStore.read(s, path).count() shouldBe 3
+  }
+
+  test("compact: many per-batch fragments rewrite to few files, data intact") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("dimcompact").toString + "/dim_c"
+    (1 to 8).foreach { i =>
+      DimStore.upsert(s, path,
+        Seq((i.toLong, s"u$i", i.toLong)).toDF("id", "name", "ver"),
+        "id", "ver")
+    }
+    def nParquet: Int = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = DimStore.read(s, path).as[(Long, String, Long)].collect().toSet
+    DimStore.compact(s, path) shouldBe 1
+    nParquet shouldBe 1
+    DimStore.read(s, path).as[(Long, String, Long)].collect().toSet shouldBe before
+  }
 }
