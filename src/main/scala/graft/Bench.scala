@@ -35,6 +35,15 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { runOnce(q.run); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Release this query's cached intermediates BEFORE the next timed
+      // query: leaving all 80+ queries' persisted blocks resident made
+      // the unified memory manager squeeze execution memory for
+      // late-registry queries (x12/x13 inflated 4-6x in r4's driver run
+      // with no code change). Each query pays its own cache-build cost
+      // inside its timed window; the unpersist itself is between
+      // windows. Queries sharing an intermediate (x28 reuses x02's pair
+      // table) rebuild it — the honest standalone cost of each.
+      queries.Extensions.clearPersistedIntermediates()
       q.name -> (if (ok) dt else -1.0)
     }
     // Locale.ROOT: the default-locale f-interpolator would print a

@@ -1493,9 +1493,18 @@ object Extensions {
       val r = b.select($"blk", $"doc_id".as("doc_b"), $"t".as("tb"))
       l.join(r, Seq("blk"))
         .filter($"doc_a" < $"doc_b")
+        // Length gate before any DP work: |len(a)-len(b)| is a lower
+        // bound on edit distance, so a delta > 25 can never pass — it
+        // prunes candidates with a subtraction instead of an O(len²)
+        // table. The 3-arg levenshtein then bounds the DP to a 2·25+1
+        // band and early-exits with -1 the moment the distance provably
+        // exceeds the threshold: O(len·25) per surviving pair, not
+        // O(len²). Both are pure pruning — no pair with dist ≤ 25 is
+        // ever dropped (see the planted long-vs-short pair test).
+        .filter(abs(length($"ta") - length($"tb")) <= 25)
         .select($"doc_a", $"doc_b",
-          levenshtein($"ta", $"tb").cast("long").as("dist"))
-        .filter($"dist" <= 25)
+          levenshtein($"ta", $"tb", 25).cast("long").as("dist"))
+        .filter($"dist" >= 0)
     },
     Some("""
       WITH b AS (
@@ -1504,6 +1513,7 @@ object Extensions {
       SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
         CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
       FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        AND abs(len(a.t) - len(c.t)) <= 25
       WHERE levenshtein(a.t, c.t) <= 25
     """))
 

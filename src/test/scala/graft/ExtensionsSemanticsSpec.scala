@@ -165,4 +165,46 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
       bucket(bases(i), band0) == bucket(dups(i), band0))
     hit should be > band0Hits
   }
+
+  test("x31 length gate is pure pruning: planted long-vs-short pair never changes results") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // All four docs share the same 16-char block prefix, so every pair
+    // is a blocking candidate. Doc 1 is doc 0 with 3 edits (dist 3,
+    // must survive); doc 2 appends a 200-char tail to doc 0 (length
+    // delta 200 > 25 → gated out, and its true distance is ≥ 200 so the
+    // gate drops nothing a full levenshtein would keep); doc 3 is
+    // unrelated beyond the prefix (dist > 25, survives the length gate
+    // but is cut by the thresholded levenshtein).
+    val prefix = "shared prefix 16" // exactly 16 chars
+    val d0 = prefix + " the quick brown fox jumps over the lazy dog again"
+    val d1 = prefix + " the quick braun fox jumps over the lazy dug again"
+    val d2 = d0 + ("z" * 200)
+    val d3 = prefix + " completely different words follow here xxxxxxx yy"
+    val d = Files.createTempDirectory("x31gate").toString
+    Seq((0L, d0), (1L, d1), (2L, d2), (3L, d3))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val got = Extensions.x31.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((0L, 1L, 3L))
+
+    // Ground truth without either optimization: full unbounded
+    // levenshtein over ALL blocked pairs. The gated/banded form must
+    // return exactly this set — the gate and the threshold arg are
+    // pruning, never semantics.
+    val b = s.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", lower($"text").as("t"),
+        substring(lower($"text"), 1, 16).as("blk"))
+    val full = b.as("a").join(b.as("c"), $"a.blk" === $"c.blk" &&
+        $"a.doc_id" < $"c.doc_id")
+      .select($"a.doc_id", $"c.doc_id",
+        levenshtein($"a.t", $"c.t").cast("long").as("dist"))
+      .filter($"dist" <= 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe full
+  }
 }
