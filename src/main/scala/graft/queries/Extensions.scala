@@ -1491,19 +1491,22 @@ object Extensions {
         .withColumn("blk", substring($"t", 1, 16))
       val l = b.select($"blk", $"doc_id".as("doc_a"), $"t".as("ta"))
       val r = b.select($"blk", $"doc_id".as("doc_b"), $"t".as("tb"))
+      // The 3-arg levenshtein bounds the DP to a 2·25+1 band with an
+      // O(1) length-delta reject up front (|len(a)-len(b)| lower-bounds
+      // the distance) and returns -1 past the threshold: O(len·25) per
+      // pair, not O(len²) — no separate length-gate conjunct needed.
+      // The doc_a < doc_b dedup cut lives INSIDE the scoring expression
+      // as a when() guard, not as a standalone filter: Catalyst pushes
+      // every post-join predicate into the join condition and reorders
+      // the conjuncts freely, and a measured ordering put levenshtein
+      // ahead of the ordering cut — scoring every block-matched pair
+      // including all N self-pairs (identical full-length strings),
+      // a 6x slowdown at sf0.1. CaseWhen's lazy arms keep the guard
+      // in front of the DP wherever the conjunct lands in the plan.
       l.join(r, Seq("blk"))
-        .filter($"doc_a" < $"doc_b")
-        // Length gate before any DP work: |len(a)-len(b)| is a lower
-        // bound on edit distance, so a delta > 25 can never pass — it
-        // prunes candidates with a subtraction instead of an O(len²)
-        // table. The 3-arg levenshtein then bounds the DP to a 2·25+1
-        // band and early-exits with -1 the moment the distance provably
-        // exceeds the threshold: O(len·25) per surviving pair, not
-        // O(len²). Both are pure pruning — no pair with dist ≤ 25 is
-        // ever dropped (see the planted long-vs-short pair test).
-        .filter(abs(length($"ta") - length($"tb")) <= 25)
         .select($"doc_a", $"doc_b",
-          levenshtein($"ta", $"tb", 25).cast("long").as("dist"))
+          when($"doc_a" < $"doc_b", levenshtein($"ta", $"tb", 25))
+            .cast("long").as("dist"))
         .filter($"dist" >= 0)
     },
     Some("""

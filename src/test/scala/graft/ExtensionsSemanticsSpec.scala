@@ -166,17 +166,17 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     hit should be > band0Hits
   }
 
-  test("x31 length gate is pure pruning: planted long-vs-short pair never changes results") {
+  test("x31 thresholded levenshtein is pure pruning: planted long-vs-short pair never changes results") {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions._
     // All four docs share the same 16-char block prefix, so every pair
     // is a blocking candidate. Doc 1 is doc 0 with 3 edits (dist 3,
     // must survive); doc 2 appends a 200-char tail to doc 0 (length
-    // delta 200 > 25 → gated out, and its true distance is ≥ 200 so the
-    // gate drops nothing a full levenshtein would keep); doc 3 is
-    // unrelated beyond the prefix (dist > 25, survives the length gate
-    // but is cut by the thresholded levenshtein).
+    // delta 200 > 25 → the banded DP's O(1) length-delta reject fires,
+    // and its true distance is ≥ 200 so rejecting drops nothing a full
+    // levenshtein would keep); doc 3 is unrelated beyond the prefix
+    // (same length ballpark, so only the DP itself can cut it).
     val prefix = "shared prefix 16" // exactly 16 chars
     val d0 = prefix + " the quick brown fox jumps over the lazy dog again"
     val d1 = prefix + " the quick braun fox jumps over the lazy dug again"
