@@ -61,8 +61,13 @@ object DimRouter {
       val loc = s"$basePath/${tp.sinkTable}"
         .replace("\\", "\\\\").replace("'", "''")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      // recursiveFileLookup: DimStore lays tables out as __bucket=k/
+      // partition dirs (pruned upserts); the catalog table reads all
+      // data files beneath them without surfacing the internal bucket
+      // column to name-based readers (partition inference is disabled
+      // under recursive lookup, and the data files don't carry it)
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
-        s"USING parquet LOCATION '$loc'")
+        s"USING parquet OPTIONS (recursiveFileLookup 'true') LOCATION '$loc'")
       // memoize only after both statements succeed, so a transient
       // metastore failure is retried on the next batch instead of
       // leaving the table permanently unregistered in this JVM
