@@ -120,6 +120,62 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
       }.toSet
   }
 
+  test("TopKPerKey memory guard: partial flush-and-reset under a tiny budget stays exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 10k distinct keys in ONE input partition: the partial stage would
+    // retain ~10k heaps at once (~640 KB); a 200 KB budget forces it to
+    // flush mid-partition at least once. With 16 hash partitions on the
+    // final side (AQE coalescing off so the exchange keeps them), each
+    // final partition holds ~625 keys ≈ 40 KB — under budget. Results
+    // must be bit-identical to the window form — the flush trades
+    // shuffle reduction, never correctness.
+    val df = (1 to 30000).map(i => (i % 10000L, i.toLong)).toDF("k", "v")
+      .coalesce(1)
+    val key = graft.plans.TopKPerKeyExec.MaxBytesKey
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(key, (200L * 1024).toString)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val got = TopK.perKeyPlanned(df, Seq("k"), Seq(("v", false)), k = 2)
+        .as[(Long, Long)].collect().sorted
+      val w = Window.partitionBy($"k").orderBy($"v".desc)
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).select($"k", $"v")
+        .as[(Long, Long)].collect().sorted
+      got shouldBe expected
+    } finally {
+      s.conf.unset(key)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  test("TopKPerKey memory guard: final stage over budget fails with the designed error") {
+    val s = spark
+    import s.implicits._
+    // 16 KB budget: the partial stage flushes gracefully, but a final
+    // partition's ~2.5k-key state cannot be trimmed incrementally —
+    // the designed failure names the knob and the sort-spilling
+    // alternative instead of OOMing the executor.
+    val df = (1 to 30000).map(i => (i % 10000L, i.toLong)).toDF("k", "v")
+      .coalesce(1)
+    val key = graft.plans.TopKPerKeyExec.MaxBytesKey
+    s.conf.set(key, (16L * 1024).toString)
+    try {
+      val ex = intercept[Exception] {
+        TopK.perKeyPlanned(df, Seq("k"), Seq(("v", false)), k = 2).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      messages(ex).mkString("\n") should include("TopKPerKeyFinal exceeded")
+    } finally s.conf.unset(key)
+  }
+
   test("date-partitioned writes prune partitions at the scan (PartitionFilters)") {
     val s = spark
     import s.implicits._
