@@ -921,23 +921,39 @@ object Relational {
   // whose lineitem was the LAST to ship on a multi-supplier order —
   // one EXISTS (another supplier shares the order) and one NOT EXISTS
   // (no other supplier shipped later), both correlated on (orderkey,
-  // suppkey, shipdate). DataFrame form: a left-semi then a left-anti
-  // join, both keyed on l_orderkey with the non-equi conjuncts riding
-  // the same shuffle — the decorrelated plan Catalyst would have to
-  // derive from the SQL, written directly.
+  // suppkey, shipdate). The semi+anti self-join form shuffles the fact
+  // table three times; this is the single-shuffle algebraic rewrite.
+  // Both EXISTS conditions collapse to order-grain facts about
+  // per-supplier max shipdates:
+  //   qualifies(o, s) ⇔ |suppliers(o)| ≥ 2 ∧ maxShip(o, s) = maxShip(o)
+  // (⇒: a qualifying l1 of s has no other supplier shipping strictly
+  // later, so s's max ≥ every other supplier's max; ⇐: s's max-shipdate
+  // row is itself a qualifying l1 — ties qualify both suppliers, same
+  // as the NOT EXISTS, which only rejects STRICTLY later shipments.)
+  // One hash repartition of the 3-column projection by l_orderkey, then
+  // the per-(order, supplier) max, the order-grain window counts, and
+  // the filter are all partition-local: HashPartitioning(l_orderkey)
+  // satisfies the groupBy's (l_orderkey, l_suppkey) clustering and the
+  // window's l_orderkey clustering, so neither adds an exchange. The
+  // deliberate tradeoff: repartitioning raw rows forfeits map-side
+  // partial aggregation, but lineitem has ~1 row per (order, supplier),
+  // so partials save nothing and the self-join form would shuffle the
+  // same volume 3x.
   val q33 = Q(
     "q33_multi_exists",
     (s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-      val l2 = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
-      val l3 = li.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"),
-        $"l_shipdate".as("d3"))
+        .repartition($"l_orderkey")
+      val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max($"l_shipdate").as("sd"))
+      val w = Window.partitionBy($"l_orderkey")
       val sup = t(s, dir, "supplier")
-      li.join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
-        .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3" &&
-                  $"d3" > $"l_shipdate", "left_anti")
+      perSupp
+        .select($"l_orderkey", $"l_suppkey", $"sd",
+          count(lit(1)).over(w).as("nsup"), max($"sd").over(w).as("maxd"))
+        .filter($"nsup" >= 2 && $"sd" === $"maxd")
         .join(sup, $"l_suppkey" === sup("s_suppkey"))
         .groupBy($"s_name")
         .agg(countDistinct($"l_orderkey").as("numwait"))

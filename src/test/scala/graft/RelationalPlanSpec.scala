@@ -115,4 +115,38 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin")) shouldBe true
   }
+
+  private def countExchanges(p: String): Int =
+    p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+
+  test("q04: lineitem pre-aggregates to order grain BELOW the fact join") {
+    val p = plan(Relational.q04)
+    // the 100 TB-right shape: partial_sum over lineitem feeds the join
+    // (pre-agg below), countDistinct is gone (plain count post-agg), and
+    // the only keyed exchanges are the order-grain join + the 5-row
+    // priority agg — never two fact-sized shuffles
+    p should include("partial_sum")
+    p.toLowerCase should not include "distinct"
+    // two partial aggs print: the priority agg above the join and the
+    // order-grain pre-agg below it — the LAST one must sit under the join
+    val joinIdx = p.indexOf("Join")
+    val partialIdx = p.lastIndexOf("partial_sum")
+    assert(joinIdx >= 0 && partialIdx > joinIdx,
+      "pre-aggregation must appear BELOW (after, in plan text) the join")
+    countExchanges(p) should be <= 3
+  }
+
+  test("q33: single fact shuffle — groupBy and window reuse the repartition") {
+    val p = plan(Relational.q33)
+    // one Exchange on l_orderkey carries the whole computation up to the
+    // (tiny) supplier-name agg; the per-supplier max, order-grain window
+    // counts, and filter are all partition-local on that exchange, and
+    // the old 3x self-join of lineitem is gone (one scan of lineitem)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    scans should be <= 3 // lineitem once + supplier (+ AQE re-list at most)
+    countExchanges(p) should be <= 3 // repartition + s_name agg (+1 slack)
+    p should not include "left_semi"
+    p should not include "LeftSemi"
+  }
 }
