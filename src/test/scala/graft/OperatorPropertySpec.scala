@@ -77,4 +77,95 @@ class OperatorPropertySpec extends AnyFunSuite with Matchers with SparkFixture {
       ids.distinct.length shouldBe ids.length
     }
   }
+
+  // --- RowNumberTopKRewrite widenings: every matched shape must return
+  // --- exactly what the un-rewritten window form returns, on generated
+  // --- data engineered to contain ties (small key/value domains).
+
+  /** (key, value, payload) rows: ≤6 keys × ≤5 values forces rank ties. */
+  private val genKV: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.choose(1, 80)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 5L)
+      v <- Gen.choose(0L, 4L)
+      p <- Gen.oneOf("a", "b", "c")
+    } yield (k, v, p))
+  } yield rows
+
+  private def withTopKRewrite[A](body: => A): A = {
+    val s = spark
+    val prevOpt = s.experimental.extraOptimizations
+    val prevStrat = s.experimental.extraStrategies
+    if (!prevOpt.contains(graft.plans.RowNumberTopKRewrite))
+      s.experimental.extraOptimizations = prevOpt :+ graft.plans.RowNumberTopKRewrite
+    if (!prevStrat.contains(graft.plans.TopKPerKeyStrategy))
+      s.experimental.extraStrategies = prevStrat :+ graft.plans.TopKPerKeyStrategy
+    try body finally {
+      s.experimental.extraOptimizations = prevOpt
+      s.experimental.extraStrategies = prevStrat
+    }
+  }
+
+  test("rank() = 1 rewrites to TopKPerKey(withTies) and keeps ALL tied best rows") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    withTopKRewrite {
+      forAllSampled(genKV) { rows =>
+        val df = rows.toDF("k", "v", "p")
+        val w = Window.partitionBy($"k").orderBy($"v".desc, $"p")
+        val idiom = df.withColumn("r", rank().over(w))
+          .filter($"r" === 1).select($"k", $"v", $"p")
+        idiom.queryExecution.executedPlan.toString should include("TopKPerKeyFinal")
+        val got = idiom.as[(Long, Long, String)].collect().sorted
+        // ground truth computed directly: every row tying the per-key best
+        val best = rows.groupBy(_._1).view.mapValues(g =>
+          g.map(r => (r._2, r._3)).min(Ordering.Tuple2(Ordering[Long].reverse, Ordering[String])))
+        val expected = rows.filter(r => best(r._1) == ((r._2, r._3))).sorted
+        got.toList shouldBe expected
+      }
+    }
+  }
+
+  test("rank() <= k for k > 1 is NOT rewritten (ties frontier needs the window form)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    withTopKRewrite {
+      val df = (1 to 100).map(i => (i % 5L, i % 7L, "x")).toDF("k", "v", "p")
+      val w = Window.partitionBy($"k").orderBy($"v".desc)
+      val q = df.withColumn("r", rank().over(w))
+        .filter($"r" <= 2).select($"k", $"v")
+      q.queryExecution.executedPlan.toString.contains("TopKPerKey") shouldBe false
+    }
+  }
+
+  test("subquery shape Filter-above-Project rewrites and matches the window form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    withTopKRewrite {
+      forAllSampled(genKV) { rows =>
+        val df = rows.toDF("k", "v", "p")
+        df.createOrReplaceTempView("topk_subq")
+        // SQL plans as Project(drop rn) <- Filter <- Project(incl rn) <- Window
+        val idiom = s.sql("""
+          SELECT k, v, p FROM (
+            SELECT k, v, p,
+              row_number() OVER (PARTITION BY k ORDER BY v DESC, p) AS rn
+            FROM topk_subq) t
+          WHERE rn <= 2""")
+        idiom.queryExecution.executedPlan.toString should include("TopKPerKeyFinal")
+        val got = idiom.as[(Long, Long, String)].collect().sorted
+        val w = Window.partitionBy($"k").orderBy($"v".desc, $"p")
+        val expected = df.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2).select($"k", $"v", $"p")
+          .as[(Long, Long, String)].collect().sorted
+        got shouldBe expected
+      }
+    }
+  }
 }
