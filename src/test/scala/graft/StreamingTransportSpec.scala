@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Dataset, Row}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.DimStore
+import graft.streaming.FileTopic
+
+/** The Kafka round-trip without a broker (S1/K1/K2): FileTopic
+  * reproduces the reference transport's at-least-once contract on both
+  * ends (duplicate producer publishes after "lost acks", consumer
+  * redelivery across restarts), and the spec asserts the K2 claim —
+  * exactly-once EFFECTS come from the idempotent LWW sink, not from the
+  * transport. Reference: utils/MyKafkaUtil.java:52-87 (producer with
+  * retries, no idempotence), app/func/DimSinkFunction.java:13-33 (the
+  * keyed upsert absorbing redelivery). */
+class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def rec(id: Long, name: String, ver: Long): String =
+    s"""{"id":$id,"name":"$name","ver":$ver}"""
+
+  test("at-least-once transport + idempotent LWW sink = exactly-once effects") {
+    val s = spark
+    import s.implicits._
+    val topic = Files.createTempDirectory("topic").toString
+    val dim = Files.createTempDirectory("dimtx").toString + "/dim_user"
+    val chk = Files.createTempDirectory("chk").toString
+
+    def startConsumer() =
+      FileTopic.stream(s, topic)
+        .selectExpr("from_json(value, 'id LONG, name STRING, ver LONG') AS r")
+        .where("r IS NOT NULL AND r.id IS NOT NULL")
+        .selectExpr("r.id AS id", "r.name AS name", "r.ver AS ver")
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          DimStore.upsert(s, dim, batch, "id", "ver")
+          ()
+        }
+        .start()
+
+    // epoch 1: publish, then "lose the ack" and retry the same publish —
+    // the log now carries every record twice (at-least-once, not once)
+    val epoch1 = Seq(rec(1, "alice", 10), rec(2, "bob", 10))
+    FileTopic.produce(topic, epoch1)
+    FileTopic.produce(topic, epoch1)
+    val q1 = startConsumer()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // epoch 2 arrives while the consumer is DOWN (restart redelivery
+    // path), again duplicated by a producer retry; id=1 is updated
+    val epoch2 = Seq(rec(1, "alice-v2", 20), rec(3, "carol", 10))
+    FileTopic.produce(topic, epoch2)
+    FileTopic.produce(topic, epoch2)
+    val q2 = startConsumer()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the transport really was at-least-once: 8 deliveries, 4 distinct
+    FileTopic.replay(s, topic).count() shouldBe 8
+    FileTopic.replay(s, topic).distinct().count() shouldBe 4
+
+    // ...but the EFFECTS are exactly-once: one row per key, latest wins
+    val got = DimStore.read(s, dim).select("id", "name", "ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got shouldBe Seq((1L, "alice-v2", 20L), (2L, "bob", 10L), (3L, "carol", 10L))
+
+    // full-log reprocessing from offset zero (fresh checkpoint, same
+    // sink) converges to the same state: the LWW merge is idempotent
+    // under total replay, not just incremental redelivery
+    val chk2 = Files.createTempDirectory("chk2").toString
+    val q3 = FileTopic.stream(s, topic)
+      .selectExpr("from_json(value, 'id LONG, name STRING, ver LONG') AS r")
+      .where("r IS NOT NULL AND r.id IS NOT NULL")
+      .selectExpr("r.id AS id", "r.name AS name", "r.ver AS ver")
+      .writeStream
+      .option("checkpointLocation", chk2)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        DimStore.upsert(s, dim, batch, "id", "ver")
+        ()
+      }
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    DimStore.read(s, dim).select("id", "name", "ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1) shouldBe got
+  }
+
+  test("a malformed record in the log is diverted, not poisonous (P2 over transport)") {
+    val s = spark
+    import s.implicits._
+    val topic = Files.createTempDirectory("topicd").toString
+    val dim = Files.createTempDirectory("dimtxd").toString + "/dim_user"
+    val chk = Files.createTempDirectory("chkd").toString
+    val dirty = Files.createTempDirectory("dirty").toString
+
+    FileTopic.produce(topic,
+      Seq(rec(1, "alice", 10), "not json at all", """{"half":true"""))
+    val q = FileTopic.stream(s, topic)
+      .selectExpr("value",
+        "from_json(value, 'id LONG, name STRING, ver LONG') AS r")
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val clean = batch.where("r IS NOT NULL AND r.id IS NOT NULL")
+          .selectExpr("r.id AS id", "r.name AS name", "r.ver AS ver")
+        DimStore.upsert(s, dim, clean, "id", "ver")
+        // side-output: dirty rows keep their raw payload for triage
+        batch.where("r IS NULL OR r.id IS NULL").select("value")
+          .write.mode("overwrite").parquet(s"$dirty/batch_$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    DimStore.read(s, dim).count() shouldBe 1
+    s.read.parquet(s"$dirty/batch_*").as[String].collect().sorted shouldBe
+      Array("not json at all", """{"half":true""")
+  }
+}
