@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecCosine)
     ext.injectFunction(GraftExtensions.ngrams)
+    ext.injectFunction(GraftExtensions.charStats)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
   }
@@ -55,6 +56,25 @@ object GraftExtensions {
       ""),
     binary("ngrams")(NGramsGenerator(_, _)))
 
+  private def unary(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> "1",
+        "actualNum" -> other.size.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
+  private val charStats = (
+    new FunctionIdentifier("char_stats"),
+    new ExpressionInfo(classOf[CharStats].getName, null, "char_stats",
+      "char_stats(s) - [code_points, distinct_code_points, sum n_c*(n_c-1)]",
+      ""),
+    unary("char_stats")(CharStats(_)))
+
   /** Register into an already-built session (tests, REPL) — the same
     * registry write `injectFunction` performs at session build time.
     * Production code should prefer `withExtensions`/`spark.sql.extensions`. */
@@ -63,5 +83,7 @@ object GraftExtensions {
       .registerFunction(vecCosine._1, vecCosine._2, vecCosine._3)
     spark.sessionState.functionRegistry
       .registerFunction(ngrams._1, ngrams._2, ngrams._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(charStats._1, charStats._2, charStats._3)
   }
 }

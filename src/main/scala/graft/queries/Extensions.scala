@@ -1520,8 +1520,195 @@ object Extensions {
       WHERE levenshtein(a.t, c.t) <= 25
     """))
 
+  // ---------------------------------------------------------------------
+  // x32 — span-level exact substring dedup (the Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better", 2022
+  // shape): flag documents sharing any exact K-token span with another
+  // document — catches boilerplate and quotation overlap that
+  // whole-document fingerprints (x01) and MinHash (x02) both miss.
+  // K = 8 here (the paper uses 50 BPE tokens; the fixture docs are
+  // short). Spans build as a zip_with chain over K shifted slices (the
+  // x02 lesson: no element_at lambdas), hash to md5 hex (identical in
+  // DuckDB), and dedup per doc BEFORE the explode, so the span table
+  // carries each (doc, span) once. One keyed shuffle groups spans to
+  // count carriers; the join back is on the same key. At 100 TB the
+  // span table is ~tokens-sized — the same footprint the paper's
+  // suffix-array pass reads — and both shuffles are hash-keyed, never
+  // all-pairs.
+  val x32 = Q(
+    "x32_span_substring_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val K = 8
+      val m = s"greatest(size(toks) - ${K - 1}, 0)"
+      val spanChain = (2 to K).foldLeft(s"slice(toks, 1, $m)") { (acc, j) =>
+        s"zip_with($acc, slice(toks, $j, $m), (x, y) -> concat(x, ' ', y))"
+      }
+      val spans = docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .filter(size($"toks") >= K)
+        .select($"doc_id", explode(array_distinct(
+          expr(s"transform($spanChain, g -> md5(g))"))).as("sh"))
+      val freq = spans.groupBy($"sh").agg(count(lit(1)).as("n_docs"))
+      spans.join(freq, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select($"doc_id", $"n_spans", $"n_shared",
+          expr("1000000L * n_shared div n_spans").as("shared_ppm"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        WHERE len(string_split(lower(text), ' ')) >= 8),
+      sp AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(t) - 6, 1)),
+          i -> md5(array_to_string(t[i:i+7], ' '))))) AS sh
+        FROM b),
+      f AS (SELECT sh, COUNT(*) AS n_docs FROM sp GROUP BY sh)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        CAST((1000000 * SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS shared_ppm
+      FROM sp JOIN f USING (sh)
+      GROUP BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x33 — sequence packing (the pre-tokenization batching pass: assign
+  // documents to fixed-capacity context-window bins). True greedy
+  // first-fit is inherently sequential; the distributed-standard
+  // contract is deterministic prefix-sum packing: within each source,
+  // docs pack in doc_id order and a doc's bin is its running token
+  // total divided by the capacity (boundary docs may straddle — they
+  // are not split; the overflow is the usual padding/truncation
+  // budget). Per-source windows keep the cumsum parallel across
+  // sources; at 100 TB the order key becomes a range-partitioned sort
+  // key and the window stays per-partition.
+  val x33 = Q(
+    "x33_sequence_packing",
+    (s, dir) => {
+      import s.implicits._
+      val C = 2048
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select($"doc_id", $"source",
+          size(split(lower($"text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        // greatest(·,1): a leading zero-token doc would otherwise hit
+        // (-1 div C), which truncates to 0 in Spark but floors to -1 in
+        // DuckDB
+        .select($"doc_id", $"source", $"n_tokens",
+          expr(s"(greatest(cum, 1L) - 1L) div $C").as("bin_id"))
+    },
+    Some("""
+      SELECT doc_id, source,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        CAST((greatest(SUM(len(string_split(lower(text), ' ')))
+            OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING), 1) - 1)
+          // 2048 AS BIGINT) AS bin_id
+      FROM documents
+    """))
+
+  // ---------------------------------------------------------------------
+  // x34 — cross-source contamination matrix: pairwise shared-trigram
+  // counts and Jaccard between sources — the corpus-level complement of
+  // x23's per-document decontamination (which sources leak into which).
+  // Source-grain distinct trigrams first (one keyed shuffle collapses
+  // the fact table to |sources|·|vocab³| rows), then an equi-self-join
+  // on the trigram; per-gram fan-out is bounded by |sources|², so the
+  // join is Σ|sources-per-gram|², never corpus-quadratic. Jaccard is
+  // exact integer arithmetic (ppm), no doubles in the hash-compare.
+  val x34 = Q(
+    "x34_cross_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val g = docs(s, dir)
+        .select($"source", split(lower($"text"), " ").as("toks"))
+        .select($"source", explode(array_distinct(expr(TrigramExpr))).as("gram"))
+        .distinct()
+      val counts = g.groupBy($"source").agg(count(lit(1)).as("n"))
+      g.as("a").join(g.as("b"),
+          $"a.gram" === $"b.gram" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(counts.select($"source".as("src_a"), $"n".as("na")), "src_a")
+        .join(counts.select($"source".as("src_b"), $"n".as("nb")), "src_b")
+        .select($"src_a", $"src_b", $"n_shared",
+          expr("1000000L * n_shared div (na + nb - n_shared)").as("jaccard_ppm"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+      g AS (
+        SELECT DISTINCT source, unnest($TrigramSql) AS gram
+        FROM b WHERE len(t) >= 3),
+      c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source)
+      SELECT a.source AS src_a, b2.source AS src_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared,
+        CAST((1000000 * COUNT(*)) // (ca.n + cb.n - COUNT(*)) AS BIGINT) AS jaccard_ppm
+      FROM g a
+      JOIN g b2 ON a.gram = b2.gram AND a.source < b2.source
+      JOIN c ca ON ca.source = a.source
+      JOIN c cb ON cb.source = b2.source
+      GROUP BY a.source, b2.source, ca.n, cb.n
+    """))
+
+  // ---------------------------------------------------------------------
+  // x35 — character-diversity quality score via the native
+  // [[graft.functions.CharStats]] expression: Simpson concentration
+  // Σ n_c(n_c−1) / (n(n−1)) over code points — high values mean
+  // few-character repetition (the "aaaa…"/separator-spam failure mode
+  // x26 catches at token level). The expression is the 100 TB design
+  // choice: char-grain explode+groupBy would shuffle a corpus-sized
+  // char table for a per-document statistic; CharStats is one fused
+  // codegen pass, zero shuffle (the oracle DOES explode — it only has
+  // to be right, not fast). Integer-exact ppm: no log/entropy, whose
+  // last-ulp rounding differs across engines.
+  val x35 = Q(
+    "x35_char_diversity",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      val base = docs(s, dir).select($"doc_id", lower($"text").as("t"))
+      // the graded session has no function registry entry for
+      // char_stats (Verify runs a plain session), so plant the
+      // expression straight into the logical plan — same bridge the
+      // TopKPerKey node uses
+      val analyzed = base.queryExecution.analyzed
+      val tAttr = analyzed.output.find(_.name == "t").get
+      val idAttr = analyzed.output.find(_.name == "doc_id").get
+      val proj = Project(
+        Seq(idAttr, Alias(graft.functions.CharStats(tAttr), "cs")()), analyzed)
+      org.apache.spark.sql.GraftPlanBridge.ofRows(s, proj)
+        .select($"doc_id",
+          $"cs".getItem(0).as("n_cp"),
+          $"cs".getItem(1).as("n_distinct"),
+          expr("CASE WHEN cs[0] >= 2 THEN (1000000L * cs[2]) div (cs[0] * (cs[0] - 1)) ELSE 0L END")
+            .as("simpson_ppm"))
+    },
+    Some("""
+      WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
+      c AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), i -> t[i])) AS ch
+        FROM b WHERE len(t) > 0),
+      h AS (SELECT doc_id, ch, COUNT(*) AS n FROM c GROUP BY doc_id, ch),
+      a AS (SELECT doc_id, SUM(n) AS ncp, COUNT(*) AS nd,
+                   SUM(n * (n - 1)) AS simp
+            FROM h GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(COALESCE(a.ncp, 0) AS BIGINT) AS n_cp,
+        CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_distinct,
+        CAST(COALESCE(CASE WHEN a.ncp >= 2
+          THEN (1000000 * a.simp) // (a.ncp * (a.ncp - 1)) ELSE 0 END, 0) AS BIGINT)
+          AS simpson_ppm
+      FROM b LEFT JOIN a USING (doc_id)
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31)
+    x29, x30, x31, x32, x33, x34, x35)
 }

@@ -166,6 +166,29 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     hit should be > band0Hits
   }
 
+  test("x32 span dedup: docs sharing an exact 8-token span are flagged, disjoint docs are not") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val d = Files.createTempDirectory("x32span").toString
+    Seq(
+      (0L, s"intro words here $shared trailing content one two three"),
+      (1L, s"totally different opening $shared and another ending entirely"),
+      (2L, "no overlap at all in this document beyond chance words maybe"),
+      (3L, "short doc")) // < 8 tokens: excluded from span space
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x32.run(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.keySet shouldBe Set(0L, 1L, 2L) // doc 3 has no spans
+    out(0L)._2 should be >= 1L // shares the planted span
+    out(1L)._2 should be >= 1L
+    out(2L)._2 shouldBe 0L     // disjoint: nothing shared
+    // shared spans never exceed total spans
+    out.values.foreach { case (n, sh) => sh should be <= n }
+  }
+
   test("x31 thresholded levenshtein is pure pruning: planted long-vs-short pair never changes results") {
     val s = spark
     import s.implicits._
