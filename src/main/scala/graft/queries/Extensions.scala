@@ -1544,11 +1544,15 @@ object Extensions {
       val spanChain = (2 to K).foldLeft(s"slice(toks, 1, $m)") { (acc, j) =>
         s"zip_with($acc, slice(toks, $j, $m), (x, y) -> concat(x, ' ', y))"
       }
+      // 60-bit int span keys (not the 32-char md5 hex): halves the
+      // bytes both shuffles carry; both engines derive the same int
+      // from the same hex so parity is unconditional
       val spans = docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= K)
         .select($"doc_id", explode(array_distinct(
-          expr(s"transform($spanChain, g -> md5(g))"))).as("sh"))
+          expr(s"transform($spanChain, g -> " +
+            "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))).as("sh"))
       val freq = spans.groupBy($"sh").agg(count(lit(1)).as("n_docs"))
       spans.join(freq, "sh")
         .groupBy($"doc_id")
@@ -1564,7 +1568,7 @@ object Extensions {
       sp AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
           range(1, greatest(len(t) - 6, 1)),
-          i -> md5(array_to_string(t[i:i+7], ' '))))) AS sh
+          i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT))) AS sh
         FROM b),
       f AS (SELECT sh, COUNT(*) AS n_docs FROM sp GROUP BY sh)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -1624,9 +1628,14 @@ object Extensions {
     "x34_cross_source_overlap",
     (s, dir) => {
       import s.implicits._
+      // grams join/aggregate as 60-bit ints, not strings — same key
+      // derivation in the oracle, so collisions (vanishingly rare at
+      // 60 bits) would be shared, not a mismatch
       val g = docs(s, dir)
         .select($"source", split(lower($"text"), " ").as("toks"))
-        .select($"source", explode(array_distinct(expr(TrigramExpr))).as("gram"))
+        .select($"source", explode(array_distinct(expr(
+          s"transform($TrigramExpr, g -> " +
+          "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))).as("gram"))
         .distinct()
       val counts = g.groupBy($"source").agg(count(lit(1)).as("n"))
       g.as("a").join(g.as("b"),
@@ -1642,7 +1651,8 @@ object Extensions {
       WITH b AS (
         SELECT source, string_split(lower(text), ' ') AS t FROM documents),
       g AS (
-        SELECT DISTINCT source, unnest($TrigramSql) AS gram
+        SELECT DISTINCT source, unnest(list_transform($TrigramSql,
+          g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS gram
         FROM b WHERE len(t) >= 3),
       c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source)
       SELECT a.source AS src_a, b2.source AS src_b,
