@@ -27,10 +27,12 @@ object Bench {
     val qs = queries.Registry.all
     // Warm-up: JIT, parquet footer cache, codegen compilation. One light
     // pass over everything keeps the timed pass comparable run-to-run.
-    qs.foreach { q => try runOnce(q.run) catch { case _: Throwable => () } }
-    // drop cached intermediates so the timed pass pays the real
-    // cache-build cost instead of reusing warm-up state
-    queries.Extensions.clearPersistedIntermediates()
+    // Caches clear per query here too — the same memory conditions the
+    // timed pass runs under.
+    qs.foreach { q =>
+      try runOnce(q.run) catch { case _: Throwable => () }
+      queries.Extensions.clearPersistedIntermediates()
+    }
     val results = qs.map { q =>
       val t0 = System.nanoTime()
       val ok = try { runOnce(q.run); true } catch { case _: Throwable => false }
