@@ -55,24 +55,65 @@ object DimStore {
     fs.exists(new Path(path)) &&
       fs.listStatus(new Path(path)).exists(_.getPath.getName.startsWith(s"$BucketCol="))
 
+  /** The table's bucket fan-out marker. Underscore prefix: Spark's file
+    * index ignores it, like _SUCCESS. Without it a later caller passing
+    * a different nBuckets would assign batch pks to buckets the
+    * existing rows don't live in — the touched-bucket merge would never
+    * see the old row and LWW would silently keep duplicates. */
+  private def bucketCountFile(path: String) = new Path(path, "_graft_buckets")
+
+  private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String, n: Int): Unit = {
+    val out = fs.create(bucketCountFile(path), true)
+    out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The fan-out the table was CREATED with wins over the caller's
+    * parameter (it is a table property, not a call property). */
+  private def readBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, fallback: Int): Int = {
+    val f = bucketCountFile(path)
+    if (!fs.exists(f)) fallback
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    }
+  }
+
   /** Table auto-creation (K4) falls out naturally: first upsert of an
     * unseen sinkTable writes the directory. */
   def upsert(spark: SparkSession, path: String, batch: DataFrame,
              pk: String, versionCol: String, nBuckets: Int = NumBuckets): Unit = {
+    require(!batch.columns.contains(BucketCol),
+      s"$BucketCol is reserved for DimStore's internal layout; " +
+      "rename the batch column")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, path)
-    val bb = batch.withColumn(BucketCol, bucketOf(pk, nBuckets))
+    // An all-filtered micro-batch (every record malformed/routed away)
+    // must be a no-op: creating the table from it would write a
+    // schema-less directory (a zero-row dynamic-partition write emits
+    // no parquet footer) that wedges every later read.
+    if (batch.isEmpty) return
     if (!fs.exists(new Path(path))) {
+      val bb = batch.withColumn(BucketCol, bucketOf(pk, nBuckets))
       swapIn(spark, path, latestPerPk(bb, pk, versionCol), Seq(BucketCol))
+      writeBucketCount(fs, path, nBuckets)
     } else if (!isBucketed(fs, path)) {
       // legacy flat layout: migrate to bucketed in one full merge
+      val bb = batch.withColumn(BucketCol, bucketOf(pk, nBuckets))
       val existing = readRaw(spark, path).withColumn(BucketCol, bucketOf(pk, nBuckets))
       val merged = existing.unionByName(bb, allowMissingColumns = true)
       swapIn(spark, path, latestPerPk(merged, pk, versionCol), Seq(BucketCol))
+      writeBucketCount(fs, path, nBuckets)
     } else {
       // Partition-pruned merge: only buckets with a batch pk are read
       // or rewritten. The touched-bucket collect is control-plane state
-      // bounded by nBuckets (≤ 64 ints), never data.
+      // bounded by the fan-out (≤ 64 ints), never data.
+      val tableBuckets = readBucketCount(fs, path, nBuckets)
+      val bb = batch.withColumn(BucketCol, bucketOf(pk, tableBuckets))
       val touched = bb.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
       val existingTouched = readRaw(spark, path)
@@ -241,8 +282,22 @@ object DimStore {
     val bytes = fs.getContentSummary(new Path(path)).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     if (isBucketed(fs, path)) {
-      val df = readRaw(spark, path).repartition(col(BucketCol))
+      val buckets = readBucketCount(fs, path, NumBuckets)
+      // honor targetFileBytes WITHIN buckets too: a bucket bigger than
+      // the target splits across ceil(table/target/buckets) files via a
+      // deterministic content-hash salt in the repartition key (one
+      // giant file per bucket would defeat the target and skew the
+      // rewrite to one task per bucket)
+      val perBucket = math.max(1,
+        math.ceil(bytes.toDouble / targetFileBytes / buckets).toInt)
+      val raw = readRaw(spark, path)
+      val salt = pmod(hash(struct(raw.columns.filter(_ != BucketCol).map(col): _*)),
+        lit(perBucket))
+      val df = raw.repartition(buckets * perBucket, col(BucketCol), salt)
       swapIn(spark, path, df, Seq(BucketCol))
+      // the whole-table swap rewrote the directory: restore the fan-out
+      // marker the new tree must carry
+      writeBucketCount(fs, path, buckets)
       fs.listStatus(new Path(path)).count(_.getPath.getName.startsWith(s"$BucketCol="))
     } else {
       swapIn(spark, path, readRaw(spark, path).coalesce(nFiles))

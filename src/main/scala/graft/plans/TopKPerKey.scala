@@ -156,7 +156,9 @@ final case class TopKPerKeyExec(
               }
               heaps.valuesIterator.flatMap(_.iterator)
             }
-          if (retained > maxBytes && finalLocal)
+          // only fail if input REMAINS: state that merely grazes the
+          // budget on the last row is complete and correct — emit it
+          if (retained > maxBytes && finalLocal && it.hasNext)
             throw new IllegalStateException(
               s"TopKPerKeyFinal exceeded ${TopKPerKeyExec.MaxBytesKey}=$maxBytes " +
               "bytes of per-partition top-k state (too many distinct keys per " +

@@ -72,7 +72,11 @@ object Extensions {
     val it = persistCaches.values().iterator()
     while (it.hasNext) {
       it.next().values.foreach { df =>
-        try df.unpersist() catch { case _: Throwable => () }
+        // blocking: async eviction would leave the previous query's
+        // blocks resident (and their removal running) inside the NEXT
+        // query's timed window — the cross-query interference this
+        // hook exists to remove
+        try df.unpersist(blocking = true) catch { case _: Throwable => () }
       }
     }
     persistCaches.clear()
@@ -1546,13 +1550,17 @@ object Extensions {
       }
       // 60-bit int span keys (not the 32-char md5 hex): halves the
       // bytes both shuffles carry; both engines derive the same int
-      // from the same hex so parity is unconditional
-      val spans = docs(s, dir)
+      // from the same hex so parity is unconditional. Persisted: the
+      // span table feeds the carrier-count groupBy AND the join back —
+      // without the fence the tokenize+md5+explode pipeline (the
+      // dominant cost) executes once per consumer.
+      val spans = persisted(s, "x32_spans", dir) { docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= K)
         .select($"doc_id", explode(array_distinct(
           expr(s"transform($spanChain, g -> " +
             "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))).as("sh"))
+      }
       val freq = spans.groupBy($"sh").agg(count(lit(1)).as("n_docs"))
       spans.join(freq, "sh")
         .groupBy($"doc_id")
@@ -1630,13 +1638,16 @@ object Extensions {
       import s.implicits._
       // grams join/aggregate as 60-bit ints, not strings — same key
       // derivation in the oracle, so collisions (vanishingly rare at
-      // 60 bits) would be shared, not a mismatch
-      val g = docs(s, dir)
+      // 60 bits) would be shared, not a mismatch. Persisted: g feeds
+      // both self-join sides and the per-source counts — three
+      // consumers of the tokenize+md5+explode+distinct pipeline.
+      val g = persisted(s, "x34_grams", dir) { docs(s, dir)
         .select($"source", split(lower($"text"), " ").as("toks"))
         .select($"source", explode(array_distinct(expr(
           s"transform($TrigramExpr, g -> " +
           "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))).as("gram"))
         .distinct()
+      }
       val counts = g.groupBy($"source").agg(count(lit(1)).as("n"))
       g.as("a").join(g.as("b"),
           $"a.gram" === $"b.gram" && $"a.source" < $"b.source")

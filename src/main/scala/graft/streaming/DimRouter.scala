@@ -65,7 +65,11 @@ object DimRouter {
       // partition dirs (pruned upserts); the catalog table reads all
       // data files beneath them without surfacing the internal bucket
       // column to name-based readers (partition inference is disabled
-      // under recursive lookup, and the data files don't carry it)
+      // under recursive lookup, and the data files don't carry it).
+      // Migration note: IF NOT EXISTS never updates an entry, so a
+      // table registered by pre-bucketing code against a persistent
+      // metastore must be dropped and re-registered when its layout
+      // migrates — the option cannot be retrofitted in place.
       spark.sql(s"CREATE TABLE IF NOT EXISTS $db.${tp.sinkTable} " +
         s"USING parquet OPTIONS (recursiveFileLookup 'true') LOCATION '$loc'")
       // memoize only after both statements succeed, so a transient

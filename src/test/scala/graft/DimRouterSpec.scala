@@ -208,6 +208,39 @@ class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).count() shouldBe 64
   }
 
+  test("empty batch is a no-op: no schema-less table dir, later upserts unaffected") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("dimempty").toString + "/dim_e"
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "name", "ver")
+    // an all-filtered first micro-batch must not create the table
+    DimStore.upsert(s, path, empty, "id", "ver")
+    new java.io.File(path).exists() shouldBe false
+    // real data lands normally afterwards; a later empty batch changes nothing
+    DimStore.upsert(s, path,
+      Seq((1L, "alice", 10L)).toDF("id", "name", "ver"), "id", "ver")
+    DimStore.upsert(s, path, empty, "id", "ver")
+    DimStore.read(s, path).count() shouldBe 1
+  }
+
+  test("the creation fan-out wins over a later caller's nBuckets parameter") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("dimfan").toString + "/dim_f"
+    DimStore.upsert(s, path,
+      (1L to 50L).map(i => (i, s"u$i", 10L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 64)
+    // a config drift passes 8: the update must still land in the
+    // 64-bucket slot where pk=1 lives, not a phantom 8-bucket slot
+    DimStore.upsert(s, path,
+      Seq((1L, "u1-new", 20L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 8)
+    val rows = DimStore.read(s, path).filter($"id" === 1L)
+      .select("name").as[String].collect()
+    rows shouldBe Array("u1-new") // exactly one row, the LWW winner
+    DimStore.read(s, path).count() shouldBe 50
+  }
+
   test("per-bucket crash recovery: a bucket stranded at .__old is restored on read") {
     val s = spark
     import s.implicits._

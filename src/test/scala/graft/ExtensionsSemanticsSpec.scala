@@ -189,6 +189,54 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     out.values.foreach { case (n, sh) => sh should be <= n }
   }
 
+  test("x33 packing: bins are monotone per source and never skip; straddle bounded by one doc") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val d = Files.createTempDirectory("x33pack").toString
+    val rows = (0L until 200L).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      val t = Seq.fill(n)("tok").mkString(" ")
+      (i, t, "en", s"src${i % 3}", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x33.run(s, d)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // monotone, no skipped bins
+      sorted.map(_._4).foldLeft(0L) { (prev, b) =>
+        b should (be >= prev and be <= prev + 1); b
+      }
+      // every bin's token load is within capacity + one straddling doc
+      val maxDoc = sorted.map(_._3).max
+      sorted.groupBy(_._4).values.foreach { bin =>
+        bin.map(_._3).sum should be <= (2048L + maxDoc)
+      }
+    }
+  }
+
+  test("x34 overlap matrix: sharing sources surface, disjoint sources do not") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x34ovl").toString
+    val shared = "common phrase tokens appear here repeatedly"
+    Seq(
+      (0L, s"$shared plus alpha specific words", "en", "srcA"),
+      (1L, s"$shared plus beta specific words", "en", "srcB"),
+      (2L, "entirely disjoint vocabulary nothing matches anywhere", "en", "srcC"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x34.run(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    out.keySet shouldBe Set(("srcA", "srcB")) // only the sharing pair
+    val (nShared, jac) = out(("srcA", "srcB"))
+    nShared should be >= 4L // the shared phrase's trigrams
+    jac should be > 0L
+  }
+
   test("x31 thresholded levenshtein is pure pruning: planted long-vs-short pair never changes results") {
     val s = spark
     import s.implicits._

@@ -137,6 +137,23 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     countExchanges(p) should be <= 3
   }
 
+  test("x32 span dedup / x34 source overlap: keyed equi-joins, never a cross join") {
+    Seq(graft.queries.Extensions.x32, graft.queries.Extensions.x34).foreach { x =>
+      val p = plan(x)
+      withClue(s"${x.name}: ") {
+        p should not include "CartesianProduct"
+        p should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  test("x35 char diversity: native expression, no explode, no shuffle at all") {
+    val p = plan(graft.queries.Extensions.x35)
+    p should include("char_stats")
+    p should not include "Generate"            // no explode
+    countExchanges(p) shouldBe 0               // pure per-row map
+  }
+
   test("q33: single fact shuffle — groupBy and window reuse the repartition") {
     val p = plan(Relational.q33)
     // one Exchange on l_orderkey carries the whole computation up to the
