@@ -1728,8 +1728,49 @@ object Extensions {
       FROM b LEFT JOIN a USING (doc_id)
     """))
 
+  // ---------------------------------------------------------------------
+  // x36 — dedup APPLY: the keep-list materialization that turns x28's
+  // cluster assignment into the deduplicated corpus a pipeline actually
+  // ships — keep every cluster representative plus every unclustered
+  // doc, drop the rest. Composes x28 (which composes x02's pair
+  // pipeline): detection → clustering → application, end to end. The
+  // anti-join keys on doc_id (hash, skew-free); the drop list is
+  // cluster-members-minus-reps, orders of magnitude smaller than the
+  // corpus, so at 100 TB it broadcast-joins.
+  val x36 = Q(
+    "x36_dedup_apply",
+    (s, dir) => {
+      import s.implicits._
+      val drop = x28.run(s, dir)
+        .filter($"doc_id" =!= $"cluster_rep")
+        .select($"doc_id")
+      docs(s, dir)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("n_chars"))
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      lab AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+        FROM reach GROUP BY src
+      )
+      SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+      WHERE lab.doc_id IS NULL OR lab.rep = d.doc_id
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31, x32, x33, x34, x35)
+    x29, x30, x31, x32, x33, x34, x35, x36)
 }
