@@ -241,6 +241,33 @@ class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).count() shouldBe 50
   }
 
+  test("model fuzz: random upsert sequences match a reference LWW map") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val path = Files.createTempDirectory("dimfuzz").toString + "/dim_z"
+    // reference model: pk -> (name, ver); later batches win ties are
+    // avoided by construction (strictly increasing versions per step),
+    // so the model is unambiguous
+    val model = scala.collection.mutable.Map[Long, (String, Long)]()
+    (1 to 12).foreach { step =>
+      val batch = (1 to (1 + rnd.nextInt(20))).map { _ =>
+        val pk = rnd.nextInt(40).toLong
+        (pk, s"v$step-$pk", step.toLong)
+      }.distinct
+      // within a batch one row per pk (dedup like a keyed CDC stream)
+      val perPk = batch.groupBy(_._1).map(_._2.head).toSeq
+      perPk.foreach { case (pk, n, v) =>
+        val keep = model.get(pk).forall(_._2 <= v)
+        if (keep) model(pk) = (n, v)
+      }
+      DimStore.upsert(s, path, perPk.toDF("id", "name", "ver"), "id", "ver")
+    }
+    val got = DimStore.read(s, path).select("id", "name", "ver")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got shouldBe model.toMap
+  }
+
   test("per-bucket crash recovery: a bucket stranded at .__old is restored on read") {
     val s = spark
     import s.implicits._
