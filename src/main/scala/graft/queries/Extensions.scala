@@ -133,6 +133,46 @@ object Extensions {
   private val Seeds: Seq[Long] =
     (0 until K).map(i => (0x9E3779B97F4A7C15L * (i + 1)) & 0x0FFFFFFFFFFFFFFFL)
 
+  /** Per-doc PACKED distinct shingle-hash arrays (documents are
+    * length-bounded, so the per-doc set is too), persisted once per
+    * (session, dir) — the fingerprint table a real pipeline
+    * materializes; feeds x02/x28/x36 and the incremental x37. The
+    * packed form makes the K-signature a pure map — array_min over K
+    * XOR'd copies, zero shuffle before the band join — and candidate
+    * verification an array_intersect over the (tiny) surviving pair
+    * set, instead of an exploded fact-sized shingle table feeding a
+    * groupBy plus a 3-way self-join. zip_with over shifted slices,
+    * NOT transform with element_at(toks, i) lambdas: the lambda form
+    * re-evaluates its captured array per generated row (~15x slower
+    * measured), and slice(_, _, 0) is empty for short docs where
+    * sequence(1, 0) would descend into element_at(toks, 0) crashes. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    persisted(s, "x02_hashes", dir) {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .select($"doc_id", array_distinct(expr(TrigramExpr)).as("shingles"))
+        .filter(size($"shingles") > 0)
+        .select($"doc_id", expr(
+          "transform(shingles, sh -> " +
+          "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))").as("hs"))
+    }
+
+  /** K XOR-permuted minhashes folded into B banded keys per doc —
+    * (doc_id, band, k1, k2), one row per band. A pure map over the
+    * packed hash arrays (array_min per seed), so band generation never
+    * shuffles; only the band equi-join does. */
+  private def minhashBands(hs: DataFrame): DataFrame = {
+    val sigCols = Seeds.zipWithIndex.map { case (seed, i) =>
+      expr(s"array_min(transform(hs, h -> h ^ ${seed}L))").as(s"h$i") }
+    val sig = hs.select((col("doc_id") +: sigCols): _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until B).map(b => struct(lit(b).as("band"),
+        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+  }
+
   /** The MinHash+LSH near-dup pair pipeline (doc_a < doc_b, exact
     * Jaccard ≥ 0.5 verified on candidates): x02's body, shared with
     * x28's cluster assignment. The verified pair table is persisted —
@@ -141,35 +181,8 @@ object Extensions {
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     persisted(s, "x02_pairs", dir) {
       import s.implicits._
-      // Per-doc distinct shingle hashes kept PACKED in an array column
-      // (documents are length-bounded, so the per-doc set is too). The
-      // packed form makes the K-signature a pure map — array_min over K
-      // XOR'd copies, zero shuffle before the band join — and candidate
-      // verification an array_intersect over the (tiny) surviving pair
-      // set, instead of an exploded fact-sized shingle table feeding a
-      // groupBy plus a 3-way self-join. zip_with over shifted slices,
-      // NOT transform with element_at(toks, i) lambdas: the lambda form
-      // re-evaluates its captured array per generated row (~15x slower
-      // measured), and slice(_, _, 0) is empty for short docs where
-      // sequence(1, 0) would descend into element_at(toks, 0) crashes.
-      val hs = persisted(s, "x02_hashes", dir) { docs(s, dir)
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", array_distinct(expr(TrigramExpr)).as("shingles"))
-        .filter(size($"shingles") > 0)
-        .select($"doc_id", expr(
-          "transform(shingles, sh -> " +
-          "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))").as("hs"))
-      }
-      // ^ cached: feeds the signature pass and both sides of the
-      // verification join — one materialization, as a real pipeline
-      // would keep a fingerprint table
-      val sigCols = Seeds.zipWithIndex.map { case (seed, i) =>
-        expr(s"array_min(transform(hs, h -> h ^ ${seed}L))").as(s"h$i") }
-      val sig = hs.select(($"doc_id" +: sigCols :+ size($"hs").as("n")): _*)
-      val bands = sig.select($"doc_id", explode(array(
-        (0 until B).map(b => struct(lit(b).as("band"),
-          col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.k1".as("k1"), $"bb.k2".as("k2"))
+      val hs = shingleHashes(s, dir)
+      val bands = minhashBands(hs)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
@@ -189,9 +202,10 @@ object Extensions {
         .select($"doc_a", $"doc_b", $"jaccard_ppm")
   }
 
-  /** The oracle CTE chain producing the same `pairs`, shared by the x02
-    * and x28 oracles (goes inside a WITH [RECURSIVE] list). */
-  private val NeardupPairsSqlCtes: String = s"""toks AS (
+  /** Oracle CTE prefix — per-doc shingle hashes, minhash signatures,
+    * banded keys — shared by the symmetric pair chain below and the
+    * asymmetric incremental x37. */
+  private val MinhashSigSqlCtes: String = s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
       ),
       sh AS (
@@ -208,7 +222,11 @@ object Extensions {
       ),
       bands AS (
         ${(0 until B).map(b => s"SELECT doc_id, $b AS band, h${2 * b} AS k1, h${2 * b + 1} AS k2 FROM sig").mkString(" UNION ALL ")}
-      ),
+      )"""
+
+  /** The oracle CTE chain producing the same `pairs`, shared by the x02
+    * and x28 oracles (goes inside a WITH [RECURSIVE] list). */
+  private val NeardupPairsSqlCtes: String = s"""$MinhashSigSqlCtes,
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -890,56 +908,54 @@ object Extensions {
   private val KmK = 4
   private def kmDec = org.apache.spark.sql.types.DecimalType(18, 8)
 
-  val x18 = Q(
-    "x18_kmeans_lloyd",
-    (s, dir) => {
-      import s.implicits._
-      val e = emb(s, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val seeds: Array[Array[Double]] =
-        e.filter($"vec_id" < KmK).orderBy($"vec_id")
-          .collect().map(_.getSeq[Double](1).toArray)
-      def dist2(c: Array[Double]): Column =
-        aggregate(zip_with($"v", typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      def assign(cents: Array[Array[Double]]): DataFrame = {
-        val d = cents.map(dist2)
-        e.withColumn("cluster",
-          when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0)
-            .when(d(1) <= d(2) && d(1) <= d(3), 1)
-            .when(d(2) <= d(3), 2)
-            .otherwise(3))
+  /** x18's Lloyd iteration-2 cluster assignment — (vec_id, v, cluster)
+    * — factored out so the semantic dedup (x39) blocks on the same
+    * clusters the k-means report (x18) aggregates. See x18's comment
+    * for the tiny-state collect pattern and determinism contract. */
+  private def kmeansAssign2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val seeds: Array[Array[Double]] =
+      e.filter($"vec_id" < KmK).orderBy($"vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+    def dist2(c: Array[Double]): Column =
+      aggregate(zip_with($"v", typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val d = cents.map(dist2)
+      e.withColumn("cluster",
+        when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0)
+          .when(d(1) <= d(2) && d(1) <= d(3), 1)
+          .when(d(2) <= d(3), 2)
+          .otherwise(3))
+    }
+    def step(cents: Array[Array[Double]]): Array[Array[Double]] = {
+      val rows = assign(cents)
+        .select($"cluster", posexplode($"v"))
+        .groupBy($"cluster", $"pos")
+        .agg(sum($"col".cast(kmDec)).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(r =>
+          r.getDecimal(2).doubleValue() / r.getLong(3))
       }
-      def step(cents: Array[Array[Double]]): Array[Array[Double]] = {
-        val rows = assign(cents)
-          .select($"cluster", posexplode($"v"))
-          .groupBy($"cluster", $"pos")
-          .agg(sum($"col".cast(kmDec)).as("sx"), count(lit(1)).as("n"))
-          .collect()
-        val byCluster = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
-          c -> rs.sortBy(_.getInt(1)).map(r =>
-            r.getDecimal(2).doubleValue() / r.getLong(3))
-        }
-        Array.tabulate(KmK)(c => byCluster.getOrElse(c, cents(c)))
-      }
-      val c1 = step(seeds)  // Lloyd iteration 1
-      val a2 = assign(c1)   // iteration 2 assignment = graded output
-      val compCols = (0 until 4).map(i =>
-        round(lit(1e6) * sum(element_at($"v", i + 1).cast(kmDec)).cast("double")
-          / count(lit(1))).cast("long").as(s"c${i + 1}_ppm"))
-      a2.groupBy($"cluster")
-        .agg(count(lit(1)).as("n_members"), compCols: _*)
-        .orderBy($"cluster")
-    },
-    Some {
-      def dists(cs: String) = (0 until KmK).map(k =>
-        s"list_sum(list_transform(range(1, 65), i -> (v[i] - $cs.c$k[i]) * (v[i] - $cs.c$k[i]))) AS d$k")
-        .mkString(",\n              ")
-      val pick = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
-                         WHEN d1 <= d2 AND d1 <= d3 THEN 1
-                         WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster"""
-      s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Array.tabulate(KmK)(c => byCluster.getOrElse(c, cents(c)))
+    }
+    val c1 = step(seeds)  // Lloyd iteration 1
+    assign(c1)            // iteration 2 assignment
+  }
+
+  /** Oracle CTE chain unrolling the same two Lloyd iterations to the
+    * `a2` assignment — shared by the x18 and x39 oracles. */
+  private val KmAssign2SqlCtes: String = {
+    def dists(cs: String) = (0 until KmK).map(k =>
+      s"list_sum(list_transform(range(1, 65), i -> (v[i] - $cs.c$k[i]) * (v[i] - $cs.c$k[i]))) AS d$k")
+      .mkString(",\n              ")
+    val pick = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                       WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       consts1 AS (SELECT ${(0 until KmK).map(k =>
         s"(SELECT v FROM e WHERE vec_id = $k) AS c$k").mkString(", ")}),
       a1 AS (
@@ -959,14 +975,29 @@ object Extensions {
         SELECT vec_id, v, $pick
         FROM (SELECT vec_id, v,
               ${dists("k")}
-              FROM e, consts2 k))
+              FROM e, consts2 k))"""
+  }
+
+  val x18 = Q(
+    "x18_kmeans_lloyd",
+    (s, dir) => {
+      import s.implicits._
+      val a2 = kmeansAssign2(s, dir)  // iteration-2 assignment = graded output
+      val compCols = (0 until 4).map(i =>
+        round(lit(1e6) * sum(element_at($"v", i + 1).cast(kmDec)).cast("double")
+          / count(lit(1))).cast("long").as(s"c${i + 1}_ppm"))
+      a2.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"), compCols: _*)
+        .orderBy($"cluster")
+    },
+    Some(s"""
+      WITH $KmAssign2SqlCtes
       SELECT cluster, COUNT(*) AS n_members,
         ${(0 until 4).map(i =>
           s"CAST(round(1e6 * CAST(SUM(CAST(v[${i + 1}] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c${i + 1}_ppm")
           .mkString(",\n        ")}
       FROM a2 GROUP BY cluster ORDER BY cluster
-    """
-    })
+    """))
 
   // ---------------------------------------------------------------------
   // x19 — Z-order (Morton) curve values: the clustering key behind
@@ -1769,8 +1800,201 @@ object Extensions {
       WHERE lab.doc_id IS NULL OR lab.rep = d.doc_id
     """))
 
+  // ---------------------------------------------------------------------
+  // x37 — INCREMENTAL near-dup: dedup an incoming ingest batch against
+  // the historical corpus without re-pairing history against itself —
+  // the production shape of continuous dedup (history is deduped once,
+  // offline; each new batch only band-joins against it). The fixture
+  // splits on doc_id % 10 (batch = 0, history = rest). Batch ≪ history,
+  // so the batch bands BROADCAST: at 100 TB the band join is one
+  // map-side pass over history — no history shuffle, no history
+  // self-join — and the verification join keys on the (tiny) candidate
+  // set. Output: one row per rejected batch doc with its best
+  // historical match (highest Jaccard, lowest doc_id tie-break).
+  val x37 = Q(
+    "x37_incremental_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val hs = shingleHashes(s, dir)
+      val bands = minhashBands(hs)
+      val cand = bands.filter($"doc_id" % 10 =!= 0).as("h")
+        .join(broadcast(bands.filter($"doc_id" % 10 === 0).as("n")),
+          col("h.band") === col("n.band") && col("h.k1") === col("n.k1") &&
+          col("h.k2") === col("n.k2"))
+        .select(col("n.doc_id").as("batch_id"), col("h.doc_id").as("hist_id"))
+        .distinct()
+      val scored = cand
+        .join(hs.select($"doc_id".as("batch_id"), $"hs".as("ha")), "batch_id")
+        .join(hs.select($"doc_id".as("hist_id"), $"hs".as("hb")), "hist_id")
+        .withColumn("ni", size(array_intersect($"ha", $"hb")).cast("long"))
+        .withColumn("jaccard_ppm",
+          round(lit(1e6) * $"ni" / (size($"ha") + size($"hb") - $"ni")).cast("long"))
+        .filter($"jaccard_ppm" >= 500000L)
+      val w = Window.partitionBy($"batch_id").orderBy($"jaccard_ppm".desc, $"hist_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" === 1)
+        .select($"batch_id", $"hist_id".as("matched_doc"), $"jaccard_ppm")
+        .orderBy($"batch_id")
+    },
+    Some(s"""
+      WITH $MinhashSigSqlCtes,
+      cand AS (
+        SELECT DISTINCT n.doc_id AS batch_id, h.doc_id AS hist_id
+        FROM bands n JOIN bands h
+          ON n.band = h.band AND n.k1 = h.k1 AND n.k2 = h.k2
+        WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+      ),
+      inter AS (
+        SELECT c.batch_id, c.hist_id, COUNT(*) AS ni
+        FROM cand c
+        JOIN sh ta ON ta.doc_id = c.batch_id
+        JOIN sh tb ON tb.doc_id = c.hist_id AND tb.h = ta.h
+        GROUP BY c.batch_id, c.hist_id
+      ),
+      scored AS (
+        SELECT c.batch_id, c.hist_id,
+          CAST(round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) AS BIGINT) AS jaccard_ppm
+        FROM cand c
+        LEFT JOIN inter i ON i.batch_id = c.batch_id AND i.hist_id = c.hist_id
+        JOIN sig sa ON sa.doc_id = c.batch_id
+        JOIN sig sb ON sb.doc_id = c.hist_id
+        WHERE round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) >= 500000
+      )
+      SELECT batch_id, hist_id AS matched_doc, jaccard_ppm FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
+                                     ORDER BY jaccard_ppm DESC, hist_id) AS rnk
+        FROM scored)
+      WHERE rnk = 1
+      ORDER BY batch_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x38 — int8-quantized ANN: per-vector symmetric quantization
+  // (q_i = trunc(v_i * 127 / max|v|)) with integer dot-product scoring
+  // inside the same sign-bit buckets as x06. Quantization is the
+  // standard memory/bandwidth trade for large-scale retrieval — 8x
+  // fewer bytes per vector scanned — and integer arithmetic makes the
+  // score engine-exact (the int dot and int norms are exact BIGINTs;
+  // only the final sqrt/ratio touches floats, identically on both
+  // engines). trunc-toward-zero on BOTH sides: Spark's double→int cast
+  // truncates while DuckDB's CAST rounds, so the oracle spells trunc()
+  // explicitly. Rank agreement vs the float path (x06) is asserted in
+  // ExtensionsSemanticsSpec.
+  val x38 = Q(
+    "x38_int8_quant_ann",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(v: Column): Column = concat(
+        Seq(1, 17, 33, 49).map(i =>
+          when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = emb(s, dir)
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("maxabs", array_max(transform($"v", x => abs(x))))
+        // a zero vector has no quantization scale (and no cosine):
+        // dropped on both sides
+        .filter($"maxabs" > 0)
+        .withColumn("q", expr("transform(v, x -> cast(x * 127.0D / maxabs as int))"))
+        // |q|² ≥ 127² > 0 by construction (the max element maps to ±127)
+        .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + cast(x as bigint) * x)"))
+        .withColumn("bucket", bucket($"v"))
+      val qs = e.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"), $"bucket")
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(qs), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(q, qq, (x, y) -> cast(x as bigint) * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("cos_ppm",
+          round(lit(1e6) * $"qdot" / sqrt(($"n2" * $"qn2").cast("double"))).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"qdot", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+      ), q8 AS (
+        SELECT vec_id, bucket,
+          list_transform(v, x -> CAST(trunc(x * 127.0 / maxabs) AS INT)) AS q
+        FROM e WHERE maxabs > 0
+      ), nn AS (
+        SELECT vec_id, bucket, q,
+          CAST(list_sum(list_transform(q, x -> x::BIGINT * x)) AS BIGINT) AS n2
+        FROM q8
+      ), qs AS (
+        SELECT vec_id AS query_id, bucket, q AS qq, n2 AS qn2
+        FROM nn WHERE vec_id <= 2
+      ), scored AS (
+        SELECT q.query_id, e.vec_id,
+          CAST(list_sum(list_transform(range(1, 65), i -> e.q[i]::BIGINT * q.qq[i])) AS BIGINT) AS qdot,
+          e.n2, q.qn2
+        FROM nn e JOIN qs q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+      ), ppm AS (
+        SELECT query_id, vec_id, qdot,
+          CAST(round(1e6 * qdot / sqrt(CAST(n2 * qn2 AS DOUBLE))) AS BIGINT) AS cos_ppm
+        FROM scored
+      )
+      SELECT query_id, vec_id, qdot, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM ppm)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  // ---------------------------------------------------------------------
+  // x39 — semantic dedup (SemDeDup, Abbas et al., "SemDeDup: Data-
+  // efficient learning at web-scale through semantic deduplication",
+  // 2023): k-means clusters as the blocking key, pairwise cosine within
+  // each cluster, pairs above threshold become (keeper, dup) edges —
+  // keeper = lower vec_id, x01's keep-first rule. Candidate generation
+  // is the cluster equi-join — Σ|cluster|² work, with K chosen ∝ corpus
+  // size in production (SemDeDup runs K ~ 10⁵ so clusters stay bounded;
+  // the fixture reuses x18's K=4). The plan shape — narrow assignment
+  // map, then an equi-self-join on the cluster key — is unchanged by K.
+  // Threshold 0.40 is fixture-calibrated (the synthetic embeddings top
+  // out near cos 0.51, so production's ~0.95 would gate zero rows and
+  // grade nothing); the constant doesn't change the operator shape.
+  val x39 = Q(
+    "x39_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val a = kmeansAssign2(s, dir)
+        .withColumn("norm",
+          sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .select($"vec_id", $"v", $"norm", $"cluster")
+      val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
+        lit(0.0), (acc, v) => acc + v)
+      a.as("x").join(a.as("y"),
+          col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.cluster").as("cluster"),
+          col("x.vec_id").as("keeper_id"), col("y.vec_id").as("dup_id"),
+          round(lit(1e6) * dot /
+            when(col("x.norm") * col("y.norm") > 0, col("x.norm") * col("y.norm")))
+            .cast("long").as("cos_ppm"))
+        .filter($"cos_ppm" >= 400000L)
+        .orderBy($"keeper_id", $"dup_id")
+    },
+    Some(s"""
+      WITH $KmAssign2SqlCtes,
+      n AS (SELECT vec_id, v, cluster,
+              sqrt(list_dot_product(v, v)) AS norm FROM a2)
+      SELECT x.cluster AS cluster, x.vec_id AS keeper_id, y.vec_id AS dup_id,
+        CAST(round(1e6 * list_dot_product(x.v, y.v) / (x.norm * y.norm)) AS BIGINT) AS cos_ppm
+      FROM n x JOIN n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round(1e6 * list_dot_product(x.v, y.v) / (x.norm * y.norm)) >= 400000
+      ORDER BY keeper_id, dup_id
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31, x32, x33, x34, x35, x36)
+    x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39)
 }
