@@ -278,4 +278,85 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     got shouldBe full
   }
+
+  test("x37 incremental dedup: batch docs match history only, best match wins") {
+    // In the shared corpus, doc 0 (batch: 0 % 10 == 0) has its exact
+    // dup at doc 1 (history) and doc 10 (batch) is unrelated — so the
+    // incremental pass must reject exactly doc 0, matched to doc 1.
+    val out = Extensions.x37.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._1).toSet shouldBe Set(0L)      // doc 10 sails through
+    val m = out.head
+    // doc 0's near-dups in history are doc 1 (case/whitespace dup) and
+    // doc 2 (two-token tail) — best-match picks whichever scores higher
+    Set(1L, 2L) should contain(m._2)
+    m._3 should be > 900000L
+    // the asymmetric contract: batch ids only on the left, history only
+    // on the right — history is never re-paired against itself
+    all(out.map(_._1 % 10)) shouldBe 0L
+    all(out.map(_._2 % 10)) should not be 0L
+  }
+
+  test("x38 int8-quantized ANN preserves the planted neighbor at rank 1") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("extquant").toString
+    // same construction as the x05/x06 fixture (seed 7): vec 1 is a
+    // planted near-copy of query vec 0, sharing its sign bucket
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val q = vec()
+    val close = q.map(x => x + 0.01f)
+    val rows = (0L, q, 0) +: (1L, close, 0) +:
+      Seq.tabulate(48)(i => (2L + i, vec(), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val out = Extensions.x38.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // quantization keeps the planted neighbor on top for query 0, and
+    // the int8 cosine stays within ~2% of the true (≈0.9999) value
+    val top = out.find(r => r._1 == 0L && r._5 == 1).get
+    top._2 shouldBe 1L
+    top._4 should be > 980000L
+    // integer scores are exact: recompute one dot product in Scala
+    def quant(v: Array[Float]): Array[Long] = {
+      val dv = v.map(_.toDouble)
+      val m = dv.map(math.abs).max
+      dv.map(x => (x * 127.0 / m).toLong)
+    }
+    val expectQdot = quant(q).zip(quant(close)).map { case (a, b) => a * b }.sum
+    top._3 shouldBe expectQdot
+  }
+
+  test("x39 semantic dedup pairs the planted duplicate within one cluster") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("extsem39").toString
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // the planted pair sits at ids 10/11 — NOT 0..3, which seed the
+    // k-means: two near-identical seeds would anchor two different
+    // clusters and the pair could never co-block
+    val q = vec()
+    val close = q.map(x => x + 0.01f)
+    val rows = Seq.tabulate(50) { i =>
+      if (i == 10) (10L, q, 0)
+      else if (i == 11) (11L, close, 0)
+      else (i.toLong, vec(), 1)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val out = Extensions.x39.run(s, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // vectors 10 and 11 are near-identical → same k-means cell → the
+    // (keeper=10, dup=11) edge surfaces at cos ≈ 1
+    val edge = out.find(r => r._2 == 10L && r._3 == 11L)
+    edge should not be empty
+    edge.get._4 should be > 990000L
+    // keep-first invariant and the gate hold for every emitted pair
+    all(out.map(r => r._2 < r._3)) shouldBe true
+    all(out.map(_._4)) should be >= 400000L
+  }
 }
