@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared MinHash+LSH machinery — word-trigram shingles, one md5 per
+  * shingle folded to a 60-bit int, K XOR-seeded minhashes, B banded
+  * keys — used by the batch near-dup pipeline (queries.Extensions x02/
+  * x28/x36/x37) and the continuous form (streaming.StreamingNearDup).
+  * One definition so the streaming detector provably buckets exactly
+  * like the batch pass: a pair the batch pipeline would pair can never
+  * be missed by the stream for hashing reasons.
+  *
+  * Everything here is a NARROW MAP over the doc grain — band
+  * generation never shuffles, so it runs identically inside a
+  * micro-batch and a 100 TB batch scan; only the downstream candidate
+  * join (batch) or keyed state lookup (streaming) is wide.
+  */
+object MinHash {
+  val K = 8 // minhash functions
+  val B = 4 // bands (rows per band r = K/B = 2)
+
+  /** Fixed 60-bit XOR seeds (golden-ratio multiples). */
+  val Seeds: Seq[Long] =
+    (0 until K).map(i => (0x9E3779B97F4A7C15L * (i + 1)) & 0x0FFFFFFFFFFFFFFFL)
+
+  /** Word-trigram shingle builder over a `toks` array column — zip_with
+    * over shifted slices, with greatest(size-2, 0) bounds so 0/1/2-token
+    * docs yield an empty array instead of descending sequence crashes.
+    * (See Extensions.shingleHashes for the full performance rationale.) */
+  val TrigramExpr: String =
+    "zip_with(zip_with(" +
+    "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+    "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
+    "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))"
+
+  /** Per-doc packed distinct shingle-hash array: (doc_id, hs ARRAY<LONG>).
+    * Docs with no shingle (under 3 tokens) are dropped — they have no
+    * minhash signature. */
+  def shingleHashes(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .select(col("doc_id"), array_distinct(expr(TrigramExpr)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), expr(
+        "transform(shingles, sh -> " +
+        "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))").as("hs"))
+
+  /** K XOR-permuted minhashes folded into B banded keys per doc —
+    * (doc_id, band, k1, k2), one row per band. */
+  def bands(hs: DataFrame): DataFrame = {
+    val sigCols = Seeds.zipWithIndex.map { case (seed, i) =>
+      expr(s"array_min(transform(hs, h -> h ^ ${seed}L))").as(s"h$i") }
+    val sig = hs.select((col("doc_id") +: sigCols): _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until B).map(b => struct(lit(b).as("band"),
+        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+  }
+
+  /** docs → band-key rows in one call (the streaming entry point). */
+  def bandRows(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    bands(shingleHashes(docs, idCol, textCol))
+}

@@ -112,26 +112,18 @@ object Extensions {
   // signature pass bandwidth-bound instead of md5-bound; word-trigram
   // shingles keep bucket cardinality high so band buckets stay small
   // (candidates ≈ true near-dups, not O(n²)).
-  private val K = 8  // minhash functions
-  private val B = 4  // bands (rows per band r = K/B = 2)
-
-  /** Word-trigram shingle builder over a `toks` array column, shared by
-    * x02 and x23 (one definition so the gotcha-laden slice bounds —
-    * greatest(size-2, 0) to keep 0/1/2-token docs from descending into
-    * element_at crashes — can't drift between them). */
-  private val TrigramExpr: String =
-    "zip_with(zip_with(" +
-    "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
-    "slice(toks, 2, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y)), " +
-    "slice(toks, 3, greatest(size(toks) - 2, 0)), (x, y) -> concat(x, '_', y))"
+  // MinHash machinery lives in [[graft.ops.MinHash]] — one definition
+  // shared with the streaming detector (StreamingNearDup) so batch and
+  // stream provably bucket identically. Local aliases keep the oracle
+  // string builders below readable.
+  private val K = graft.ops.MinHash.K
+  private val B = graft.ops.MinHash.B
+  private val TrigramExpr: String = graft.ops.MinHash.TrigramExpr
+  private val Seeds: Seq[Long] = graft.ops.MinHash.Seeds
   /** The DuckDB mirror over a `t` token list (distinct trigram list). */
   private val TrigramSql: String =
     "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)), " +
     "i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))"
-  /** Fixed 60-bit XOR seeds (golden-ratio multiples), identical in the
-    * DuckDB oracle below. */
-  private val Seeds: Seq[Long] =
-    (0 until K).map(i => (0x9E3779B97F4A7C15L * (i + 1)) & 0x0FFFFFFFFFFFFFFFL)
 
   /** Per-doc PACKED distinct shingle-hash arrays (documents are
     * length-bounded, so the per-doc set is too), persisted once per
@@ -148,30 +140,15 @@ object Extensions {
     * sequence(1, 0) would descend into element_at(toks, 0) crashes. */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     persisted(s, "x02_hashes", dir) {
-      import s.implicits._
-      docs(s, dir)
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .select($"doc_id", array_distinct(expr(TrigramExpr)).as("shingles"))
-        .filter(size($"shingles") > 0)
-        .select($"doc_id", expr(
-          "transform(shingles, sh -> " +
-          "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))").as("hs"))
+      graft.ops.MinHash.shingleHashes(docs(s, dir))
     }
 
   /** K XOR-permuted minhashes folded into B banded keys per doc —
     * (doc_id, band, k1, k2), one row per band. A pure map over the
     * packed hash arrays (array_min per seed), so band generation never
     * shuffles; only the band equi-join does. */
-  private def minhashBands(hs: DataFrame): DataFrame = {
-    val sigCols = Seeds.zipWithIndex.map { case (seed, i) =>
-      expr(s"array_min(transform(hs, h -> h ^ ${seed}L))").as(s"h$i") }
-    val sig = hs.select((col("doc_id") +: sigCols): _*)
-    sig.select(col("doc_id"), explode(array(
-      (0 until B).map(b => struct(lit(b).as("band"),
-        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
-  }
+  private def minhashBands(hs: DataFrame): DataFrame =
+    graft.ops.MinHash.bands(hs)
 
   /** The MinHash+LSH near-dup pair pipeline (doc_a < doc_b, exact
     * Jaccard ≥ 0.5 verified on candidates): x02's body, shared with

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.MinHash
+
+/** One (doc, LSH band) occupancy row — MinHash.bandRows output. */
+final case class DocBand(doc_id: Long, band: Int, k1: Long, k2: Long)
+
+/** A streamed near-dup candidate: `dupId` collided with the bucket
+  * whose first occupant was `keeperId` (band identifies which of the B
+  * bands fired; the same pair may fire in several). */
+final case class DupCandidate(keeperId: Long, dupId: Long, band: Int)
+
+/** LSH bucket identity — the state key. Top-level: a nested case class
+  * cannot get a Spark encoder. */
+final case class BandKey(band: Int, k1: Long, k2: Long)
+
+/** Continuous MinHash+LSH near-dup detection — the streaming form of
+  * the batch x02 pipeline, for dedup-at-ingest: every incoming doc is
+  * shingled/minhashed/banded by the SAME [[graft.ops.MinHash]] map the
+  * batch pass uses, then each of its B band keys is probed against
+  * keyed state. First occupant of a bucket becomes its keeper; every
+  * later arrival is emitted as a (keeper, dup) candidate — x01's
+  * keep-first rule, applied in arrival order.
+  *
+  * Scale shape: band generation is a narrow map (zero shuffle); the
+  * state lookup shuffles on the band key exactly like the batch band
+  * equi-join, and state is ONE long per occupied bucket — proportional
+  * to corpus signature diversity, not event volume. Production would
+  * bound it with a state TTL (reingest-window semantics) and verify
+  * candidates with the exact-Jaccard join against the doc store; both
+  * are downstream of the detection this operator owns. Reference
+  * analogue: the keyed ValueState dedup shape of
+  * DwdTrafficUniqueVisitorDetail.java:57-80, keyed by LSH bucket
+  * instead of device id.
+  */
+object StreamingNearDup {
+
+  private def process(key: BandKey, rows: Iterator[DocBand],
+                      state: GroupState[Long]): Iterator[DupCandidate] = {
+    // arrival order within a micro-batch is nondeterministic; sort so
+    // "first doc in the bucket" is stable under replay
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val out = Seq.newBuilder[DupCandidate]
+    var anchor = state.getOption.getOrElse(-1L)
+    sorted.foreach { r =>
+      if (anchor < 0) anchor = r.doc_id
+      else if (r.doc_id != anchor) out += DupCandidate(anchor, r.doc_id, key.band)
+    }
+    if (anchor >= 0) state.update(anchor)
+    out.result().iterator
+  }
+
+  /** docs (doc_id LONG, text STRING) → DupCandidate stream. Works on a
+    * streaming or batch Dataset (batch: one call per bucket with the
+    * full corpus, which reproduces the batch candidate semantics). */
+  def apply(docs: DataFrame): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    MinHash.bandRows(docs)
+      .as[DocBand]
+      .groupByKey(r => BandKey(r.band, r.k1, r.k2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.MinHash
+import graft.streaming.StreamingNearDup
+
+/** Top-level for the Spark encoder. */
+case class NdDoc(doc_id: Long, text: String)
+
+/** Continuous near-dup detection: the streaming detector must agree
+  * with the batch x02 band semantics (same MinHash module), keep-first
+  * across micro-batches, and emit nothing for singleton buckets. */
+class StreamingNearDupSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private val base = Seq.tabulate(40)(i => s"tok${i % 13} word$i").mkString(" ")
+  private val near = base.replace("word20", "changed20")
+  private def unrelated(i: Int): String =
+    Seq.tabulate(30)(j => s"u${i}t$j distinct$i$j").mkString(" ")
+
+  test("streamed candidates = batch band collisions; keep-first across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[NdDoc]
+    val q = StreamingNearDup(mem.toDF()).writeStream
+      .format("memory").queryName("nd_out").outputMode("append").start()
+    try {
+      // batch 1: the future keeper + two unrelated docs → no candidates
+      mem.addData(NdDoc(0, base), NdDoc(4, unrelated(4)), NdDoc(5, unrelated(5)))
+      q.processAllAvailable()
+      val afterB1 = s.table("nd_out").as[(Long, Long, Int)].collect()
+      afterB1 shouldBe empty
+
+      // batch 2: a near-dup of doc 0 and one more unrelated doc — the
+      // dup must be flagged against the batch-1 anchor (keep-first,
+      // state carried across micro-batches)
+      mem.addData(NdDoc(1, near), NdDoc(6, unrelated(6)))
+      q.processAllAvailable()
+      // batch 3: another copy — still anchored to doc 0, not doc 1
+      mem.addData(NdDoc(2, base))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = s.table("nd_out").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    streamed should contain((0L, 1L))
+    streamed should contain((0L, 2L))
+    streamed.map(_._1) shouldBe Set(0L) // every candidate anchored to the first arrival
+
+    // agreement with the batch pipeline: every streamed candidate is a
+    // batch band collision over the same corpus (no false hashing), and
+    // every batch collision involving the anchor is streamed (no missed
+    // dups). Dup-vs-dup pairs — (1,2) here — are deliberately absent:
+    // the detector implements keep-first dedup, not all-pairs mining.
+    val corpus = Seq(NdDoc(0, base), NdDoc(1, near), NdDoc(2, base),
+      NdDoc(4, unrelated(4)), NdDoc(5, unrelated(5)), NdDoc(6, unrelated(6))).toDF()
+    val bands = MinHash.bandRows(corpus)
+    val batchPairs = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.k1" === $"b.k1" && $"a.k2" === $"b.k2" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    streamed.subsetOf(batchPairs) shouldBe true
+    batchPairs.filter(_._1 == 0L) shouldBe streamed
+  }
+
+  test("batch mode reproduces the same candidates in one pass") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(NdDoc(0, base), NdDoc(1, near), NdDoc(2, base),
+      NdDoc(4, unrelated(4))).toDF()
+    val got = StreamingNearDup(corpus).collect()
+      .map(c => (c.keeperId, c.dupId)).toSet
+    got shouldBe Set((0L, 1L), (0L, 2L))
+  }
+}
