@@ -1970,8 +1970,250 @@ object Extensions {
       ORDER BY keeper_id, dup_id
     """))
 
+  // ---------------------------------------------------------------------
+  // x40 — BM25 keyword retrieval [Robertson & Zaragoza, "The
+  // Probabilistic Relevance Framework: BM25 and Beyond", 2009]: score
+  // the corpus against a fixed query-term set and return the top 20
+  // docs. The 100 TB plan is the inverted-index probe: postings are
+  // FILTERED to the query terms immediately after the explode (a narrow
+  // map — nothing shuffles but matching postings, |terms|·df rows, not
+  // the corpus), df and the corpus-wide (N, Σdl) aggregates broadcast,
+  // and the final top-k is orderBy+limit → TakeOrderedAndProject (heap
+  // per partition, no global sort).
+  //
+  // Determinism: the classical formula's log() differs in final-ulp
+  // across libm implementations, which the driver's exact hash-compare
+  // cannot tolerate, so scoring uses the RATIONAL idf
+  // (N - df + ½)/(df + ½) and fixed-point ppm integer arithmetic
+  // end-to-end (every step BIGINT multiply + floor-div, bit-identical
+  // in Spark `div` and DuckDB `//`). Monotone in the same direction as
+  // log-idf per term; documented variant, not a float approximation.
+  val x40 = {
+    val terms = Seq("spark", "vector", "merge")
+    val K1 = 1200000L // k1 = 1.2 in ppm
+    val Bp = 750000L  // b = 0.75 in ppm
+    val termsSql = terms.map(t => s"'$t'").mkString(", ")
+    Q(
+      "x40_bm25_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val base = docs(s, dir)
+          .select($"doc_id", split(lower($"text"), " ").as("toks"))
+          .withColumn("dl", size($"toks").cast("long"))
+          .filter($"dl" > 0)
+        val tf = base
+          .select($"doc_id", $"dl", explode($"toks").as("term"))
+          .filter($"term".isin(terms: _*)) // postings pruned pre-shuffle
+          .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+        // corpus stats: one-row aggregate, broadcast (q34's scalar
+        // subquery pattern — not a cartesian blowup)
+        val g = base.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+        val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(g))
+          .withColumn("ratio_ppm", expr("(1000000L * dl * n_docs) div sum_dl"))
+          .withColumn("norm_ppm",
+            expr(s"1000000L - $Bp + ($Bp * ratio_ppm) div 1000000"))
+          .withColumn("denom_ppm",
+            expr(s"1000000L * tf + ($K1 * norm_ppm) div 1000000"))
+          .withColumn("tfpart_ppm",
+            expr(s"(1000000L * tf * ${1000000L + K1}) div denom_ppm"))
+          .withColumn("idf_ppm",
+            expr("(1000000L * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+          .withColumn("score_ppm", expr("(idf_ppm * tfpart_ppm) div 1000000"))
+          .groupBy($"doc_id").agg(sum($"score_ppm").as("bm25_ppm"))
+          .orderBy($"bm25_ppm".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        b2 AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+          FROM b WHERE len(toks) > 0),
+        post AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+        tf AS (
+          SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM post WHERE term IN ($termsSql)
+          GROUP BY doc_id, dl, term),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b2),
+        d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+            (((1000000 * (2 * g.n_docs - 2 * d.df + 1)) // (2 * d.df + 1))
+             * ((1000000 * tf.tf * ${1000000L + K1}) //
+                (1000000 * tf.tf +
+                 ($K1 * (1000000 - $Bp +
+                   ($Bp * ((1000000 * tf.dl * g.n_docs) // g.sum_dl)) // 1000000)) // 1000000)))
+            // 1000000 AS score_ppm
+          FROM tf JOIN d ON tf.term = d.term CROSS JOIN g)
+        SELECT doc_id, CAST(SUM(score_ppm) AS BIGINT) AS bm25_ppm
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25_ppm DESC, doc_id LIMIT 20
+      """))
+  }
+
+  // ---------------------------------------------------------------------
+  // x41 — config-compiled taxonomy tagging: a priority-ordered rule
+  // table (first rule whose terms ALL appear as tokens wins) compiled
+  // into a single when-chain — the same config-driven routing idea as
+  // the reference's TableProcess dims (`app/dim/DimApp.java:60-80`),
+  // but compiled to a codegen'd expression instead of interpreted per
+  // row. Zero joins, zero shuffles: rules are control-plane config, so
+  // the classifier is a pure narrow map over the corpus; at 100 TB this
+  // is a single pass fused into whatever scan feeds it. The oracle SQL
+  // builds its CASE chain from the SAME rule Seq, so Spark and DuckDB
+  // cannot drift.
+  private val TaxonomyRules: Seq[(String, Seq[String])] = Seq(
+    "streaming"   -> Seq("stream", "window"),
+    "join_engine" -> Seq("join", "hash"),
+    "vectors"     -> Seq("vector"),
+    "aggregation" -> Seq("agg", "group"))
+  val x41 = Q(
+    "x41_taxonomy_tagging",
+    (s, dir) => {
+      import s.implicits._
+      val toks = split(lower($"text"), " ")
+      val cat = TaxonomyRules.foldRight(lit("other"): Column) {
+        case ((name, ts), els) =>
+          when(ts.map(t => array_contains(toks, t)).reduce(_ && _), lit(name))
+            .otherwise(els)
+      }
+      docs(s, dir).select($"doc_id", $"source", cat.as("category"))
+    },
+    Some {
+      val whens = TaxonomyRules.map { case (name, ts) =>
+        val cond = ts
+          .map(t => s"list_contains(string_split(lower(text), ' '), '$t')")
+          .mkString(" AND ")
+        s"WHEN $cond THEN '$name'"
+      }.mkString(" ")
+      s"""
+        SELECT doc_id, source,
+          CASE $whens ELSE 'other' END AS category
+        FROM documents
+      """
+    })
+
+  // ---------------------------------------------------------------------
+  // x42 — sliding-window document chunking (the RAG/context-prep pass:
+  // fixed-size token windows with overlap). C = 16 tokens per chunk,
+  // stride S = 12 (4-token overlap); chunk count = 1 + ⌈max(n−C,0)/S⌉
+  // so every token is covered and the tail chunk may run short. A pure
+  // per-doc map (sequence → transform → explode) — no shuffle at all;
+  // at 100 TB chunking fuses into the scan and the output is
+  // ~n/S × corpus rows, each carrying a 60-bit content key (md5-derived,
+  // identical in DuckDB) instead of duplicated text.
+  val x42 = {
+    val C = 16
+    val S = 12
+    Q(
+      "x42_doc_chunking",
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id", split(lower($"text"), " ").as("toks"))
+          .withColumn("n", size($"toks").cast("long"))
+          .filter($"n" >= 1)
+          .withColumn("nch",
+            expr(s"1L + (greatest(n - $C, 0L) + ${S - 1}) div $S"))
+          .select($"doc_id", $"n", explode(expr(
+            s"""transform(sequence(cast(0 as bigint), nch - 1), i ->
+                named_struct(
+                  'idx', i,
+                  'start', 1L + i * $S,
+                  'key', cast(conv(substring(md5(
+                    concat_ws(' ', slice(toks, cast(1 + i * $S as int), $C))), 1, 15), 16, 10) as bigint)))"""))
+            .as("c"))
+          .select($"doc_id",
+            $"c.idx".as("chunk_idx"),
+            $"c.start".as("start_tok"),
+            least(lit(C.toLong), $"n" - $"c.start" + 1L).as("chunk_len"),
+            $"c.key".as("chunk_key"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        b2 AS (
+          SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+          FROM b WHERE len(toks) >= 1),
+        ch AS (
+          SELECT doc_id, n, toks,
+            unnest(range(0, 1 + (greatest(n - $C, 0) + ${S - 1}) // $S)) AS i
+          FROM b2)
+        SELECT doc_id,
+          CAST(i AS BIGINT) AS chunk_idx,
+          CAST(1 + i * $S AS BIGINT) AS start_tok,
+          CAST(least($C, n - (1 + i * $S) + 1) AS BIGINT) AS chunk_len,
+          ('0x' || substr(md5(array_to_string(
+            toks[(1 + i * $S):(least(n, i * $S + $C))], ' ')), 1, 15))::BIGINT AS chunk_key
+        FROM ch
+      """))
+  }
+
+  // ---------------------------------------------------------------------
+  // x43 — cluster representative by QUALITY: x36 keeps each near-dup
+  // cluster's min-doc_id member; real pipelines keep the best-quality
+  // member (longest, highest score). Reuses x28's cluster labels, ranks
+  // members by (token count desc, doc_id asc), and reports each
+  // cluster's keeper plus its size. One keyed shuffle: row_number and
+  // the member count share the same cluster_rep window partitioning, so
+  // Catalyst plans a single exchange; clusters are near-dup components
+  // (tiny), so no window partition can skew.
+  val x43 = Q(
+    "x43_cluster_keep_best",
+    (s, dir) => {
+      import s.implicits._
+      val quality = docs(s, dir)
+        .select($"doc_id",
+          size(split(lower($"text"), " ")).cast("long").as("n_tokens"))
+      val byQuality = Window.partitionBy($"cluster_rep")
+        .orderBy($"n_tokens".desc, $"doc_id".asc)
+      x28.run(s, dir)
+        .join(quality, "doc_id")
+        .withColumn("rn", row_number().over(byQuality))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy($"cluster_rep")))
+        .filter($"rn" === 1)
+        .select($"cluster_rep", $"doc_id".as("best_doc_id"),
+          $"n_tokens".as("best_tokens"), $"n_members")
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      lab AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        FROM reach GROUP BY src
+      ),
+      q AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      j AS (
+        SELECT lab.cluster_rep, lab.doc_id, q.n_tokens,
+          row_number() OVER (PARTITION BY cluster_rep
+                             ORDER BY n_tokens DESC, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members
+        FROM lab JOIN q USING (doc_id))
+      SELECT cluster_rep, doc_id AS best_doc_id, n_tokens AS best_tokens,
+        CAST(n_members AS BIGINT) AS n_members
+      FROM j WHERE rn = 1
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
-    x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39)
+    x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
+    x43)
 }

@@ -359,4 +359,102 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     all(out.map(r => r._2 < r._3)) shouldBe true
     all(out.map(_._4)) should be >= 400000L
   }
+
+  test("x40 BM25: higher tf ranks first at equal length; termless docs never score") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x40bm25").toString
+    // equal document length isolates the tf effect from length norm
+    def doc(sparkN: Int, filler: String) =
+      (Seq.fill(sparkN)("spark") ++ Seq.fill(20 - sparkN)(filler)).mkString(" ")
+    Seq(
+      (0L, doc(5, "pad")),  // tf=5
+      (1L, doc(1, "pad")),  // tf=1
+      (2L, doc(0, "pad")),  // no query term: must not appear
+      (3L, "vector " + doc(0, "fill").split(' ').drop(1).mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x40.run(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(0L, 1L, 3L) // doc 2 matches nothing
+    out(0L) should be > out(1L)         // tf monotonicity at equal dl
+    all(out.values) should be > 0L
+  }
+
+  test("x41 taxonomy: first matching rule wins in priority order; no match falls through") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x41tax").toString
+    Seq(
+      (0L, "a stream with a window over events"),        // streaming
+      (1L, "hash join build and probe sides"),           // join_engine
+      (2L, "stream only no win token plus join hash"),   // not streaming (no 'window') -> join_engine
+      (3L, "stream window but also vector and join hash"), // priority: streaming wins
+      (4L, "vector embeddings stored columnar"),         // vectors
+      (5L, "plain prose about nothing relevant"))        // other
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x41.run(s, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out shouldBe Map(
+      0L -> "streaming", 1L -> "join_engine", 2L -> "join_engine",
+      3L -> "streaming", 4L -> "vectors", 5L -> "other")
+  }
+
+  test("x42 chunking: full token coverage, correct stride, short tail") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x42chunk").toString
+    def toks(n: Int) = Seq.tabulate(n)(i => s"t$i").mkString(" ")
+    // boundary cases around C=16, S=12: exactly one chunk, one-past,
+    // exact two-chunk cover, and a straddling third
+    Seq((0L, toks(16)), (1L, toks(17)), (2L, toks(28)), (3L, toks(29)),
+        (4L, toks(3)))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x42.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    byDoc(0L).map(c => (c._3, c._4)) shouldBe Seq((1L, 16L))
+    byDoc(1L).map(c => (c._3, c._4)) shouldBe Seq((1L, 16L), (13L, 5L))
+    byDoc(2L).map(c => (c._3, c._4)) shouldBe Seq((1L, 16L), (13L, 16L))
+    byDoc(3L).map(c => (c._3, c._4)) shouldBe
+      Seq((1L, 16L), (13L, 16L), (25L, 5L))
+    byDoc(4L).map(c => (c._3, c._4)) shouldBe Seq((1L, 3L))
+    // coverage invariant: every token position of every doc falls in
+    // at least one [start, start+len) chunk interval
+    val lens = Map(0L -> 16L, 1L -> 17L, 2L -> 28L, 3L -> 29L, 4L -> 3L)
+    lens.foreach { case (id, n) =>
+      val covered = byDoc(id)
+        .flatMap(c => c._3 until (c._3 + c._4)).toSet
+      covered shouldBe (1L to n).toSet
+    }
+  }
+
+  test("x43 keep-best picks the longest cluster member, not the min id") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x43best").toString
+    val base = Seq.tabulate(40)(i => s"tok${i % 13} word$i").mkString(" ")
+    // three near-dups of increasing length: x36's min-id policy would
+    // keep doc 0; the quality policy must keep the LONGEST, doc 2
+    Seq(
+      (0L, base),
+      (1L, base + " extra tail"),
+      (2L, base + " extra tail plus more trailing tokens"),
+      (3L, Seq.tabulate(30)(j => s"u9t$j distinct$j").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x43.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.length shouldBe 1 // one cluster; the unrelated doc never clusters
+    val (rep, best, _, members) = out.head
+    rep shouldBe 0L       // label is still the min id
+    best shouldBe 2L      // keeper is the longest member
+    members shouldBe 3L
+  }
 }
