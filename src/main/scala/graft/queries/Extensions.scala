@@ -356,6 +356,26 @@ object Extensions {
     dot / when(na * nb > 0, na * nb)
   }
 
+  /** Native codegen'd cosine over RAW `array<float>` columns
+    * (functions/VecCosine planted via the plan bridge — no function
+    * registry needed, so it works in the plain Verify/Bench sessions).
+    * One fused pass, no intermediate arrays, whole-stage codegen —
+    * replaces [[cosine]]'s interpreted HOF chain in the pair-scoring
+    * hot loops (x05/x06/x13/x39), where the interpreted form measured
+    * ~10x slower (x39: 10.1 s warm → sub-second). Bit-parity with
+    * [[cosine]] on float inputs is pinned by VecCosineSpec: both
+    * accumulate left-to-right in double and divide dot by the sqrt
+    * product. Zero-norm gives NaN in the fused loop; the isnan guard
+    * maps it to NULL to match [[cosine]]'s when() semantics. [[cosine]]
+    * remains for DOUBLE-array call sites (x12's decimal-derived
+    * centroids), which VecCosine's float-only contract rejects. */
+  private def cosineF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftPlanBridge
+    val c = GraftPlanBridge.col(graft.functions.VecCosine(
+      GraftPlanBridge.expr(a), GraftPlanBridge.expr(b)))
+    when(!isnan(c), c)
+  }
+
   // ---------------------------------------------------------------------
   // x05 — brute-force cosine top-k over the embedding column: the exact
   // baseline every ANN variant is graded against. The query vector is a
@@ -365,11 +385,15 @@ object Extensions {
     "x05_cosine_topk_bruteforce",
     (s, dir) => {
       import s.implicits._
-      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
-      val qv = e.filter($"vec_id" === 0).select($"v".as("qv"))
+      // raw float vectors end-to-end: the fused native expression does
+      // the double-accumulated scoring in one codegen'd pass, and the
+      // broadcast ships 4-byte floats, not widened doubles
+      val e = emb(s, dir)
+      val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
       e.filter($"vec_id" =!= 0)
         .join(broadcast(qv))
-        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("cos_ppm",
+          round(lit(1e6) * cosineF($"embedding", $"qv")).cast("long"))
         .select($"vec_id", $"label", $"cos_ppm")
         .orderBy($"cos_ppm".desc, $"vec_id")
         .limit(50)
@@ -377,9 +401,9 @@ object Extensions {
     Some("""
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id, label,
-        CAST(round(1e6 * list_dot_product(embedding::DOUBLE[], q.qv) /
+        CAST(round(1e6 * (list_dot_product(embedding::DOUBLE[], q.qv) /
           (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-           sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_ppm
+           sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT) AS cos_ppm
       FROM embeddings, q
       WHERE vec_id <> 0
       ORDER BY cos_ppm DESC, vec_id
@@ -401,14 +425,14 @@ object Extensions {
       def bucket(v: Column): Column = concat(
         Seq(1, 17, 33, 49).map(i =>
           when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
-      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
-        .withColumn("bucket", bucket($"v"))
+      val e = emb(s, dir).withColumn("bucket", bucket($"embedding"))
       val q = e.filter($"vec_id" <= 2)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"bucket")
       val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
       e.join(broadcast(q), Seq("bucket"))
         .filter($"vec_id" =!= $"query_id")
-        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("cos_ppm",
+          round(lit(1e6) * cosineF($"embedding", $"qv")).cast("long"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 10)
         .select($"query_id", $"vec_id", $"cos_ppm", $"rank")
@@ -426,8 +450,8 @@ object Extensions {
         SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id <= 2
       ), scored AS (
         SELECT q.query_id, e.vec_id,
-          CAST(round(1e6 * list_dot_product(e.v, q.qv) /
-            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_ppm
+          CAST(round(1e6 * (list_dot_product(e.v, q.qv) /
+            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT) AS cos_ppm
         FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
       )
       SELECT query_id, vec_id, cos_ppm, rank FROM (
@@ -698,22 +722,21 @@ object Extensions {
       def bucket(v: Column, dims: Seq[Int]): Column = concat(
         dims.map(i =>
           when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
-      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
-        .withColumn("norm",
-          sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
-        .select($"vec_id", $"v", $"norm", explode(array(
+      // raw float vectors through the banded self-join (half the
+      // shuffle bytes of the double cast), scored by the fused native
+      // expression — norms fold into the single codegen'd pass instead
+      // of a precomputed column each side carries
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding", explode(array(
           X13Bands.zipWithIndex.map { case (dims, b) =>
-            struct(lit(b).as("band"), bucket($"v", dims).as("bucket")) }: _*)).as("bb"))
-        .select($"vec_id", $"v", $"norm",
+            struct(lit(b).as("band"), bucket($"embedding", dims).as("bucket")) }: _*)).as("bb"))
+        .select($"vec_id", $"embedding",
           $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
       e.as("a").join(e.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("keeper_id"), col("b.vec_id").as("dup_id"),
-          round(lit(1e6) * dot /
-            when(col("a.norm") * col("b.norm") > 0, col("a.norm") * col("b.norm")))
+          round(lit(1e6) * cosineF(col("a.embedding"), col("b.embedding")))
             .cast("long").as("cos_ppm"))
         .filter($"cos_ppm" >= 900000L)
         .distinct()  // a pair may collide in several bands — emit once
@@ -735,7 +758,7 @@ object Extensions {
       )
       SELECT DISTINCT keeper_id, dup_id, cos_ppm FROM (
         SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
-          CAST(round(1e6 * list_dot_product(a.v, b.v) / (a.norm * b.norm)) AS BIGINT) AS cos_ppm
+          CAST(round(1e6 * (list_dot_product(a.v, b.v) / (a.norm * b.norm))) AS BIGINT) AS cos_ppm
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cos_ppm >= 900000
@@ -891,11 +914,14 @@ object Extensions {
     * for the tiny-state collect pattern and determinism contract. */
   private def kmeansAssign2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // carries the RAW float embedding alongside the double working
+    // vector: the decimal determinism contract needs doubles, but x39's
+    // pair scoring wants the float array for the fused native cosine
     val e = emb(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"embedding", $"embedding".cast("array<double>").as("v"))
     val seeds: Array[Array[Double]] =
-      e.filter($"vec_id" < KmK).orderBy($"vec_id")
-        .collect().map(_.getSeq[Double](1).toArray)
+      e.filter($"vec_id" < KmK).orderBy($"vec_id").select($"v")
+        .collect().map(_.getSeq[Double](0).toArray)
     def dist2(c: Array[Double]): Column =
       aggregate(zip_with($"v", typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
@@ -1943,18 +1969,16 @@ object Extensions {
     "x39_semantic_dedup",
     (s, dir) => {
       import s.implicits._
-      val a = kmeansAssign2(s, dir)
-        .withColumn("norm",
-          sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)))
-        .select($"vec_id", $"v", $"norm", $"cluster")
-      val dot = aggregate(zip_with(col("x.v"), col("y.v"), (p, q) => p * q),
-        lit(0.0), (acc, v) => acc + v)
+      // float vectors through the cluster-blocked self-join, scored by
+      // the fused native cosine — the interpreted HOF dot product made
+      // this the bench's worst query (10 s warm at sf0.1; Σ|cluster|²
+      // pairs × an interpreted 64-element lambda chain each)
+      val a = kmeansAssign2(s, dir).select($"vec_id", $"embedding", $"cluster")
       a.as("x").join(a.as("y"),
           col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.cluster").as("cluster"),
           col("x.vec_id").as("keeper_id"), col("y.vec_id").as("dup_id"),
-          round(lit(1e6) * dot /
-            when(col("x.norm") * col("y.norm") > 0, col("x.norm") * col("y.norm")))
+          round(lit(1e6) * cosineF(col("x.embedding"), col("y.embedding")))
             .cast("long").as("cos_ppm"))
         .filter($"cos_ppm" >= 400000L)
         .orderBy($"keeper_id", $"dup_id")
@@ -1964,9 +1988,9 @@ object Extensions {
       n AS (SELECT vec_id, v, cluster,
               sqrt(list_dot_product(v, v)) AS norm FROM a2)
       SELECT x.cluster AS cluster, x.vec_id AS keeper_id, y.vec_id AS dup_id,
-        CAST(round(1e6 * list_dot_product(x.v, y.v) / (x.norm * y.norm)) AS BIGINT) AS cos_ppm
+        CAST(round(1e6 * (list_dot_product(x.v, y.v) / (x.norm * y.norm))) AS BIGINT) AS cos_ppm
       FROM n x JOIN n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      WHERE round(1e6 * list_dot_product(x.v, y.v) / (x.norm * y.norm)) >= 400000
+      WHERE round(1e6 * (list_dot_product(x.v, y.v) / (x.norm * y.norm))) >= 400000
       ORDER BY keeper_id, dup_id
     """))
 

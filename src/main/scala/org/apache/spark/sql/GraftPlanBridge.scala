@@ -12,4 +12,15 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression, so graft's native codegen'd expressions
+    * (functions.VecCosine, functions.CharStats) are usable from the
+    * DataFrame API in a PLAIN session — no SparkSessionExtensions
+    * function-registry install required (Verify/Bench run vanilla
+    * sessions). Same `private[sql]` surface the built-in functions
+    * object uses internally. */
+  def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
