@@ -1350,8 +1350,13 @@ object Extensions {
       val p = neardupPairs(s, dir).select($"doc_a", $"doc_b")
       val edges = p.union(p.select($"doc_b", $"doc_a"))
         .toDF("src", "dst").persist()
-      var labels = edges.select($"src".as("id")).distinct()
-        .withColumn("lbl", $"id").persist()
+      // seed each label at min(id, min neighbor) — the first
+      // propagation hop folded into the init groupBy, one fewer
+      // (join + agg + persist + sum) round in the loop below
+      var labels = edges
+        .groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("id"), least($"src", $"mn").as("lbl"))
+        .persist()
       // labels shrink monotonically; the label sum is a convergence
       // witness (strictly decreases until fixpoint)
       def lblSum(df: DataFrame): Long =
