@@ -2240,9 +2240,43 @@ object Extensions {
       FROM j WHERE rn = 1
     """))
 
+  // ---------------------------------------------------------------------
+  // x44 — heavy hitters via bounded SpaceSaving summaries
+  // (functions/SpaceSavingTopK, a native TypedImperativeAggregate):
+  // exact token frequency at 100 TB is an explode + groupBy — a
+  // corpus-sized shuffle of every token occurrence. The sketch keeps
+  // 64 counters per partition and merges them on the reduce side: one
+  // narrow pass, one 64-entry row per partition shuffled, constant
+  // memory. The fixture vocabulary (31 terms) is under capacity, so
+  // the summary is provably exact (every err = 0) and the exact-count
+  // DuckDB oracle is valid; SpaceSavingSpec pins the approximate
+  // regime's bounds where capacity < distinct.
+  val x44 = Q(
+    "x44_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val toks = docs(s, dir).select(split(lower($"text"), " ").as("toks"))
+      val agg = GraftPlanBridge.col(
+        graft.functions.SpaceSavingTopK(GraftPlanBridge.expr($"toks"), 64)
+          .toAggregateExpression())
+      toks.agg(agg.as("hh"))
+        .select(explode($"hh").as("h"))
+        .select($"h.term".as("term"), $"h.cnt".as("cnt"))
+        .orderBy($"cnt".desc, $"term")
+        .limit(10)
+    },
+    Some("""
+      WITH t AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY term
+      ORDER BY cnt DESC, term LIMIT 10
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43)
+    x43, x44)
 }
