@@ -2274,9 +2274,64 @@ object Extensions {
       ORDER BY cnt DESC, term LIMIT 10
     """))
 
+  // ---------------------------------------------------------------------
+  // x45 — bloom-prefiltered decontamination (functions/BloomFilters):
+  // x23's broadcast-set probe assumes the benchmark's exact shingle set
+  // fits in a broadcast — at 10^9 eval shingles it does not (tens of
+  // GB), but its bloom sketch at fpp 1% does (~1.2 GB; ~1.2 MB per 10^6
+  // keys). Build the sketch with one bounded-state aggregation over the
+  // eval slice (native TypedImperativeAggregate, bitwise-OR merge),
+  // collect it as control-plane state (same tier as x18's centroids),
+  // and probe map-side inside whole-stage codegen — the corpus's
+  // non-contaminated majority dies BEFORE any join. The exact confirm
+  // join that follows (false positives must not flag a doc) then runs
+  // over candidates only; broadcast here, keyed shuffle at a scale
+  // where even candidates are large. Net result is EXACT — bloom only
+  // prunes — which is what makes the plain-SQL overlap oracle valid.
+  val x45 = Q(
+    "x45_bloom_decontam",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val sh = persisted(s, "x45_sh", dir) {
+        docs(s, dir)
+          .select($"doc_id", split(lower($"text"), " ").as("toks"))
+          .select($"doc_id", explode(array_distinct(expr(TrigramExpr))).as("sh"))
+      }
+      val bench = sh.filter(pmod($"doc_id", lit(89)) === 0)
+        .select($"sh").distinct()
+      // sketch build: one narrow agg pass, one ~2.4 KB summary per
+      // partition merged on the driver (expectedItems sized for the
+      // fixture; a production pipeline sizes it from the eval suite)
+      val bloomAgg = GraftPlanBridge.col(
+        graft.functions.BloomFilterBuildAgg(
+          GraftPlanBridge.expr(xxhash64($"sh")), 2000L, 0.01)
+          .toAggregateExpression())
+      val bloomBytes = bench.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+      val probe = GraftPlanBridge.col(graft.functions.BloomMightContain(
+        GraftPlanBridge.expr(lit(bloomBytes)),
+        GraftPlanBridge.expr(xxhash64($"sh"))))
+      sh.filter(pmod($"doc_id", lit(89)) =!= 0)
+        .filter(probe) // map-side prune: no false negatives, so no loss
+        .join(broadcast(bench), "sh") // exact confirm kills false positives
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest($TrigramSql) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      ),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0)
+      SELECT s.doc_id, COUNT(*) AS n_hits
+      FROM sh s JOIN bench b ON s.sh = b.sh
+      WHERE s.doc_id % 89 <> 0
+      GROUP BY s.doc_id
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43, x44)
+    x43, x44, x45)
 }
