@@ -2329,9 +2329,146 @@ object Extensions {
       GROUP BY s.doc_id
     """))
 
+  // ---------------------------------------------------------------------
+  // x46 — bigram-LM quality scoring (the CCNet/RedPajama "perplexity
+  // filter" shape [Wenzek et al., "CCNet: Extracting high quality
+  // monolingual datasets from web crawl data", LREC 2020]: score each
+  // document by how predictable its token sequence is under a language
+  // model trained on the corpus itself — boilerplate and fluent text
+  // score high, gibberish and mis-extracted markup score low). The LM
+  // here is the corpus's own bigram table; the score is the mean
+  // conditional probability P(w2|w1) = c(w1 w2)/c(w1 ·) over the doc's
+  // bigrams, in ppm fixed-point (x40's determinism trick: a real LM's
+  // log-prob sum differs in final-ulp across libm builds, so every step
+  // is BIGINT multiply + floor-div, bit-identical in Spark `div` and
+  // DuckDB `//`; the fixed-point mean is monotone in the same direction
+  // as the per-bigram probability mass).
+  //
+  // Scale shape: the bigram stream is a narrow map (slice + zip_with —
+  // no per-row UDF); its two count tables are vocab²- and vocab-sized,
+  // orders smaller than the corpus, so they BROADCAST back onto the
+  // stream (at web-corpus vocab sizes the c2 join falls back to a
+  // hash-keyed shuffle — Catalyst's threshold decides, the plan shape
+  // is the same). One keyed aggregation per count table, one final
+  // per-doc aggregation: three shuffles total, all hash-keyed, none
+  // corpus²-sized.
+  val x46 = Q(
+    "x46_bigram_lm_quality",
+    (s, dir) => {
+      import s.implicits._
+      val bi = persisted(s, "x46_bigrams", dir) {
+        docs(s, dir)
+          .select($"doc_id", split(lower($"text"), " ").as("toks"))
+          .withColumn("n", size($"toks"))
+          .filter($"n" >= 2)
+          .select($"doc_id",
+            explode(zip_with(
+              slice($"toks", lit(1), $"n" - lit(1)),
+              slice($"toks", lit(2), $"n" - lit(1)),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      }
+      val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      bi.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .withColumn("p_ppm", expr("(1000000L * c2) div c1"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("avg_p_ppm"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      b2 AS (SELECT doc_id, t, len(t) AS n FROM b WHERE len(t) >= 2),
+      p AS (SELECT doc_id, unnest(t[1:n-1]) AS w1, unnest(t[2:n]) AS w2
+            FROM b2),
+      c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+             FROM p GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM p GROUP BY w1),
+      sc AS (SELECT p.doc_id, (1000000 * c2.c2) // c1.c1 AS p_ppm
+             FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS avg_p_ppm
+      FROM sc GROUP BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x47 — per-source length quantiles via a bounded mergeable sketch
+  // (functions/QuantileSketch, deterministic KLL): exact per-group
+  // percentiles at 100 TB require sorting every group; the sketch keeps
+  // ~capacity·log2(n/capacity) longs per partition and merges summaries
+  // on the reduce side — the percentile_approx shape, built native so
+  // it runs with partial/final split inside the standard aggregate
+  // path. Fixture groups (≤250 docs) sit far under capacity 1024, so
+  // no compaction ever fires and the reported quantiles are EXACTLY
+  // the nearest-rank-below order statistics — which is what makes the
+  // DuckDB row_number oracle valid. QuantileSketchSpec pins the
+  // compacted regime (n » capacity) to its rank-error bound.
+  val x47 = Q(
+    "x47_quantile_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val agg = GraftPlanBridge.col(
+        graft.functions.QuantileSketch(
+          GraftPlanBridge.expr($"n_chars"), 1024,
+          Seq(500000L, 900000L, 990000L))
+          .toAggregateExpression())
+      docs(s, dir).groupBy($"source")
+        .agg(agg.as("qs"))
+        .select($"source", $"qs".getItem(0).as("p50"),
+          $"qs".getItem(1).as("p90"), $"qs".getItem(2).as("p99"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source,
+        MAX(CASE WHEN rn = (500000 * (n-1)) // 1000000 + 1 THEN v END) AS p50,
+        MAX(CASE WHEN rn = (900000 * (n-1)) // 1000000 + 1 THEN v END) AS p90,
+        MAX(CASE WHEN rn = (990000 * (n-1)) // 1000000 + 1 THEN v END) AS p99
+      FROM o GROUP BY source
+    """))
+
+  // ---------------------------------------------------------------------
+  // x48 — deterministic per-source uniform sample via bottom-k-by-hash
+  // (the "consistent sampling" pattern: a salted md5 assigns every doc
+  // a pseudo-random rank, the k smallest per group win — reproducible
+  // across runs AND across engines, unlike rand()-based sampling).
+  // Rides graft's own per-key top-k physical operator
+  // (plans/TopKPerKeyExec via ops/TopK.perKeyPlanned): partition-local
+  // bounded heaps, shuffle ≤ k·keys·partitions rows, per-key merge —
+  // the window form this replaces shuffles and sorts the ENTIRE corpus
+  // to keep 5 rows per source. Same rationale as q09/q20's top-k, here
+  // powering the sampling stage of a curation pipeline.
+  val x48 = Q(
+    "x48_bottomk_sample",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir)
+        .select($"source", $"doc_id")
+        .withColumn("h", md5(concat_ws(":", lit("x48"), $"doc_id")))
+      graft.ops.TopK.perKeyPlanned(
+          base, Seq("source"), Seq(("h", true), ("doc_id", true)), 5)
+        .select($"source", $"doc_id", $"h")
+    },
+    Some("""
+      WITH h AS (
+        SELECT source, doc_id,
+          md5('x48:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      r AS (SELECT source, doc_id, h,
+              row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+            FROM h)
+      SELECT source, doc_id, h FROM r WHERE rn <= 5
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45)
+    x43, x44, x45, x46, x47, x48)
 }

@@ -457,4 +457,42 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     best shouldBe 2L      // keeper is the longest member
     members shouldBe 3L
   }
+
+  test("x46 bigram-LM scores match hand-computed conditional ppm") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x46lm").toString
+    // corpus bigrams: (a,b) twice, (a,c) once → c1(a) = 3
+    Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Extensions.x46.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // P(b|a) = 2/3 → 666666 ppm; P(c|a) = 1/3 → 333333 ppm
+    out shouldBe Set((0L, 1L, 666666L), (1L, 1L, 666666L), (2L, 1L, 333333L))
+  }
+
+  test("x47 per-source quantiles are the exact nearest-rank order statistics") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x47q").toString
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 100).map { i =>
+      val src = s"src${i % 2}"
+      (i.toLong, s"doc $i", "en", src, rnd.nextInt(5000).toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val expect = rows.groupBy(_._4).map { case (src, rs) =>
+      val sorted = rs.map(_._5).sorted
+      val n = sorted.size
+      def q(ppm: Long) = sorted((ppm * (n - 1) / 1000000L).toInt)
+      src -> ((q(500000L), q(900000L), q(990000L)))
+    }
+    val got = Extensions.x47.run(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe expect
+  }
 }
