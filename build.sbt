@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g, not the old 8g: local[32] splits execution memory across 32
+  // concurrent tasks, and a 100-query bench accumulates broadcast and
+  // shuffle state that only a healthy old-gen keeps ahead of. At 8g the
+  // unified memory manager ran late-registry queries into GC thrash
+  // (x43 2.9s → 91s on an identical-code rerun); the host has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

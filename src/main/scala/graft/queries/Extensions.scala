@@ -2466,9 +2466,103 @@ object Extensions {
       SELECT source, doc_id, h FROM r WHERE rn <= 5
     """))
 
+  // ---------------------------------------------------------------------
+  // x49 — per-user event-sequence assembly (the trajectory/dialogue
+  // construction step of a training-data pipeline: gather a user's
+  // events in time order into one training example). One keyed shuffle
+  // on user_id; the in-group order is imposed by sort_array over a
+  // (time, event_id, type) struct — collect_list alone is
+  // partition-order-dependent and would fail any determinism check,
+  // the same trap as rand() sampling. Sequence surfaces as a joined
+  // string (q24's array-flatten trick) so the driver hash-compares a
+  // scalar. Ties: both engines order by the MICROSECOND-truncated
+  // timestamp (Tables.load truncates Spark's nanos the same way) with
+  // event_id as the unambiguous tie-break.
+  val x49 = Q(
+    "x49_event_sequences",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("tus"))
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct($"tus", $"event_id", $"event_type"))),
+            e => e.getField("event_type"))).as("seq"))
+    },
+    Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY user_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x50 — corpus report card: one aggregation pass per source combining
+  // both native sketch aggregates — QuantileSketch (p50/p90 length) and
+  // SpaceSavingTopK (top-3 tokens) — alongside plain counts. The point
+  // is composability: TypedImperativeAggregates ride the standard
+  // partial/final aggregate path, so N sketches in one groupBy cost ONE
+  // shuffle of bounded summaries, where the naive report (a window
+  // rank for top tokens + a percentile sort + a distinct count) costs
+  // three corpus-sized shuffles. Both sketches run in their exact
+  // regimes at fixture scale (distinct tokens per source ≤ 31 « 64,
+  // docs per source ≤ 250 « 1024), keeping the SQL oracle valid.
+  val x50 = Q(
+    "x50_corpus_report",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val base = docs(s, dir)
+        .select($"source", $"n_chars",
+          split(lower($"text"), " ").as("toks"))
+      val quant = GraftPlanBridge.col(
+        graft.functions.QuantileSketch(
+          GraftPlanBridge.expr($"n_chars"), 1024, Seq(500000L, 900000L))
+          .toAggregateExpression())
+      val heavy = GraftPlanBridge.col(
+        graft.functions.SpaceSavingTopK(GraftPlanBridge.expr($"toks"), 64)
+          .toAggregateExpression())
+      base.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          quant.as("qs"), heavy.as("hh"))
+        .select($"source", $"n_docs",
+          $"qs".getItem(0).as("p50_chars"), $"qs".getItem(1).as("p90_chars"),
+          concat_ws(",",
+            transform(slice($"hh", 1, 3), h => h.getField("term")))
+            .as("top_terms"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+      quant AS (
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+          MAX(CASE WHEN rn = (500000 * (n-1)) // 1000000 + 1 THEN v END) AS p50_chars,
+          MAX(CASE WHEN rn = (900000 * (n-1)) // 1000000 + 1 THEN v END) AS p90_chars
+        FROM q GROUP BY source),
+      tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tc AS (
+        SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term),
+      tr AS (
+        SELECT source, term,
+          row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rk
+        FROM tc),
+      top AS (
+        SELECT source, string_agg(term, ',' ORDER BY rk) AS top_terms
+        FROM tr WHERE rk <= 3 GROUP BY source)
+      SELECT quant.source, n_docs, p50_chars, p90_chars, top_terms
+      FROM quant JOIN top ON quant.source = top.source
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x48)
+    x43, x44, x45, x46, x47, x48, x49, x50)
 }

@@ -473,6 +473,27 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     out shouldBe Set((0L, 1L, 666666L), (1L, 1L, 666666L), (2L, 1L, 333333L))
   }
 
+  test("x49 sequences are time-ordered with event_id tie-break, partition-order independent") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x49seq").toString
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // user 1: c(t=3), a(t=1), b(t=2) → "a,b,c"; user 2: two events at the
+    // SAME instant — event_id must break the tie → "x,y"
+    val rows = Seq(
+      (30L, ts(3), 1L, "c", 0.0, "{}"),
+      (10L, ts(1), 1L, "a", 0.0, "{}"),
+      (20L, ts(2), 1L, "b", 0.0, "{}"),
+      (42L, ts(5), 2L, "y", 0.0, "{}"),
+      (41L, ts(5), 2L, "x", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(7) // scramble physical order: output must not care
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Extensions.x49.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    got shouldBe Set((1L, 3L, "a,b,c"), (2L, 2L, "x,y"))
+  }
+
   test("x47 per-source quantiles are the exact nearest-rank order statistics") {
     val s = spark
     import s.implicits._
