@@ -99,7 +99,10 @@ case class QuantileSketch(
     val sorted = items.sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
     val out = probsPpm.map { p =>
-      val target = p * (total - 1) / 1000000L // floor: nearest-rank-below
+      // BigInt: p*(total-1) overflows Long past ~9.3e12 items (well
+      // inside the 100 TB regime), which would wrap negative and make
+      // every quantile silently report the group minimum
+      val target = (BigInt(p) * (total - 1) / 1000000L).toLong // floor: nearest-rank-below
       var cum = 0L
       var i = 0
       var res = sorted.last._1

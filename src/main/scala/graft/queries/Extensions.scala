@@ -2345,13 +2345,17 @@ object Extensions {
   // as the per-bigram probability mass).
   //
   // Scale shape: the bigram stream is a narrow map (slice + zip_with —
-  // no per-row UDF); its two count tables are vocab²- and vocab-sized,
-  // orders smaller than the corpus, so they BROADCAST back onto the
-  // stream (at web-corpus vocab sizes the c2 join falls back to a
-  // hash-keyed shuffle — Catalyst's threshold decides, the plan shape
-  // is the same). One keyed aggregation per count table, one final
-  // per-doc aggregation: three shuffles total, all hash-keyed, none
-  // corpus²-sized.
+  // no per-row UDF). The bigram count table c2 aggregates it once
+  // (keyed shuffle); the prefix table c1 then derives from c2 by a
+  // second vocab²-bounded aggregation — NOT a second pass over the
+  // corpus-sized stream. Joining the counts back: c1 is vocab-sized
+  // and carries an explicit broadcast hint; c2 is observed-bigram-sized
+  // (can reach billions of rows on a web corpus), so it gets NO hint —
+  // a forced broadcast would bypass the size threshold and OOM at
+  // exactly the scale this file designs for; AQE converts the join to
+  // a broadcast at runtime whenever c2's actual size allows (it always
+  // does at fixture scale). Two corpus-sized shuffles total (c2 build +
+  // final per-doc aggregation), everything else vocab-bounded.
   val x46 = Q(
     "x46_bigram_lm_quality",
     (s, dir) => {
@@ -2369,8 +2373,8 @@ object Extensions {
           .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
       }
       val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      bi.join(broadcast(c2), Seq("w1", "w2"))
+      val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+      bi.join(c2, Seq("w1", "w2"))
         .join(broadcast(c1), Seq("w1"))
         .withColumn("p_ppm", expr("(1000000L * c2) div c1"))
         .groupBy($"doc_id")
