@@ -2564,9 +2564,106 @@ object Extensions {
       FROM quant JOIN top ON quant.source = top.source
     """))
 
+  // ---------------------------------------------------------------------
+  // x51 — vocab-id tokenization with OOV bucketing (the "apply the
+  // tokenizer" stage): assign ids 1..16 to the corpus's top tokens by
+  // frequency (rank order, term tie-break — the deterministic analogue
+  // of a trained vocab), map every token to its id or 0 for
+  // out-of-vocabulary, and emit each doc's id sequence as a
+  // fingerprint plus OOV telemetry. Fully declarative — the vocab is a
+  // 16-row aggregate that BROADCASTS (16, not 32: the fixture corpus
+  // has 31 distinct tokens, and a vocab covering all of them would
+  // leave the OOV branch forever untested); no driver-side collect, no map
+  // literal. Order restoration after the explode is the q24/x49
+  // pattern: posexplode carries the position, sort_array over
+  // (pos, id) structs rebuilds the sequence deterministically. Two
+  // corpus-sized keyed shuffles (vocab count + per-doc reassembly);
+  // the probe join is broadcast.
+  val x51 = Q(
+    "x51_vocab_tokenize",
+    (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "t")))
+      // top-16 via orderBy+limit → TakeOrderedAndProject (bounded heap
+      // per partition), NOT a global rank window over the whole
+      // vocabulary; the id-assigning window then runs over 16 rows
+      val vocab = tok.groupBy($"t").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"t").limit(16)
+        .select($"t", row_number().over(
+          Window.orderBy($"cnt".desc, $"t")).as("id"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .withColumn("id", coalesce($"id", lit(0)).cast("long"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"id" === 0L, 1L).otherwise(0L)).as("n_oov"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct($"pos", $"id"))),
+            e => e.getField("id")))).as("ids_fp"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      tok AS (
+        SELECT doc_id,
+          unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS t
+        FROM b),
+      vocab AS (
+        SELECT t, id FROM (
+          SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) AS id
+          FROM tok GROUP BY t)
+        WHERE id <= 16),
+      m AS (
+        SELECT tok.doc_id, tok.pos,
+          CAST(COALESCE(vocab.id, 0) AS BIGINT) AS id
+        FROM tok LEFT JOIN vocab ON tok.t = vocab.t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+      FROM m GROUP BY doc_id
+    """))
+
+  // ---------------------------------------------------------------------
+  // x52 — padding-waste audit for length-bucketed batch shaping: pad
+  // every doc's token count up to the next multiple of 64 (the
+  // fixed-length batching a training job does) and report, per bucket,
+  // how many tokens the padding burns. Complements x33 (which PACKS
+  // sequences to avoid exactly this waste) with the measurement side.
+  // Integer arithmetic only — the power-of-2 variant needs log2/pow,
+  // which drift across libm builds; ceil-to-multiple is
+  // ((n+63) div 64)*64 in both engines exactly. Narrow map + one
+  // keyed aggregation: one shuffle of bucket-grain rows.
+  val x52 = Q(
+    "x52_padding_waste",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("n"))
+        .withColumn("bucket", expr("((n + 63) div 64) * 64"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").as("real_tokens"),
+          sum($"bucket" - $"n").as("pad_tokens"))
+        .withColumn("waste_ppm",
+          expr("(1000000L * pad_tokens) div (real_tokens + pad_tokens)"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        FROM documents),
+      p AS (SELECT doc_id, n, ((n + 63) // 64) * 64 AS bucket FROM b)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS real_tokens,
+        CAST(SUM(bucket - n) AS BIGINT) AS pad_tokens,
+        (1000000 * CAST(SUM(bucket - n) AS BIGINT))
+          // CAST(SUM(bucket) AS BIGINT) AS waste_ppm
+      FROM p GROUP BY bucket
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x48, x49, x50)
+    x43, x44, x45, x46, x47, x48, x49, x50, x51, x52)
 }
