@@ -10,18 +10,28 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Mergeable quantile summary over a LongType column — the KLL
+/** Mergeable quantile summaries over a LongType column — the KLL
   * compactor scheme [Karnin, Lang, Liberty, "Optimal quantile
   * approximation in streams", FOCS 2016] with DETERMINISTIC compaction
   * (keep the odd-indexed half of each sorted buffer) instead of the
   * paper's coin flip, so identical inputs always produce identical
   * summaries and the driver's hash-compare stays valid.
   *
+  * Three aggregate forms share one compactor ([[QuantileSketch.Buffer]]):
+  *   - [[QuantileSketch]]       values → quantiles (the batch x47/x50 form)
+  *   - [[QuantileSketchBytes]]  values → serialized summary (build side of
+  *                              an incremental store — streaming.
+  *                              StreamingQuantileStore persists one
+  *                              summary per (grain, micro-batch))
+  *   - [[QuantileSketchMerge]]  serialized summaries → quantiles (read
+  *                              side: roll stored summaries up to any
+  *                              coarser grain without rescanning data)
+  *
   * The scale story: exact per-group percentiles at 100 TB need a full
   * sort of every group (percentile_approx exists for exactly this
-  * reason). This aggregate keeps a bounded summary — `capacity` longs
+  * reason). These aggregates keep a bounded summary — `capacity` longs
   * per level, ~capacity·log2(n/capacity) total — per partition and
-  * merges summaries on the reduce side: one narrow pass, constant
+  * merge summaries on the reduce side: one narrow pass, constant
   * memory, partial/final split like any built-in aggregate.
   *
   * Exactness contract (what makes a DuckDB oracle valid): compaction
@@ -29,7 +39,7 @@ import org.apache.spark.sql.types._
   * total count stays ≤ capacity every item survives at weight 1 and
   * the reported quantiles are EXACTLY the nearest-rank-below order
   * statistics: rank r = (p_ppm · (n-1)) div 1e6 of the ascending sort.
-  * The graded query runs in that regime (fixture groups ≤ 250 «
+  * The graded queries run in that regime (fixture groups ≤ 250 «
   * capacity 1024); QuantileSketchSpec pins the compacted regime's
   * rank-error bound where n » capacity.
   *
@@ -37,47 +47,157 @@ import org.apache.spark.sql.types._
   * arithmetic stays in integer space end-to-end, so there is no float
   * rounding to drift between engines.
   */
+sealed trait QuantileSketchAgg extends TypedImperativeAggregate[QuantileSketch.Buffer] {
+  def child: Expression
+  def capacity: Int
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): QuantileSketch.Buffer =
+    new QuantileSketch.Buffer(ArrayBuffer(ArrayBuffer.empty[Long]))
+
+  override def merge(buf: QuantileSketch.Buffer, other: QuantileSketch.Buffer): QuantileSketch.Buffer =
+    QuantileSketch.mergeInto(buf, other, capacity)
+
+  override def serialize(buf: QuantileSketch.Buffer): Array[Byte] =
+    QuantileSketch.toBytes(buf)
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketch.Buffer =
+    QuantileSketch.fromBytes(bytes)
+}
+
+/** values → quantiles: the direct per-group percentile aggregate. */
 case class QuantileSketch(
     child: Expression,
     capacity: Int,
     probsPpm: Seq[Long],
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[QuantileSketch.Buffer] {
+  extends QuantileSketchAgg {
 
   require(capacity >= 8, "quantile_sketch capacity must be >= 8")
   require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0L && p <= 1000000L),
     "quantile probabilities must be ppm values in [0, 1000000]")
 
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def createAggregationBuffer(): QuantileSketch.Buffer =
-    new QuantileSketch.Buffer(ArrayBuffer(ArrayBuffer.empty[Long]))
 
   override def update(buf: QuantileSketch.Buffer, input: InternalRow): QuantileSketch.Buffer = {
     val v = child.eval(input)
-    if (v != null) {
-      buf.levels(0) += v.asInstanceOf[Long]
-      // cascade: compacting level l can overflow level l+1
-      var l = 0
-      while (l < buf.levels.length) {
-        if (buf.levels(l).length > capacity) buf.compact(l, capacity)
-        l += 1
-      }
-    }
+    if (v != null) QuantileSketch.insert(buf, v.asInstanceOf[Long], capacity)
     buf
   }
 
-  override def merge(buf: QuantileSketch.Buffer, other: QuantileSketch.Buffer): QuantileSketch.Buffer = {
-    var i = 0
-    while (i < other.levels.length) {
-      while (buf.levels.length <= i) buf.levels += ArrayBuffer.empty[Long]
-      buf.levels(i) ++= other.levels(i)
-      i += 1
+  override def eval(buf: QuantileSketch.Buffer): Any =
+    QuantileSketch.evalQuantiles(buf, probsPpm)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketch =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "quantile_sketch"
+}
+
+/** values → serialized summary (BinaryType). The build side of an
+  * incremental quantile store: a summary is mergeable later via
+  * [[QuantileSketchMerge]], so per-micro-batch summaries compose into
+  * any rollup without rescanning the stream. */
+case class QuantileSketchBytes(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends QuantileSketchAgg {
+
+  require(capacity >= 8, "quantile_sketch capacity must be >= 8")
+
+  override def dataType: DataType = BinaryType
+
+  override def update(buf: QuantileSketch.Buffer, input: InternalRow): QuantileSketch.Buffer = {
+    val v = child.eval(input)
+    if (v != null) QuantileSketch.insert(buf, v.asInstanceOf[Long], capacity)
+    buf
+  }
+
+  override def eval(buf: QuantileSketch.Buffer): Any = QuantileSketch.toBytes(buf)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchBytes =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "quantile_sketch_bytes"
+}
+
+/** serialized summaries (BinaryType column) → quantiles. The read side:
+  * sketch union over a summary table, never the raw data. */
+case class QuantileSketchMerge(
+    child: Expression,
+    capacity: Int,
+    probsPpm: Seq[Long],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends QuantileSketchAgg {
+
+  require(capacity >= 8, "quantile_sketch capacity must be >= 8")
+  require(probsPpm.nonEmpty && probsPpm.forall(p => p >= 0L && p <= 1000000L),
+    "quantile probabilities must be ppm values in [0, 1000000]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def update(buf: QuantileSketch.Buffer, input: InternalRow): QuantileSketch.Buffer = {
+    val v = child.eval(input)
+    if (v != null)
+      QuantileSketch.mergeInto(buf,
+        QuantileSketch.fromBytes(v.asInstanceOf[Array[Byte]]), capacity)
+    buf
+  }
+
+  override def eval(buf: QuantileSketch.Buffer): Any =
+    QuantileSketch.evalQuantiles(buf, probsPpm)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchMerge =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "quantile_sketch_merge"
+}
+
+object QuantileSketch {
+  /** Levelled compactor state. Level i holds items of weight 2^i. */
+  final class Buffer(val levels: ArrayBuffer[ArrayBuffer[Long]]) {
+    /** Deterministic KLL compaction of level l: sort, push the
+      * odd-indexed half (weight doubles) up a level; an odd leftover
+      * item stays at level l so no weight is ever lost or invented. */
+    def compact(l: Int, capacity: Int): Unit = {
+      val lvl = levels(l)
+      val sorted = lvl.sorted
+      val even = sorted.length - (sorted.length % 2)
+      val promoted = ArrayBuffer.empty[Long]
+      var i = 1
+      while (i < even) { promoted += sorted(i); i += 2 }
+      lvl.clear()
+      if (even < sorted.length) lvl += sorted(sorted.length - 1)
+      if (levels.length <= l + 1) levels += ArrayBuffer.empty[Long]
+      levels(l + 1) ++= promoted
     }
-    // cascade any overflow bottom-up so a chain of merges stays bounded
+  }
+
+  /** Insert one value, cascading compaction (compacting level l can
+    * overflow level l+1). */
+  def insert(buf: Buffer, v: Long, capacity: Int): Buffer = {
+    buf.levels(0) += v
     var l = 0
     while (l < buf.levels.length) {
       if (buf.levels(l).length > capacity) buf.compact(l, capacity)
@@ -86,7 +206,25 @@ case class QuantileSketch(
     buf
   }
 
-  override def eval(buf: QuantileSketch.Buffer): Any = {
+  /** Merge `other` into `buf` levelwise, cascading compaction. */
+  def mergeInto(buf: Buffer, other: Buffer, capacity: Int): Buffer = {
+    var i = 0
+    while (i < other.levels.length) {
+      while (buf.levels.length <= i) buf.levels += ArrayBuffer.empty[Long]
+      buf.levels(i) ++= other.levels(i)
+      i += 1
+    }
+    var l = 0
+    while (l < buf.levels.length) {
+      if (buf.levels(l).length > capacity) buf.compact(l, capacity)
+      l += 1
+    }
+    buf
+  }
+
+  /** Weighted nearest-rank-below order statistics at each ppm
+    * probability; null for an empty summary. */
+  def evalQuantiles(buf: Buffer, probsPpm: Seq[Long]): Any = {
     // weighted order statistics: item at level l carries weight 2^l
     val items = ArrayBuffer.empty[(Long, Long)]
     var l = 0
@@ -117,7 +255,7 @@ case class QuantileSketch(
     new GenericArrayData(out.toArray[Any])
   }
 
-  override def serialize(buf: QuantileSketch.Buffer): Array[Byte] = {
+  def toBytes(buf: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.levels.length)
@@ -129,7 +267,7 @@ case class QuantileSketch(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): QuantileSketch.Buffer = {
+  def fromBytes(bytes: Array[Byte]): Buffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val nLevels = in.readInt()
     val levels = ArrayBuffer.empty[ArrayBuffer[Long]]
@@ -143,37 +281,6 @@ case class QuantileSketch(
       i += 1
     }
     if (levels.isEmpty) levels += ArrayBuffer.empty[Long]
-    new QuantileSketch.Buffer(levels)
-  }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): QuantileSketch =
-    copy(child = newChildren.head)
-
-  override def prettyName: String = "quantile_sketch"
-}
-
-object QuantileSketch {
-  /** Levelled compactor state. Level i holds items of weight 2^i. */
-  final class Buffer(val levels: ArrayBuffer[ArrayBuffer[Long]]) {
-    /** Deterministic KLL compaction of level l: sort, push the
-      * odd-indexed half (weight doubles) up a level; an odd leftover
-      * item stays at level l so no weight is ever lost or invented. */
-    def compact(l: Int, capacity: Int): Unit = {
-      val lvl = levels(l)
-      val sorted = lvl.sorted
-      val even = sorted.length - (sorted.length % 2)
-      val promoted = ArrayBuffer.empty[Long]
-      var i = 1
-      while (i < even) { promoted += sorted(i); i += 2 }
-      lvl.clear()
-      if (even < sorted.length) lvl += sorted(sorted.length - 1)
-      if (levels.length <= l + 1) levels += ArrayBuffer.empty[Long]
-      levels(l + 1) ++= promoted
-    }
+    new Buffer(levels)
   }
 }
