@@ -2661,9 +2661,41 @@ object Extensions {
       FROM p GROUP BY bucket
     """))
 
+  // ---------------------------------------------------------------------
+  // x53 — shared-prefix boilerplate detection: documents opening with
+  // the same first-5-token prefix are flagged as boilerplate-headed
+  // (site templates, license headers, scraped navigation — the
+  // paragraph-level cleanup pass that whole-document dedup never
+  // catches because the BODIES differ). One keyed aggregation on the
+  // prefix + one keyed join back; the prefix key is bounded (5 tokens)
+  // so the shuffle payload per row is constant regardless of document
+  // size — at 100 TB this is two hash shuffles of (id, small-key)
+  // pairs, never of document text.
+  val x53 = Q(
+    "x53_boilerplate_prefix",
+    (s, dir) => {
+      import s.implicits._
+      val p = docs(s, dir).select($"doc_id",
+        concat_ws(" ", slice(split(lower($"text"), " "), 1, 5)).as("pk"))
+      val c = p.groupBy($"pk").agg(count(lit(1)).as("shared_by"))
+      p.join(c, "pk")
+        .select($"doc_id", $"shared_by",
+          when($"shared_by" >= 3, 1L).otherwise(0L).as("is_boiler"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      p AS (SELECT doc_id, array_to_string(t[1:5], ' ') AS pk FROM b),
+      c AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS shared_by
+            FROM p GROUP BY pk)
+      SELECT doc_id, shared_by,
+        CAST(CASE WHEN shared_by >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_boiler
+      FROM p JOIN c USING (pk)
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x48, x49, x50, x51, x52)
+    x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
 }
