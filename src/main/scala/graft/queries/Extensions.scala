@@ -2693,9 +2693,398 @@ object Extensions {
       FROM p JOIN c USING (pk)
     """))
 
+  // ---------------------------------------------------------------------
+  // x54 — corpus snapshot diff: the incremental-ingestion audit a crawl
+  // pipeline runs daily ("what changed between yesterday's snapshot and
+  // today's?"). Two snapshot views of the corpus (deterministic doc_id
+  // slices standing in for two crawl dates; the old side fingerprints
+  // raw text, the new side the normalized form — so "changed" captures
+  // exactly the docs the cleaning pass rewrites), full-outer joined on
+  // doc_id and classified added / removed / changed / unchanged. At
+  // 100 TB this is ONE keyed shuffle of (id, 32-byte fingerprint)
+  // pairs — never of document text — and the classification is a
+  // narrow map over the join output.
+  val x54 = Q(
+    "x54_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val old = d.filter(pmod($"doc_id", lit(10)) =!= 0)
+        .select($"doc_id", $"source".as("source_old"),
+          sha2($"text", 256).as("fp_old"))
+      val nw = d.filter(pmod($"doc_id", lit(10)) =!= 1)
+        .select($"doc_id", $"source".as("source_new"),
+          Q.normFingerprint($"text").as("fp_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(coalesce($"source_old", $"source_new").as("source"),
+          when($"fp_old".isNull, "added")
+            .when($"fp_new".isNull, "removed")
+            .when($"fp_old" === $"fp_new", "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy($"source", $"status")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH old AS (
+        SELECT doc_id, source, sha256(text) AS fp
+        FROM documents WHERE doc_id % 10 <> 0),
+      nw AS (
+        SELECT doc_id, source,
+          sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 10 <> 1)
+      SELECT COALESCE(old.source, nw.source) AS source,
+        CASE WHEN old.fp IS NULL THEN 'added'
+             WHEN nw.fp IS NULL THEN 'removed'
+             WHEN old.fp = nw.fp THEN 'unchanged'
+             ELSE 'changed' END AS status,
+        COUNT(*) AS n
+      FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+      GROUP BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
+  // x55 — robust outlier trim: drop documents outside the per-source
+  // [p05, p95] length band — the standard "cut the truncated fragments
+  // and the concatenation monsters" pass before training. The bounds
+  // come from the native QuantileSketch aggregate (exact regime at
+  // fixture scale: capacity 1024 ≥ any source's row count at sf0.01,
+  // mirrored by the oracle's rank formula), so the plan is one partial
+  // aggregation to a per-source sketch row + a BROADCAST join back —
+  // no per-source global sort of the corpus, which is what a window
+  // percent_rank would cost at 100 TB.
+  val x55 = Q(
+    "x55_outlier_trim",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val d = docs(s, dir).select($"source", $"n_chars")
+      val qs = GraftPlanBridge.col(
+        graft.functions.QuantileSketch(
+          GraftPlanBridge.expr($"n_chars"), 1024, Seq(50000L, 950000L))
+          .toAggregateExpression())
+      val bounds = d.groupBy($"source").agg(qs.as("b"))
+        .select($"source", $"b".getItem(0).as("lo"), $"b".getItem(1).as("hi"))
+      d.join(broadcast(bounds), "source")
+        .groupBy($"source", $"lo", $"hi")
+        .agg(
+          sum(when($"n_chars".between($"lo", $"hi"), 1L).otherwise(0L))
+            .as("kept"),
+          sum(when($"n_chars".between($"lo", $"hi"), 0L).otherwise(1L))
+            .as("dropped"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+      b AS (
+        SELECT source,
+          MAX(CASE WHEN rn = (50000 * (n-1)) // 1000000 + 1 THEN v END) AS lo,
+          MAX(CASE WHEN rn = (950000 * (n-1)) // 1000000 + 1 THEN v END) AS hi
+        FROM q GROUP BY source)
+      SELECT d.source, b.lo, b.hi,
+        CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                 THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+      FROM documents d JOIN b ON d.source = b.source
+      GROUP BY d.source, b.lo, b.hi
+    """))
+
+  // ---------------------------------------------------------------------
+  // x56 — equi-depth decile histogram: ntile(10) semantics WITHOUT the
+  // global sort ntile costs (a single-partition window over the whole
+  // corpus — the canonical 100 TB anti-pattern). Instead: one sketch
+  // aggregation produces the 9 interior decile boundaries (exact
+  // regime at fixture scale), a 1-row broadcast carries them to every
+  // partition, and bin assignment is a narrow map (count of boundaries
+  // strictly below the value — ties land in the lower bin, a pure
+  // function of the value so partial-agg splits can't change results).
+  // This is also exactly how a CBO builds equi-depth column histograms.
+  // NOTE: bins are boundary-defined, not forced-equal-count — duplicate
+  // boundary values merge bins (deterministically) where ntile would
+  // split ties arbitrarily.
+  val x56 = Q(
+    "x56_equidepth_deciles",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val d = docs(s, dir).select($"n_chars")
+      val qs = GraftPlanBridge.col(
+        graft.functions.QuantileSketch(
+          GraftPlanBridge.expr($"n_chars"), 1024,
+          (1L to 9L).map(_ * 100000L)).toAggregateExpression())
+      val bounds = d.agg(qs.as("b"))
+      d.crossJoin(broadcast(bounds))
+        .withColumn("decile",
+          (lit(1) + size(filter($"b", x => x < $"n_chars"))).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+          row_number() OVER (ORDER BY n_chars) AS rn,
+          COUNT(*) OVER () AS n
+        FROM documents),
+      b AS (
+        SELECT MAX(CASE WHEN rn = (i * 100000 * (n-1)) // 1000000 + 1
+                   THEN v END) AS bv
+        FROM q CROSS JOIN (SELECT unnest(range(1, 10)) AS i) g
+        GROUP BY i),
+      d2 AS (
+        SELECT n_chars,
+          1 + (SELECT COUNT(*) FROM b WHERE b.bv < d.n_chars) AS decile
+        FROM documents d)
+      SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM d2 GROUP BY 1
+    """))
+
+  // ---------------------------------------------------------------------
+  // x57 — per-document salient terms by tf-idf: the keyword-extraction
+  // pass (doc-level topical fingerprints for mixing/retrieval audits).
+  // Scoring is exact integer arithmetic — score_ppm = 1e6·tf·N / df
+  // floored — so no libm log and no raw doubles reach the output (the
+  // log is monotone in N/df, so rational idf preserves tf-idf's
+  // ranking within a fixed tf). The top-3-per-doc filter runs on the
+  // native TopKPerKey partial/final heap operator (self-registering
+  // planned form, so it plans natively in any session): at 100 TB each
+  // map task ships ≤3 candidate rows per doc instead of sorting the
+  // full doc×term score table. Tie-break (score desc, term asc) is a
+  // total order within a doc, so the heap pick is deterministic.
+  val x57 = Q(
+    "x57_tfidf_topterms",
+    (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("t"))
+      val tf = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+      val nd = docs(s, dir).agg(countDistinct($"doc_id").as("nd"))
+      val scored = tf.join(df, "t").crossJoin(broadcast(nd))
+        .select($"doc_id", $"t".as("term"),
+          expr("(1000000L * tf * nd) div df").as("score_ppm"))
+      graft.ops.TopK.perKeyPlanned(scored, Seq("doc_id"),
+        Seq(("score_ppm", false), ("term", true)), 3)
+        .select($"doc_id", $"term", $"score_ppm")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents),
+      tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.t AS term,
+          (1000000 * tf.tf * nd.nd) // df.df AS score_ppm
+        FROM tf JOIN df USING (t) CROSS JOIN nd),
+      rk AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rn
+        FROM sc)
+      SELECT doc_id, term, score_ppm FROM rk WHERE rn <= 3
+    """))
+
+  // ---------------------------------------------------------------------
+  // x58 — per-label embedding dispersion: how tight each label's
+  // cluster is (mean/min cosine of members to their label centroid) —
+  // the label-quality audit run before using labels for supervised
+  // filtering, and the cluster-cohesion report SemDeDup thresholds are
+  // tuned against. Determinism contract (x18's): centroid components
+  // are EXACT DECIMAL(18,8) sums cast to double, then ONE double
+  // division by the count — bit-identical in DuckDB — so the per-vector
+  // cosine inputs (and its left-to-right double fold, matching
+  // list_dot_product) are identical bits and the ppm rounding cannot
+  // straddle. Mean-of-ppm is then pure BIGINT arithmetic. Shape: one
+  // (label, dim)-keyed aggregation (bounded: labels × 64 rows), a
+  // broadcast of the 10-row centroid table, and one label-keyed final
+  // aggregation — the corpus is scanned twice, shuffled never.
+  val x58 = Q(
+    "x58_label_dispersion",
+    (s, dir) => {
+      import s.implicits._
+      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val e = emb(s, dir)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      val comp = e.select($"label", posexplode($"v").as(Seq("i0", "x")))
+        .groupBy($"label", $"i0")
+        .agg((sum($"x".cast(dec8)).cast("double") / count(lit(1))).as("m"))
+      val cents = comp.groupBy($"label")
+        .agg(transform(sort_array(collect_list(struct($"i0", $"m"))),
+          e0 => e0.getField("m")).as("cv"))
+      e.join(broadcast(cents), "label")
+        .withColumn("cos_ppm",
+          round(lit(1e6) * cosine($"v", $"cv")).cast("long"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cos_ppm) div count(1)").as("mean_cos_ppm"),
+          min($"cos_ppm").as("min_cos_ppm"))
+    },
+    Some("""
+      WITH comp AS (
+        SELECT label, i,
+          CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(18,8))) AS DOUBLE)
+            / COUNT(*) AS m
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i),
+      cl AS (SELECT label, list(m ORDER BY i) AS cv FROM comp GROUP BY label),
+      sc AS (
+        SELECT e.label,
+          CAST(round(1e6 * (list_dot_product(e.v, cl.cv) /
+            (sqrt(list_dot_product(e.v, e.v)) *
+             sqrt(list_dot_product(cl.cv, cl.cv))))) AS BIGINT) AS cos_ppm
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e
+        JOIN cl USING (label))
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT) AS mean_cos_ppm,
+        MIN(cos_ppm) AS min_cos_ppm
+      FROM sc GROUP BY label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x59 — k-NN label-vote audit: classify each held-out query vector by
+  // the majority label of its 5 nearest neighbors and report per-label
+  // agreement with the true label — the standard embedding-space label
+  // consistency check (a noisy-label detector at corpus scale). The
+  // query set is a deterministic 1% sample (vec_id % 100 = 0) — eval
+  // audits run brute-force over a SAMPLED query set by design, the
+  // x05 baseline shape: the corpus streams once against a broadcast of
+  // the tiny query table, and both the top-5-per-query cut and the
+  // 1-of-votes winner run on the native TopKPerKey heap operator (≤5
+  // rows per query leave each map task; ties broken on vec_id / label
+  // so every stage is a total order).
+  val x59 = Q(
+    "x59_knn_label_vote",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter(pmod($"vec_id", lit(100)) === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"label".as("true_label"))
+      val scored = e.filter(pmod($"vec_id", lit(100)) =!= 0)
+        .join(broadcast(q))
+        .select($"q_id", $"true_label", $"label", $"vec_id",
+          round(lit(1e6) * cosineF($"embedding", $"qv")).cast("long")
+            .as("cos_ppm"))
+      val top5 = graft.ops.TopK.perKeyPlanned(scored, Seq("q_id"),
+        Seq(("cos_ppm", false), ("vec_id", true)), 5)
+      val votes = top5.groupBy($"q_id", $"true_label", $"label")
+        .agg(count(lit(1)).as("votes"))
+      val win = graft.ops.TopK.perKeyPlanned(votes, Seq("q_id"),
+        Seq(("votes", false), ("label", true)), 1)
+      win.groupBy($"true_label")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when($"label" === $"true_label", 1L).otherwise(0L))
+            .as("n_correct"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id % 100 = 0),
+      c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 100 <> 0),
+      sc AS (
+        SELECT q.q_id, q.true_label, c.label, c.vec_id,
+          CAST(round(1e6 * (list_dot_product(c.v, q.qv) /
+            (sqrt(list_dot_product(c.v, c.v)) *
+             sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT) AS cos_ppm
+        FROM c CROSS JOIN q),
+      top5 AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_ppm DESC, vec_id) AS rn
+          FROM sc) WHERE rn <= 5),
+      v AS (
+        SELECT q_id, true_label, label, COUNT(*) AS votes
+        FROM top5 GROUP BY 1, 2, 3),
+      w AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+          FROM v) WHERE rn = 1)
+      SELECT true_label, COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+      FROM w GROUP BY true_label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x60 — collocation mining by integer lift: bigrams occurring far
+  // more often than their unigram frequencies predict (lift =
+  // P(w1 w2) / (P(w1)·P(w2)) = c_xy·N / (c_x·c_y)) — the multi-word-
+  // expression detector a tokenizer-training or phrase-mining pass
+  // runs. PMI's log is monotone in lift, so integer lift_ppm ranks
+  // identically with zero libm; the min-count gate (c_xy ≥ 5) is the
+  // standard variance guard. Reuses x46's persisted bigram stream (one
+  // build serves both queries in a bench JVM). All tables after the
+  // two token-grain aggregations are vocab-bounded; the top-20 cut is
+  // TakeOrderedAndProject (per-partition heaps), never a global sort.
+  // 100 TB overflow note: c_xy·N·1e6 stays under 2^63 up to ~3e6-token
+  // corpora per... — at web scale compute lift in DECIMAL(38,0) or
+  // divide N through first; documented here because the fixture regime
+  // (≤3e5 tokens) is provably safe.
+  val x60 = Q(
+    "x60_collocation_lift",
+    (s, dir) => {
+      import s.implicits._
+      val bi = persisted(s, "x46_bigrams", dir) {
+        docs(s, dir)
+          .select($"doc_id", split(lower($"text"), " ").as("toks"))
+          .withColumn("n", size($"toks"))
+          .filter($"n" >= 2)
+          .select($"doc_id",
+            explode(zip_with(
+              slice($"toks", lit(1), $"n" - lit(1)),
+              slice($"toks", lit(2), $"n" - lit(1)),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      }
+      val tok = docs(s, dir)
+        .select(explode(split(lower($"text"), " ")).as("w"))
+      val uni = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+      val n = tok.agg(count(lit(1)).as("n"))
+      val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+        .filter($"c_xy" >= 5)
+      c2.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("lift_ppm", expr("(1000000L * c_xy * n) div (c_x * c_y)"))
+        .select($"w1", $"w2", $"c_xy", $"lift_ppm")
+        .orderBy($"lift_ppm".desc, $"w1", $"w2")
+        .limit(20)
+    },
+    Some("""
+      WITH b AS (
+        SELECT string_split(lower(text), ' ') AS t FROM documents),
+      tok AS (SELECT unnest(t) AS w FROM b),
+      uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      n AS (SELECT COUNT(*) AS n FROM tok),
+      b2 AS (SELECT t, len(t) AS ln FROM b WHERE len(t) >= 2),
+      bg AS (SELECT unnest(t[1:ln-1]) AS w1, unnest(t[2:ln]) AS w2 FROM b2),
+      c2 AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2
+        HAVING COUNT(*) >= 5),
+      sc AS (
+        SELECT c2.w1, c2.w2, c_xy,
+          (1000000 * c_xy * n.n) // (u1.c * u2.c) AS lift_ppm
+        FROM c2 JOIN uni u1 ON c2.w1 = u1.w
+                JOIN uni u2 ON c2.w2 = u2.w
+                CROSS JOIN n)
+      SELECT w1, w2, c_xy, lift_ppm FROM sc
+      ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
-    x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53)
+    x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
+    x57, x58, x59, x60)
 }

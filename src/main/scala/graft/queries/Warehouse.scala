@@ -502,7 +502,58 @@ object Warehouse {
             FROM events)
     """))
 
+  // ---------------------------------------------------------------------
+  // w16 — per-window heavy hitters: the "trending now" DWS rollup the
+  // reference's absent summary layer would serve, composed from the
+  // tumbling window (w13's shape) and the native SpaceSavingTopK
+  // aggregate. Capacity 64 ≥ the distinct event-type count, so the
+  // sketch is in its provably-exact regime and the plain-SQL oracle
+  // stays valid (the approximate regime is pinned separately by
+  // SpaceSavingSpec). One keyed shuffle at (window) grain; the sketch
+  // merges associatively across partial aggregates, so map-side
+  // combine ships one 64-entry summary per window per task — at
+  // 100 TB this never materializes the per-(window, type) count table
+  // a row_number top-n would shuffle.
+  val w16 = Q(
+    "w16_windowed_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val hh = GraftPlanBridge.col(
+        graft.functions.SpaceSavingTopK(
+          GraftPlanBridge.expr(array($"event_type")), 64)
+          .toAggregateExpression())
+      ev(s, dir)
+        .groupBy(window($"ts", "6 hours").as("w"))
+        .agg(count(lit(1)).as("n"), hh.as("hh"))
+        .select($"w.start".cast("long").as("window_start_s"), $"n",
+          concat_ws(",",
+            transform(slice($"hh", 1, 3), h => h.getField("term")))
+            .as("top_types"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT (epoch_us(ts) // (21600::BIGINT * 1000000)) * 21600
+                 AS window_start_s,
+               event_type
+        FROM events),
+      tc AS (
+        SELECT window_start_s, event_type, COUNT(*) AS cnt
+        FROM w GROUP BY 1, 2),
+      tr AS (
+        SELECT window_start_s, event_type, row_number() OVER (
+          PARTITION BY window_start_s ORDER BY cnt DESC, event_type) AS rk
+        FROM tc),
+      top AS (
+        SELECT window_start_s,
+               string_agg(event_type, ',' ORDER BY rk) AS top_types
+        FROM tr WHERE rk <= 3 GROUP BY 1),
+      n AS (SELECT window_start_s, COUNT(*) AS n FROM w GROUP BY 1)
+      SELECT n.window_start_s, n.n, top.top_types
+      FROM n JOIN top ON n.window_start_s = top.window_start_s
+    """))
+
   def queries: Seq[Q] = Seq(
     w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14,
-    w15)
+    w15, w16)
 }

@@ -51,4 +51,61 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     // two ObjectHashAggregate nodes total
     "ObjectHashAggregate".r.findAllIn(p).size shouldBe 2
   }
+
+  test("x55: sketch bounds broadcast back — no per-source corpus sort") {
+    val p = plan(Extensions.x55)
+    p should include("ObjectHashAggregate")   // QuantileSketch partial/final
+    p should include("BroadcastHashJoin")     // bounds → broadcast, not SMJ
+    p should not include "SortMergeJoin"
+    p should not include "Window"             // no percent_rank global sort
+  }
+
+  test("x56: decile binning has no global window (ntile-free equi-depth)") {
+    val p = plan(Extensions.x56)
+    p should include("ObjectHashAggregate")
+    // no Window node anywhere — neither ntile nor percent_rank; the
+    // boundary array broadcasts and binning is a narrow map ("ntile"
+    // itself can't be asserted textually: "quantile_sketch" contains it)
+    p should not include "Window"
+  }
+
+  test("x57: top-3 terms planned as the native per-key top-k operator") {
+    val p = plan(Extensions.x57)
+    p should include("TopKPerKey")
+    p should not include "Window"
+    p should not include "row_number"
+  }
+
+  test("x58: centroid table broadcasts; no corpus-grain window or SMJ") {
+    val p = plan(Extensions.x58)
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("x59: both per-query cuts run on the native top-k heap operator") {
+    val p = plan(Extensions.x59)
+    "TopKPerKey".r.findAllIn(p).size should be >= 2
+    p should not include "Window"
+    p should not include "row_number"
+  }
+
+  test("x60: top-20 cut is a bounded heap, not a global sort") {
+    val p = plan(Extensions.x60)
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+  }
+
+  test("w16: window heavy-hitters ride one keyed sketch aggregation") {
+    val df = graft.queries.Warehouse.w16.run(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ObjectHashAggregate")
+    // one hashpartitioning exchange at window grain; no per-(window,
+    // type) count table + row_number fallback anywhere in the plan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    withClue(s"expected exactly 1 keyed exchange, plan:\n$p\n") {
+      exchanges shouldBe 1
+    }
+    p should not include "Window"
+  }
 }

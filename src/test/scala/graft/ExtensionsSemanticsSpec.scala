@@ -516,4 +516,153 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
       .toMap
     got shouldBe expect
   }
+
+  test("x54 snapshot diff classifies added/removed/changed/unchanged exactly") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x54diff").toString
+    // doc_id 10 → added (only in new), 11 → removed (only in old),
+    // 12 → changed (normalization rewrites "A  B"), 13 → unchanged
+    val rows = Seq(
+      (10L, "ten", "srcA", 3L),
+      (11L, "eleven", "srcA", 6L),
+      (12L, "A  B", "srcB", 4L),
+      (13L, "already clean", "srcB", 13L))
+    rows.map { case (id, txt, src, n) => (id, txt, "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x54.run(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got shouldBe Map(
+      ("srcA", "added") -> 1L, ("srcA", "removed") -> 1L,
+      ("srcB", "changed") -> 1L, ("srcB", "unchanged") -> 1L)
+  }
+
+  test("x55 trims exactly outside the nearest-rank [p05, p95] band") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x55trim").toString
+    // n_chars = 1..100 for one source: lo = rank (50000*99)//1e6+1 = 5,
+    // hi = rank (950000*99)//1e6+1 = 95 → kept 91, dropped 9
+    (1 to 100).map(i => (i.toLong, s"doc $i", "en", "srcA", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Extensions.x55.run(s, d).collect()
+    r.length shouldBe 1
+    (r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4)) shouldBe ("srcA", 5L, 95L, 91L, 9L)
+  }
+
+  test("x56 deciles are the exact boundary-binned equi-depth histogram") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x56dec").toString
+    // n_chars = 1..100: boundary_i = value at rank (i*100000*99)//1e6+1
+    // = 10i, ties-to-lower → decile i covers exactly [10(i-1)+1, 10i]
+    (1 to 100).map(i => (i.toLong, s"doc $i", "en", "srcA", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x56.run(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe (1 to 10).map { i =>
+      i.toLong -> ((10L, 10L * (i - 1) + 1, 10L * i))
+    }.toMap
+  }
+
+  test("x57 ranks doc terms by exact rational tf-idf with term tie-break") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x57tfidf").toString
+    // N=3; df: apple=1, banana=2, cherry=1, dog=1
+    // doc1: apple tf=2 → 6e6; banana tf=1 → 1.5e6
+    // doc2: cherry tf=2 → 6e6; banana tf=1 → 1.5e6
+    // doc3: dog tf=3 → 9e6
+    Seq((1L, "apple apple banana"), (2L, "banana cherry cherry"),
+        (3L, "dog dog dog"))
+      .map { case (id, txt) => (id, txt, "en", "srcA", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x57.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      (1L, "apple", 6000000L), (1L, "banana", 1500000L),
+      (2L, "cherry", 6000000L), (2L, "banana", 1500000L),
+      (3L, "dog", 9000000L))
+  }
+
+  test("x58 dispersion: exact centroid cosine stats per label") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x58disp").toString
+    // label 0: (1,0) and (0,1) → centroid (0.5, 0.5); cos(v, c) =
+    // 0.5/(1·√0.5) = √0.5 → 707107 ppm for both members.
+    // label 1: single (3,4) → centroid is itself → cos = 1 → 1000000.
+    Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0), (2L, Seq(3f, 4f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Extensions.x58.run(s, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe Map(
+      0 -> ((2L, 707107L, 707107L)),
+      1 -> ((1L, 1000000L, 1000000L)))
+  }
+
+  test("x59 votes the 5-NN majority label with deterministic tie-breaks") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x59knn").toString
+    // query vec_id 0 (true label 7), 6 candidates: three exact matches
+    // labeled 7 (cos 1e6), one diagonal labeled 3 (707107), two
+    // orthogonal labeled 3 (cos 0 — only the lower vec_id makes top-5).
+    // Votes: 7×3 vs 3×2 → winner 7 → correct.
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 7),
+      (1L, Seq(1f, 0f), 7), (2L, Seq(1f, 0f), 7), (3L, Seq(1f, 0f), 7),
+      (4L, Seq(1f, 1f), 3), (5L, Seq(0f, 1f), 3), (6L, Seq(0f, 1f), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Extensions.x59.run(s, d).collect()
+    r.length shouldBe 1
+    (r(0).getInt(0), r(0).getLong(1), r(0).getLong(2)) shouldBe (7, 1L, 1L)
+  }
+
+  test("x60 collocation lift: exact integer lift, min-count gate") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x60lift").toString
+    // "x y" × 6 → N=12, c_x=c_y=6; bigrams: (x,y)×6, (y,x)×5 — both
+    // pass the ≥5 gate. lift(x,y) = 1e6·6·12/36 = 2000000;
+    // lift(y,x) = 1e6·5·12/36 = 1666666 (floored).
+    val txt = Seq.fill(6)("x y").mkString(" ")
+    Seq((1L, txt, "en", "srcA", txt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x60.run(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got shouldBe Array(
+      ("x", "y", 6L, 2000000L), ("y", "x", 5L, 1666666L))
+  }
+
+  test("w16 per-window top types: exact counts, count-then-term tie-break") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("w16hh").toString
+    def ts(hr: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(hr * 3600L))
+    // all inside the first 6h window: a×3, b×2, c×1, d×1 → top-3
+    // "a,b,c" (c beats d on the term tie-break at cnt=1), n=7
+    val rows = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "a"), (3L, ts(2), 2L, "a"),
+      (4L, ts(3), 2L, "b"), (5L, ts(4), 3L, "b"),
+      (6L, ts(5), 3L, "c"), (7L, ts(5), 4L, "d"))
+    rows.map { case (id, t, u, et) => (id, t, u, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.queries.Warehouse.w16.run(s, d).collect()
+    r.length shouldBe 1
+    (r(0).getLong(0), r(0).getLong(1), r(0).getString(2)) shouldBe
+      (0L, 7L, "a,b,c")
+  }
 }
