@@ -3081,10 +3081,52 @@ object Extensions {
       ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
     """))
 
+  // ---------------------------------------------------------------------
+  // x61 — prefix-dimension energy audit ("how many dims do these
+  // embeddings actually need?"): for k ∈ {16, 32, 48}, the fraction of
+  // each vector's squared norm carried by its first k components —
+  // the measurement behind matryoshka-style truncation and storage
+  // down-casting decisions. Pure narrow map (explode 3 k-values per
+  // vector, two left-to-right double folds — identical bit pattern to
+  // DuckDB's list_dot_product on both the slice and the full vector)
+  // + one 3-group aggregation of ppm BIGINTs. No shuffle of vectors;
+  // the only shuffled rows are (k, ppm) pairs.
+  val x61 = Q(
+    "x61_dim_energy",
+    (s, dir) => {
+      import s.implicits._
+      def en(c: Column): Column =
+        aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+      emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select($"vec_id", $"v",
+          explode(array(lit(16), lit(32), lit(48))).as("k"))
+        .withColumn("energy_ppm",
+          round(lit(1e6) * en(slice($"v", lit(1), $"k")) / en($"v"))
+            .cast("long"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(energy_ppm) div count(1)").as("mean_energy_ppm"),
+          min($"energy_ppm").as("min_energy_ppm"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (
+        SELECT vec_id, k,
+          CAST(round(1e6 * list_dot_product(v[1:k], v[1:k])
+               / list_dot_product(v, v)) AS BIGINT) AS energy_ppm
+        FROM e CROSS JOIN (SELECT unnest([16, 32, 48]) AS k) ks)
+      SELECT k, COUNT(*) AS n_vecs,
+        CAST(SUM(energy_ppm) // COUNT(*) AS BIGINT) AS mean_energy_ppm,
+        MIN(energy_ppm) AS min_energy_ppm
+      FROM x GROUP BY k
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
-    x57, x58, x59, x60)
+    x57, x58, x59, x60, x61)
 }

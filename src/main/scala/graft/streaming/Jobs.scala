@@ -63,6 +63,33 @@ object Jobs {
                      gapMs: Long = BounceDetector.DefaultGapMs): Dataset[Bounce] =
     BounceDetector(pages, gapMs)
 
+  /** Per-window heavy hitters over an event stream — the streaming
+    * form of w16 (tumbling windows × the SpaceSavingTopK native
+    * aggregate). The sketch buffer IS the streaming aggregation state:
+    * a TypedImperativeAggregate's serialized buffer rides the state
+    * store like any partial-agg row, so state per open window is one
+    * bounded `capacity`-entry summary — never a per-(window, term)
+    * count table. Watermark + append mode emit each window exactly
+    * once, on close. Batch parity with the w16 oracle is pinned by
+    * StreamingWindowSpec (same counts, same count-then-term
+    * tie-break). */
+  def windowedHeavyHitters(events: DataFrame, timeCol: String,
+      termCol: String, windowDur: String, watermarkDelay: String,
+      k: Int, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    val hh = GraftPlanBridge.col(
+      graft.functions.SpaceSavingTopK(
+        GraftPlanBridge.expr(array(col(termCol))), capacity)
+        .toAggregateExpression())
+    events.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("n"), hh.as("hh"))
+      .select(col("w.start").cast("long").as("window_start_s"), col("n"),
+        concat_ws(",",
+          transform(slice(col("hh"), 1, k), h => h.getField("term")))
+          .as("top_terms"))
+  }
+
   /** DimApp: CDC stream routed per config row to MERGE-upserted dim
     * tables (J1/P6/K3/K4). */
   def dimApp(cdc: DataFrame,

@@ -645,6 +645,24 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
       ("x", "y", 6L, 2000000L), ("y", "x", 5L, 1666666L))
   }
 
+  test("x61 prefix energy: exact ppm fractions of the squared norm") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x61dim").toString
+    // all-ones 64-dim vectors: energy(k) = k/64 exactly →
+    // 250000 / 500000 / 750000 ppm for k = 16 / 32 / 48
+    Seq((0L, Seq.fill(64)(1f), 0), (1L, Seq.fill(64)(1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Extensions.x61.run(s, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe Map(
+      16 -> ((2L, 250000L, 250000L)),
+      32 -> ((2L, 500000L, 500000L)),
+      48 -> ((2L, 750000L, 750000L)))
+  }
+
   test("w16 per-window top types: exact counts, count-then-term tie-break") {
     val s = spark
     import s.implicits._

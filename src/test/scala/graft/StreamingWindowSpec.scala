@@ -52,6 +52,35 @@ class StreamingWindowSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters: sketch state, append-on-close, batch-parity tie-break") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[PageLog]
+    val out = graft.streaming.Jobs.windowedHeavyHitters(
+      mem.toDF(), "eventTime", "pageId", "10 seconds", "5 seconds",
+      k = 3, capacity = 8)
+    val q = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0,10): a×3, b×2, c×1, d×1 → top-3 "a,b,c" (c beats d
+      // on the term tie-break at cnt=1), n=7 — the w16 oracle's rule
+      mem.addData(Seq(
+        PageLog("m1", "a", None, 1000L), PageLog("m1", "a", None, 2000L),
+        PageLog("m1", "a", None, 3000L), PageLog("m1", "b", None, 4000L),
+        PageLog("m2", "b", None, 5000L), PageLog("m2", "c", None, 6000L),
+        PageLog("m2", "d", None, 7000L)))
+      q.processAllAvailable()
+      // watermark (7s - 5s) hasn't passed the window end: nothing out
+      s.table("hh_out").count() shouldBe 0
+      mem.addData(Seq(PageLog("m3", "z", None, 30000L)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = s.table("hh_out").as[(Long, Long, String)].collect().toSet
+      rows shouldBe Set((0L, 7L, "a,b,c"))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: built-in streaming dedup, state bounded by watermark") {
     val s = spark
     import s.implicits._
