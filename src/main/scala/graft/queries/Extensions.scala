@@ -2356,22 +2356,32 @@ object Extensions {
   // a broadcast at runtime whenever c2's actual size allows (it always
   // does at fixture scale). Two corpus-sized shuffles total (c2 build +
   // final per-doc aggregation), everything else vocab-bounded.
+  /** Per-doc bigram stream (doc_id, w1, w2), persisted once per
+    * (session, dir) — ONE definition shared by the bigram-LM scorer
+    * (x46) and the collocation miner (x60), so the two provably
+    * tokenize and pair identically regardless of which runs first in
+    * a JVM (the persisted cache serves whichever built it). */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    persisted(s, "bigrams", dir) {
+      docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= 2)
+        .select($"doc_id",
+          explode(zip_with(
+            slice($"toks", lit(1), $"n" - lit(1)),
+            slice($"toks", lit(2), $"n" - lit(1)),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    }
+  }
+
   val x46 = Q(
     "x46_bigram_lm_quality",
     (s, dir) => {
       import s.implicits._
-      val bi = persisted(s, "x46_bigrams", dir) {
-        docs(s, dir)
-          .select($"doc_id", split(lower($"text"), " ").as("toks"))
-          .withColumn("n", size($"toks"))
-          .filter($"n" >= 2)
-          .select($"doc_id",
-            explode(zip_with(
-              slice($"toks", lit(1), $"n" - lit(1)),
-              slice($"toks", lit(2), $"n" - lit(1)),
-              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-      }
+      val bi = bigramStream(s, dir)
       val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
       val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
       bi.join(c2, Seq("w1", "w2"))
@@ -2715,11 +2725,16 @@ object Extensions {
       val nw = d.filter(pmod($"doc_id", lit(10)) =!= 1)
         .select($"doc_id", $"source".as("source_new"),
           Q.normFingerprint($"text").as("fp_new"))
+      // membership is tested on the carried source columns (never null
+      // for a present row), NOT on the fingerprints: a NULL-text doc
+      // hashes to NULL and would otherwise masquerade as 'added';
+      // <=> (null-safe equality) keeps a NULL-text doc present in both
+      // snapshots 'unchanged' rather than 'changed'
       old.join(nw, Seq("doc_id"), "full_outer")
         .select(coalesce($"source_old", $"source_new").as("source"),
-          when($"fp_old".isNull, "added")
-            .when($"fp_new".isNull, "removed")
-            .when($"fp_old" === $"fp_new", "unchanged")
+          when($"source_old".isNull, "added")
+            .when($"source_new".isNull, "removed")
+            .when($"fp_old" <=> $"fp_new", "unchanged")
             .otherwise("changed").as("status"))
         .groupBy($"source", $"status")
         .agg(count(lit(1)).as("n"))
@@ -2733,9 +2748,9 @@ object Extensions {
           sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         FROM documents WHERE doc_id % 10 <> 1)
       SELECT COALESCE(old.source, nw.source) AS source,
-        CASE WHEN old.fp IS NULL THEN 'added'
-             WHEN nw.fp IS NULL THEN 'removed'
-             WHEN old.fp = nw.fp THEN 'unchanged'
+        CASE WHEN old.source IS NULL THEN 'added'
+             WHEN nw.source IS NULL THEN 'removed'
+             WHEN old.fp IS NOT DISTINCT FROM nw.fp THEN 'unchanged'
              ELSE 'changed' END AS status,
         COUNT(*) AS n
       FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
@@ -3034,22 +3049,13 @@ object Extensions {
     "x60_collocation_lift",
     (s, dir) => {
       import s.implicits._
-      val bi = persisted(s, "x46_bigrams", dir) {
-        docs(s, dir)
-          .select($"doc_id", split(lower($"text"), " ").as("toks"))
-          .withColumn("n", size($"toks"))
-          .filter($"n" >= 2)
-          .select($"doc_id",
-            explode(zip_with(
-              slice($"toks", lit(1), $"n" - lit(1)),
-              slice($"toks", lit(2), $"n" - lit(1)),
-              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-          .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-      }
-      val tok = docs(s, dir)
+      val bi = bigramStream(s, dir)
+      val uni = docs(s, dir)
         .select(explode(split(lower($"text"), " ")).as("w"))
-      val uni = tok.groupBy($"w").agg(count(lit(1)).as("c"))
-      val n = tok.agg(count(lit(1)).as("n"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      // total token count derives from the vocab-bounded unigram table
+      // (x46's c1-from-c2 lesson) — no second corpus-sized scan+explode
+      val n = uni.agg(sum($"c").as("n"))
       val c2 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
         .filter($"c_xy" >= 5)
       c2.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
@@ -3099,10 +3105,12 @@ object Extensions {
         aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
       emb(s, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .select($"vec_id", $"v",
+        // full-norm fold once per VECTOR, before the 3-way k explode
+        .withColumn("den", en($"v"))
+        .select($"vec_id", $"v", $"den",
           explode(array(lit(16), lit(32), lit(48))).as("k"))
         .withColumn("energy_ppm",
-          round(lit(1e6) * en(slice($"v", lit(1), $"k")) / en($"v"))
+          round(lit(1e6) * en(slice($"v", lit(1), $"k")) / $"den")
             .cast("long"))
         .groupBy($"k")
         .agg(count(lit(1)).as("n_vecs"),

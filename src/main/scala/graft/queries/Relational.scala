@@ -1170,9 +1170,44 @@ object Relational {
       SELECT c_mktsegment, 'max_price', max_price FROM wide
     """))
 
+  // ---------------------------------------------------------------------
+  // q39 — recursive CTE (Spark 4's UnionLoop operator): per-user
+  // path-to-root over an implicit binary hierarchy (parent = id DIV 2,
+  // root = 1) — the org-chart / referral-graph transitive-traversal
+  // shape relational engines gate on WITH RECURSIVE. Each iteration is
+  // one distributed scan + filter over the frontier (UnionLoop re-plans
+  // the step, AQE applies per iteration); depth is bounded by
+  // log2(max id) ≈ 14 here, and at 100 TB by the hierarchy's height,
+  // never its width — the frontier shrinks monotonically because every
+  // node halves. The steps histogram keeps output tiny.
+  val q39 = Q(
+    "q39_recursive_hierarchy",
+    (s, dir) => {
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .createOrReplaceTempView("graft_q39_users")
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT user_id, user_id AS node, 0 AS steps FROM graft_q39_users
+          UNION ALL
+          SELECT user_id, node DIV 2 AS node, steps + 1 AS steps
+          FROM chain WHERE node > 1
+        )
+        SELECT steps, COUNT(*) AS n_nodes FROM chain GROUP BY steps
+      """)
+    },
+    Some("""
+      WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+      chain AS (
+        SELECT user_id, user_id AS node, 0 AS steps FROM u
+        UNION ALL
+        SELECT user_id, node // 2 AS node, steps + 1 AS steps
+        FROM chain WHERE node > 1)
+      SELECT steps, COUNT(*) AS n_nodes FROM chain GROUP BY steps
+    """))
+
   def queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38)
+    q34, q35, q36, q37, q38, q39)
 }

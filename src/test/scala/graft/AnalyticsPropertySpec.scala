@@ -57,4 +57,65 @@ class AnalyticsPropertySpec extends AnyFunSuite with Matchers with SparkFixture 
     rows(1500000L) shouldBe 1L
     rows(2000000L) shouldBe 2L
   }
+
+  test("x55 trim partitions every source: kept + dropped = source count, lo <= hi") {
+    val s = spark
+    import s.implicits._
+    val trims = graft.queries.Extensions.x55.run(s, sf0001)
+    val perSource = graft.core.Tables.load(s, sf0001, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val joined = trims.join(perSource, "source").collect()
+    joined.length shouldBe perSource.count()
+    joined.foreach { r =>
+      val (lo, hi, kept, dropped, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      lo should be <= hi
+      (kept + dropped) shouldBe n
+    }
+  }
+
+  test("x56 deciles partition the corpus and are value-monotone") {
+    val s = spark
+    import s.implicits._
+    val bins = graft.queries.Extensions.x56.run(s, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    bins.map(_._2).sum shouldBe
+      graft.core.Tables.load(s, sf0001, "documents").count()
+    bins.foreach { case (d, _, mn, mx) =>
+      d should (be >= 1L and be <= 10L); mn should be <= mx }
+    bins.sliding(2).foreach {
+      case Array((_, _, _, mxA), (_, _, mnB, _)) => mxA should be <= mnB
+      case _ => ()
+    }
+  }
+
+  test("x57 emits at most 3 terms per doc, scores non-increasing within a doc") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.queries.Extensions.x57.run(s, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.length should be <= 3
+      // the top-3 cut keeps the best scores: sorted desc they are the
+      // same multiset as returned
+      rs.map(_._3).sorted.reverse shouldBe rs.sortBy(r => (-r._3, r._2)).map(_._3)
+    }
+  }
+
+  test("x58/x61: ppm stats bounded and prefix energy monotone in k") {
+    val s = spark
+    val disp = graft.queries.Extensions.x58.run(s, sf0001).collect()
+    disp.foreach { r =>
+      r.getLong(3) should be <= r.getLong(2) // min <= mean
+      r.getLong(2) should be <= 1000000L
+    }
+    val en = graft.queries.Extensions.x61.run(s, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1)
+    en.map(_._1) shouldBe Array(16, 32, 48)
+    en.sliding(2).foreach {
+      case Array((_, a), (_, b)) => a should be <= b
+      case _ => ()
+    }
+  }
 }

@@ -97,8 +97,7 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("w16: window heavy-hitters ride one keyed sketch aggregation") {
-    val df = graft.queries.Warehouse.w16.run(spark, sf0001)
-    val p = df.queryExecution.executedPlan.toString
+    val p = plan(graft.queries.Warehouse.w16)
     p should include("ObjectHashAggregate")
     // one hashpartitioning exchange at window grain; no per-(window,
     // type) count table + row_number fallback anywhere in the plan

@@ -522,20 +522,26 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     import s.implicits._
     val d = Files.createTempDirectory("x54diff").toString
     // doc_id 10 → added (only in new), 11 → removed (only in old),
-    // 12 → changed (normalization rewrites "A  B"), 13 → unchanged
+    // 12 → changed (normalization rewrites "A  B"), 13 → unchanged;
+    // NULL-text docs pin the presence-vs-fingerprint fix: 14 (in both
+    // snapshots) must be 'unchanged' via null-safe fp equality, 21
+    // (only in old) must be 'removed' — not 'added', which a
+    // fingerprint-nullness membership test would report for both.
     val rows = Seq(
-      (10L, "ten", "srcA", 3L),
-      (11L, "eleven", "srcA", 6L),
-      (12L, "A  B", "srcB", 4L),
-      (13L, "already clean", "srcB", 13L))
+      (10L, Some("ten"), "srcA", 3L),
+      (11L, Some("eleven"), "srcA", 6L),
+      (12L, Some("A  B"), "srcB", 4L),
+      (13L, Some("already clean"), "srcB", 13L),
+      (14L, None, "srcB", 0L),
+      (21L, None, "srcA", 0L))
     rows.map { case (id, txt, src, n) => (id, txt, "en", src, n) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val got = Extensions.x54.run(s, d).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     got shouldBe Map(
-      ("srcA", "added") -> 1L, ("srcA", "removed") -> 1L,
-      ("srcB", "changed") -> 1L, ("srcB", "unchanged") -> 1L)
+      ("srcA", "added") -> 1L, ("srcA", "removed") -> 2L,
+      ("srcB", "changed") -> 1L, ("srcB", "unchanged") -> 2L)
   }
 
   test("x55 trims exactly outside the nearest-rank [p05, p95] band") {
