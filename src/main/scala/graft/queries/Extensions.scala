@@ -3131,10 +3131,86 @@ object Extensions {
       FROM x GROUP BY k
     """))
 
+  // ---------------------------------------------------------------------
+  // x62 — token frequency spectrum (frequency-of-frequencies): how many
+  // vocabulary types occur exactly k times — the Zipf/hapax audit that
+  // sizes vocabularies, tunes min-count cutoffs, and sanity-checks a
+  // crawl for synthetic repetition (a spectrum spike at high k is
+  // boilerplate; a hapax explosion is OCR noise). Two keyed
+  // aggregations, the second over the vocab-bounded count table —
+  // corpus text is scanned once and never shuffled.
+  val x62 = Q(
+    "x62_freq_spectrum",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(explode(split(lower($"text"), " ")).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("freq"))
+        .groupBy($"freq").agg(count(lit(1)).as("n_tokens"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      uni AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t)
+      SELECT freq, COUNT(*) AS n_tokens FROM uni GROUP BY freq
+    """))
+
+  // ---------------------------------------------------------------------
+  // x63 — source vocabulary overlap matrix: pairwise Jaccard of the
+  // per-source vocabularies — the corpus-diversity audit behind mixing
+  // decisions (two sources with ~identical vocabularies are redundant;
+  // a source with near-zero overlap is a different register or a
+  // different language). Candidate generation is the engine's standard
+  // bucketed shape: the self-join is keyed on the TOKEN (each token
+  // contributes only its own source pairs, ≤ (#sources choose 2)),
+  // never a crossJoin of corpora; vocab sizes broadcast back. At
+  // 100 TB the (source, token) distinct table is the only corpus-sized
+  // intermediate and it shuffles once.
+  val x63 = Q(
+    "x63_vocab_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val st = persisted(s, "x63_src_vocab", dir) {
+        docs(s, dir)
+          .select($"source", explode(split(lower($"text"), " ")).as("t"))
+          .distinct()
+      }
+      val vs = st.groupBy($"source").agg(count(lit(1)).as("nv"))
+      val pairs = st.as("a").join(st.as("b"),
+          $"a.t" === $"b.t" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(broadcast(vs.select($"source".as("src_a"), $"nv".as("nva"))),
+          "src_a")
+        .join(broadcast(vs.select($"source".as("src_b"), $"nv".as("nvb"))),
+          "src_b")
+        .withColumn("jaccard_ppm",
+          expr("(1000000L * inter) div (nva + nvb - inter)"))
+        .select($"src_a", $"src_b", $"inter", $"jaccard_ppm")
+    },
+    Some("""
+      WITH st AS (
+        SELECT DISTINCT source,
+          unnest(string_split(lower(text), ' ')) AS t
+        FROM documents),
+      vs AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, inter,
+        (1000000 * inter) // (va.nv + vb.nv - inter) AS jaccard_ppm
+      FROM pairs
+      JOIN vs va ON pairs.src_a = va.source
+      JOIN vs vb ON pairs.src_b = vb.source
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
-    x57, x58, x59, x60, x61)
+    x57, x58, x59, x60, x61, x62, x63)
 }

@@ -96,6 +96,13 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "Window"
   }
 
+  test("x63: overlap matrix joins on the token key — never a cross join") {
+    val p = plan(Extensions.x63)
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin") // vocab sizes broadcast back
+  }
+
   test("w16: window heavy-hitters ride one keyed sketch aggregation") {
     val p = plan(graft.queries.Warehouse.w16)
     p should include("ObjectHashAggregate")

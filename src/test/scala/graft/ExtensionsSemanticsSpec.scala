@@ -669,6 +669,35 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
       48 -> ((2L, 750000L, 750000L)))
   }
 
+  test("x62 frequency spectrum counts vocabulary types per occurrence count") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x62spec").toString
+    // corpus tokens: a×3 (two docs), b×2, c×1 → spectrum {1→1, 2→1, 3→1}
+    Seq((1L, "a a b"), (2L, "a b c"))
+      .map { case (id, txt) => (id, txt, "en", "srcA", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x62.run(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  test("x63 vocab overlap: exact pairwise Jaccard, token-keyed join") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x63spec").toString
+    // srcA vocab {a,b,c}, srcB {b,c,d} → ∩=2, ∪=4 → 500000 ppm;
+    // srcC {z} overlaps nothing → no row (inter would be 0)
+    Seq((1L, "a b c b", "srcA"), (2L, "b c d", "srcB"), (3L, "z", "srcC"))
+      .map { case (id, txt, src) => (id, txt, "en", src, txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x63.run(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    got shouldBe Array(("srcA", "srcB", 2L, 500000L))
+  }
+
   test("w16 per-window top types: exact counts, count-then-term tie-break") {
     val s = spark
     import s.implicits._
