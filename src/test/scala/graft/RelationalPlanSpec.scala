@@ -166,4 +166,12 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "left_semi"
     p should not include "LeftSemi"
   }
+
+  test("q39: recursive CTE plans as the iterative UnionLoop operator") {
+    val p = plan(graft.queries.Relational.q39)
+    // Spark 4's recursive-CTE physical node, not a unrolled/cartesian
+    // emulation of the traversal
+    p should include("UnionLoop")
+    p should not include "CartesianProduct"
+  }
 }
