@@ -3207,10 +3207,275 @@ object Extensions {
       JOIN vs vb ON pairs.src_b = vb.source
     """))
 
+  // ---------------------------------------------------------------------
+  // x64 — quality × length equi-depth grid: the 2-D histogram behind
+  // "are short documents lower quality?" curation decisions — a 5×5
+  // quintile grid over (n_chars, mean-token-length) where BOTH axes'
+  // boundaries come from ONE aggregation pass carrying two
+  // QuantileSketch columns (the x50 two-sketches-one-shuffle shape),
+  // broadcast as a single row. Bin assignment is the x56 narrow map on
+  // both axes at once; output is ≤25 cells. Mean token length is ppm
+  // integer arithmetic (1e6·chars div tokens), so no doubles anywhere.
+  val x64 = Q(
+    "x64_quality_length_grid",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.GraftPlanBridge
+      val base = docs(s, dir)
+        .select($"doc_id", $"n_chars",
+          size(split(lower($"text"), " ")).cast("long").as("n_toks"))
+        .withColumn("mtl_ppm", expr("(1000000L * n_chars) div n_toks"))
+      def qs(c: Column) = GraftPlanBridge.col(
+        graft.functions.QuantileSketch(GraftPlanBridge.expr(c), 1024,
+          (1L to 4L).map(_ * 200000L)).toAggregateExpression())
+      val b = base.agg(qs($"n_chars").as("bl"), qs($"mtl_ppm").as("bq"))
+      base.crossJoin(broadcast(b))
+        .withColumn("d_len",
+          (lit(1) + size(filter($"bl", x => x < $"n_chars"))).cast("long"))
+        .withColumn("d_mtl",
+          (lit(1) + size(filter($"bq", x => x < $"mtl_ppm"))).cast("long"))
+        .groupBy($"d_len", $"d_mtl")
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+          (1000000 * CAST(n_chars AS BIGINT))
+            // CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS mtl
+        FROM documents),
+      ql AS (
+        SELECT len AS v, row_number() OVER (ORDER BY len) AS rn,
+               COUNT(*) OVER () AS n
+        FROM m),
+      bl AS (
+        SELECT MAX(CASE WHEN rn = (i * 200000 * (n-1)) // 1000000 + 1
+                   THEN v END) AS bv
+        FROM ql CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g GROUP BY i),
+      qq AS (
+        SELECT mtl AS v, row_number() OVER (ORDER BY mtl) AS rn,
+               COUNT(*) OVER () AS n
+        FROM m),
+      bq AS (
+        SELECT MAX(CASE WHEN rn = (i * 200000 * (n-1)) // 1000000 + 1
+                   THEN v END) AS bv
+        FROM qq CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g GROUP BY i),
+      d AS (
+        SELECT m.doc_id,
+          1 + (SELECT COUNT(*) FROM bl WHERE bl.bv < m.len) AS d_len,
+          1 + (SELECT COUNT(*) FROM bq WHERE bq.bv < m.mtl) AS d_mtl
+        FROM m)
+      SELECT CAST(d_len AS BIGINT) AS d_len, CAST(d_mtl AS BIGINT) AS d_mtl,
+        COUNT(*) AS n_docs
+      FROM d GROUP BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
+  // x65 — dedup survivorship funnel: documents remaining after each
+  // dedup stage in sequence (raw → exact fingerprint keep-first →
+  // near-dup cluster keep-rep) — the observability report every real
+  // dedup pipeline publishes per run. Stage 2 removes non-representative
+  // cluster members from stage 1's survivors; a cluster whose rep was
+  // itself an exact dup loses all members (both engines apply the same
+  // rule, and a funnel over-counting removals is the conservative
+  // direction). Reuses x01's fingerprint definition and x28's persisted
+  // label table — at 100 TB the three counts are one narrow aggregation
+  // each over already-built intermediates.
+  val x65 = Q(
+    "x65_dedup_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val keep1 = d.select($"doc_id", Q.normFingerprint($"text").as("fp"))
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val dup = x28.run(s, dir)
+        .filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
+      val keep2 = keep1.join(dup, Seq("doc_id"), "left_anti")
+      d.agg(count(lit(1)).as("n_docs"))
+        .select(lit("0_raw").as("stage"), $"n_docs")
+        .unionByName(keep1.agg(count(lit(1)).as("n_docs"))
+          .select(lit("1_exact").as("stage"), $"n_docs"))
+        .unionByName(keep2.agg(count(lit(1)).as("n_docs"))
+          .select(lit("2_neardup").as("stage"), $"n_docs"))
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      lab AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        FROM reach GROUP BY src
+      ),
+      k1 AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                  AS fp
+              FROM documents)
+        GROUP BY fp),
+      dup AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_rep),
+      k2 AS (
+        SELECT doc_id FROM k1
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+      SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+      UNION ALL
+      SELECT '1_exact', CAST(COUNT(*) AS BIGINT) FROM k1
+      UNION ALL
+      SELECT '2_neardup', CAST(COUNT(*) AS BIGINT) FROM k2
+    """))
+
+  // ---------------------------------------------------------------------
+  // x66 — BPE merge-candidate counting: the inner step of byte-pair-
+  // encoding tokenizer training — count adjacent character pairs across
+  // the corpus and surface the top merge candidates. The 100 TB shape:
+  // aggregate the token stream down to the DISTINCT-WORD table first
+  // (Heap's law: vocabulary grows ~sqrt of corpus), then explode char
+  // pairs only over distinct words weighted by their corpus frequency —
+  // the explode input is orders of magnitude smaller than the token
+  // stream, which is exactly how production BPE trainers batch the
+  // pair-count step. Total order on (n DESC, pair ASC) via
+  // TakeOrderedAndProject, so the top-30 cut is deterministic.
+  val x66 = Q(
+    "x66_bpe_merge_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir)
+        .select(explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      words
+        .select($"w", $"wc",
+          explode(sequence(lit(1), length($"w") - 1)).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), $"wc")
+        .groupBy($"pair").agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(30)
+    },
+    Some("""
+      WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE len(w) >= 2
+        GROUP BY w),
+      p AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+        FROM (SELECT w, wc, unnest(range(1, len(w))) AS i FROM words))
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      FROM p GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 30
+    """))
+
+  // ---------------------------------------------------------------------
+  // x67 — embedding health audit: per-label vector counts, zero-vector
+  // tallies, and min/max squared-norm — the sanity report run before
+  // any ANN index build or semantic dedup (a batch of zero or
+  // exploded-norm vectors is how a broken encoder shows up at corpus
+  // scale). One narrow map (the per-row norm is a left-to-right fold,
+  // bit-identical to DuckDB's list_dot_product — the x58/x05 contract)
+  // then one keyed aggregation; min/max over bit-identical per-row
+  // values are order-free, so no doubles cross a group boundary.
+  val x67 = Q(
+    "x67_embedding_health",
+    (s, dir) => {
+      import s.implicits._
+      emb(s, dir)
+        .select($"label", $"embedding".cast("array<double>").as("v"))
+        .withColumn("norm2_ppm",
+          round(lit(1e6) * aggregate(transform($"v", x => x * x),
+            lit(0.0), (a, x) => a + x)).cast("long"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"norm2_ppm" === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min($"norm2_ppm").as("min_norm2_ppm"),
+          max($"norm2_ppm").as("max_norm2_ppm"))
+    },
+    Some("""
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CASE WHEN norm2_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero,
+        MIN(norm2_ppm) AS min_norm2_ppm,
+        MAX(norm2_ppm) AS max_norm2_ppm
+      FROM (
+        SELECT label,
+          CAST(round(1e6 * list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+               AS BIGINT) AS norm2_ppm
+        FROM embeddings)
+      GROUP BY label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x68 — vocabulary coverage: per source, the number of distinct
+  // tokens whose cumulative frequency covers >= 90 % of all token
+  // occurrences — the statistic that sizes a tokenizer vocabulary (or
+  // flags a source whose long tail is all noise). The running sum
+  // windows over the per-source VOCABULARY (sublinear in corpus size),
+  // never the token stream, and the 90 % test is integer cross-
+  // multiplication (cum*10 >= total*9) — no division, no doubles.
+  // Tie-break (count DESC, token ASC) makes rank and cumsum total
+  // orders on both engines.
+  val x68 = Q(
+    "x68_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select($"source", explode(split(lower($"text"), " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      val tot = tok.groupBy($"source")
+        .agg(sum($"c").as("total_tokens"), count(lit(1)).as("n_vocab"))
+      val win = Window.partitionBy($"source").orderBy($"c".desc, $"w".asc)
+      tok
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .withColumn("cumt", sum($"c").over(
+          win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), "source")
+        .filter($"cumt" * 10 >= $"total_tokens" * 9)
+        .groupBy($"source", $"n_vocab", $"total_tokens")
+        .agg(min($"rk").as("v90"))
+        .select($"source", $"n_vocab", $"total_tokens", $"v90")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY source, w),
+      tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM tok GROUP BY source),
+      cum AS (
+        SELECT source,
+          row_number() OVER (PARTITION BY source ORDER BY c DESC, w)
+            AS rk,
+          CAST(SUM(c) OVER (PARTITION BY source ORDER BY c DESC, w
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumt
+        FROM tok)
+      SELECT cum.source, n_vocab, total_tokens,
+        CAST(MIN(rk) AS BIGINT) AS v90
+      FROM cum JOIN tot ON cum.source = tot.source
+      WHERE cumt * 10 >= total_tokens * 9
+      GROUP BY cum.source, n_vocab, total_tokens
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
-    x57, x58, x59, x60, x61, x62, x63)
+    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68)
 }

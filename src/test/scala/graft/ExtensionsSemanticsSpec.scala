@@ -698,6 +698,82 @@ class ExtensionsSemanticsSpec extends AnyFunSuite with Matchers with SparkFixtur
     got shouldBe Array(("srcA", "srcB", 2L, 500000L))
   }
 
+  test("x64 grid: correlated axes land on the diagonal, bins partition the corpus") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x64grid").toString
+    // single-token docs: mtl_ppm = 1e6·n_chars, so both axes rank
+    // identically → only diagonal cells, 20 docs each (quintiles of
+    // 1..100 split at boundary values 20/40/60/80, ties-to-lower)
+    (1 to 100).map(i => (i.toLong, "w", "en", "srcA", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x64.run(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe (1 to 5).map(i => (i.toLong, i.toLong) -> 20L).toMap
+  }
+
+  test("x65 funnel: raw > exact > neardup with the engineered dup corpus") {
+    val s = spark
+    // the shared fixture: docs 0/1 exact dups, 2/3 near-dups — and doc 2
+    // (= base + " tail one") is itself a near-dup of doc 0 (= base), so
+    // LSH links one cluster {0,1,2,3} with rep 0. Funnel: 14 raw, 13
+    // after exact (doc 1 folded into 0), 11 after near-dup (docs 2 and
+    // 3 are non-rep members of cluster 0)
+    val got = Extensions.x65.run(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("0_raw" -> 14L, "1_exact" -> 13L, "2_neardup" -> 11L)
+  }
+
+  test("x66 BPE pairs: counts weighted by word frequency, ordered cut") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x66bpe").toString
+    // tokens: ab ab cde → distinct words ab(wc=2), cde(wc=1)
+    // pairs: "ab"→2, "cd"→1, "de"→1; order (n DESC, pair ASC)
+    Seq((0L, "ab ab cde", "en", "srcA", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x66.run(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    got shouldBe Seq(("ab", 2L), ("cd", 1L), ("de", 1L))
+  }
+
+  test("x67 embedding health: zero vectors counted, norm bounds exact") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x67health").toString
+    Seq((0L, Array(0f, 0f, 0f, 0f), 0),
+        (1L, Array(1f, 0f, 0f, 0f), 0),
+        (2L, Array(2f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Extensions.x67.run(s, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    got shouldBe Map(
+      0 -> ((2L, 1L, 0L, 1000000L)),
+      1 -> ((1L, 0L, 4000000L, 4000000L)))
+  }
+
+  test("x68 vocab coverage: head token covers 90%, tail needs two") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("x68cov").toString
+    // srcA: a×9 b×1 → cum(a)=9 ≥ 0.9·10 → v90=1
+    // srcB: a×5 b×4 c×1 → cum(a)=5 < 9, cum(a,b)=9 ≥ 9 → v90=2
+    Seq((0L, "a a a a a a a a a b", "en", "srcA", 19L),
+        (1L, "a a a a a b b b b c", "en", "srcB", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Extensions.x68.run(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe Map(
+      "srcA" -> ((2L, 10L, 1L)),
+      "srcB" -> ((3L, 10L, 2L)))
+  }
+
   test("w16 per-window top types: exact counts, count-then-term tie-break") {
     val s = spark
     import s.implicits._
