@@ -36,26 +36,33 @@ object MinHash {
 
   /** Per-doc packed distinct shingle-hash array: (doc_id, hs ARRAY<LONG>).
     * Docs with no shingle (under 3 tokens) are dropped — they have no
-    * minhash signature. */
+    * minhash signature. Runs on the native fused
+    * [[graft.functions.ShingleHashes]] expression (one token pass, one
+    * md5 per distinct shingle, no hex round-trip) — bit parity with
+    * [[TrigramExpr]]'s interpreted chain is pinned by MinHashSigSpec. */
   def shingleHashes(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
     docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
-      .select(col("doc_id"), array_distinct(expr(TrigramExpr)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), expr(
-        "transform(shingles, sh -> " +
-        "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint))").as("hs"))
+      .select(col("doc_id"), GraftPlanBridge.col(graft.functions.ShingleHashes(
+        GraftPlanBridge.expr(col("toks")))).as("hs"))
+      .filter(size(col("hs")) > 0)
+  }
 
   /** K XOR-permuted minhashes folded into B banded keys per doc —
-    * (doc_id, band, k1, k2), one row per band. */
+    * (doc_id, band, k1, k2), one row per band. The K minima come from
+    * ONE pass over the hash array ([[graft.functions.MinHashSig]])
+    * instead of K array_min(transform(...)) walks. */
   def bands(hs: DataFrame): DataFrame = {
-    val sigCols = Seeds.zipWithIndex.map { case (seed, i) =>
-      expr(s"array_min(transform(hs, h -> h ^ ${seed}L))").as(s"h$i") }
-    val sig = hs.select((col("doc_id") +: sigCols): _*)
+    import org.apache.spark.sql.GraftPlanBridge
+    val sig = hs.select(col("doc_id"), GraftPlanBridge.col(
+      graft.functions.MinHashSig(GraftPlanBridge.expr(col("hs")), Seeds))
+      .as("sig"))
     sig.select(col("doc_id"), explode(array(
       (0 until B).map(b => struct(lit(b).as("band"),
-        col(s"h${2 * b}").as("k1"), col(s"h${2 * b + 1}").as("k2"))): _*)).as("bb"))
+        col("sig").getItem(2 * b).as("k1"),
+        col("sig").getItem(2 * b + 1).as("k2"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.k1").as("k1"), col("bb.k2").as("k2"))
   }

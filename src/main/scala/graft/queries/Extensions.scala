@@ -1680,12 +1680,17 @@ object Extensions {
       // 60 bits) would be shared, not a mismatch. Persisted: g feeds
       // both self-join sides and the per-source counts — three
       // consumers of the tokenize+md5+explode+distinct pipeline.
-      val g = persisted(s, "x34_grams", dir) { docs(s, dir)
-        .select($"source", split(lower($"text"), " ").as("toks"))
-        .select($"source", explode(array_distinct(expr(
-          s"transform($TrigramExpr, g -> " +
-          "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"))).as("gram"))
-        .distinct()
+      val g = persisted(s, "x34_grams", dir) {
+        import org.apache.spark.sql.GraftPlanBridge
+        docs(s, dir)
+          .select($"source", split(lower($"text"), " ").as("toks"))
+          // native fused shingle→md5-60bit (functions/MinHashSig.scala);
+          // legacy hashed-then-distinct vs native distinct-then-hashed
+          // collapse to the same gram SET under the explode+distinct
+          .select($"source", explode(GraftPlanBridge.col(
+            graft.functions.ShingleHashes(GraftPlanBridge.expr($"toks"))))
+            .as("gram"))
+          .distinct()
       }
       val counts = g.groupBy($"source").agg(count(lit(1)).as("n"))
       g.as("a").join(g.as("b"),

@@ -103,6 +103,42 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should include("BroadcastHashJoin") // vocab sizes broadcast back
   }
 
+  test("x64: both axis sketches ride one aggregation; bins are a narrow map") {
+    val p = plan(Extensions.x64)
+    // ONE ObjectHashAggregate pair (partial+final) carrying BOTH
+    // QuantileSketch columns — not one aggregation per axis
+    val sketchAggs = "ObjectHashAggregate".r.findAllIn(p).size
+    withClue(s"expected 2 (partial+final), plan:\n$p\n") {
+      sketchAggs shouldBe 2
+    }
+    // the 1-row boundary table broadcasts back (BNLJ on a 1-row build
+    // side is the scalar-subquery shape, q34 precedent); binning itself
+    // must not sort or window the corpus
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("x66: pair counting aggregates the distinct-word table, bounded cut") {
+    val p = plan(Extensions.x66)
+    // top-30 is a TakeOrderedAndProject heap, never a global sort or
+    // window; all joins are aggregation-internal (none at all)
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("x68: coverage windows the vocab; totals broadcast back") {
+    val p = plan(Extensions.x68)
+    // the running sum windows per-source VOCAB rows (expected Window),
+    // and the totals table comes back as a broadcast hash join — the
+    // corpus-sized side is never sort-merge-joined or cross-joined
+    p should include("Window")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("w16: window heavy-hitters ride one keyed sketch aggregation") {
     val p = plan(graft.queries.Warehouse.w16)
     p should include("ObjectHashAggregate")
