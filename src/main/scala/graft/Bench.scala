@@ -102,7 +102,26 @@ object Bench {
       if (failed.exists(headlineNames)) -1.0
       else results.filter(r => headlineNames(r._1)).map(_._2).sum
     val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline":${num(headline)},"failed":$failedJson,"queries":$qj,"sf":"$sfDir"}""")
+    // Min-of-two reports capability, but a reviewer must be able to
+    // tell a stall-burst min from a stable timing. The JSON line must
+    // stay small (the consumer parses only the tail of stdout), so it
+    // carries just the DIVERGENT queries (max/min > 1.5x and > 0.3 s
+    // apart — i.e. one pass hit a burst); the full per-pass detail
+    // goes to a sidecar file.
+    val spreadJson = p1.zip(p2).collect {
+      case ((n1, d1), (_, d2)) if d1 >= 0 && d2 >= 0 &&
+          math.max(d1, d2) > 1.5 * math.min(d1, d2) &&
+          math.max(d1, d2) - math.min(d1, d2) > 0.3 =>
+        "\"" + shortKey(n1) + "\":" + num(math.max(d1, d2) - math.min(d1, d2))
+    }.mkString("{", ",", "}")
+    def passJson(p: Seq[(String, Double)]): String =
+      p.map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v) }
+        .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_passes.json"),
+      s"""{"sf":"$sfDir","pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
+    catch { case _: java.io.IOException => () } // diagnostics only
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline":${num(headline)},"failed":$failedJson,"spread":$spreadJson,"queries":$qj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecCosine)
     ext.injectFunction(GraftExtensions.ngrams)
     ext.injectFunction(GraftExtensions.charStats)
+    ext.injectFunction(GraftExtensions.charBigrams)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
   }
@@ -75,6 +76,13 @@ object GraftExtensions {
       ""),
     unary("char_stats")(CharStats(_)))
 
+  private val charBigrams = (
+    new FunctionIdentifier("char_bigrams"),
+    new ExpressionInfo(classOf[CharBigrams].getName, null, "char_bigrams",
+      "char_bigrams(s) - distinct adjacent code-point pairs packed as (a << 21) | b",
+      ""),
+    unary("char_bigrams")(CharBigrams(_)))
+
   /** Register into an already-built session (tests, REPL) — the same
     * registry write `injectFunction` performs at session build time.
     * Production code should prefer `withExtensions`/`spark.sql.extensions`. */
@@ -85,5 +93,7 @@ object GraftExtensions {
       .registerFunction(ngrams._1, ngrams._2, ngrams._3)
     spark.sessionState.functionRegistry
       .registerFunction(charStats._1, charStats._2, charStats._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(charBigrams._1, charBigrams._2, charBigrams._3)
   }
 }

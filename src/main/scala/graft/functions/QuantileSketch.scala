@@ -14,8 +14,18 @@ import org.apache.spark.sql.types._
   * compactor scheme [Karnin, Lang, Liberty, "Optimal quantile
   * approximation in streams", FOCS 2016] with DETERMINISTIC compaction
   * (keep the odd-indexed half of each sorted buffer) instead of the
-  * paper's coin flip, so identical inputs always produce identical
-  * summaries and the driver's hash-compare stays valid.
+  * paper's coin flip. Byte-identical-summary guarantee, precisely
+  * scoped: in the EXACT regime (n ≤ capacity — no compaction) the
+  * summary is a pure function of the input multiset, so identical
+  * inputs always produce identical summaries regardless of partial-
+  * aggregate merge order. In the COMPACTED regime the summary also
+  * depends on WHICH intermediate buffers compacted together — i.e. on
+  * Spark's nondeterministic partial-merge order — so results there are
+  * deterministic only up to merge order, within the KLL rank-error
+  * bound (the same caveat applies to streaming.QuantileStore's
+  * replayed-batch row when a batch exceeds capacity). Oracle-graded
+  * queries therefore run strictly in the exact regime
+  * (queries.Extensions.exactSketchCapacity).
   *
   * Three aggregate forms share one compactor ([[QuantileSketch.Buffer]]):
   *   - [[QuantileSketch]]       values → quantiles (the batch x47/x50 form)

@@ -553,7 +553,119 @@ object Warehouse {
       FROM n JOIN top ON n.window_start_s = top.window_start_s
     """))
 
+  // ---------------------------------------------------------------------
+  // w17 — S2's true incremental half: snapshot-then-changelog CDC apply
+  // (the reference's StartupOptions.initial(), app/dim/DimApp.java:
+  // 74-86) through [[graft.streaming.IncrementalCdc]]. The query
+  // EXECUTES the real machinery, not a window-function rephrasing:
+  // bootstrap a dim store from the pre-cutoff snapshot, publish the
+  // post-cutoff changelog as parquet, replay it in three
+  // cursor-bounded applies — each reads only records past the
+  // persisted cursor (a plain version predicate, so the parquet scan
+  // zone-map-skips already-applied history; steady-state cost is
+  // O(new records), not O(history)) — then return the final store
+  // state. The oracle is the full-re-read LWW over ALL events, so a
+  // green row IS the S2 proof obligation: snapshot + incremental tail
+  // == full recompute. (user_id, ts) is unique in the fixture at every
+  // SF, so version = epoch micros is a total per-key order and the
+  // LWW winner is deterministic in both engines.
+  val w17 = Q(
+    "w17_cdc_incremental_apply",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.IncrementalCdc
+      def micros(d: String): Long =
+        java.time.Instant.parse(d).toEpochMilli * 1000L
+      val c0 = micros("2024-01-15T00:00:00Z")
+      val versioned = ev(s, dir).select($"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("value_cents"),
+        unix_micros($"ts").as("version"))
+      val work = java.nio.file.Files.createTempDirectory("w17_cdc_").toString
+      val store = s"$work/dim_user_latest"
+      val chlog = s"$work/changelog"
+      IncrementalCdc.bootstrap(s, versioned.filter($"version" <= c0),
+        store, "user_id", "version")
+      versioned.filter($"version" > c0).write.parquet(chlog)
+      val tail = s.read.parquet(chlog)
+      Seq(Some(micros("2024-01-20T00:00:00Z")),
+          Some(micros("2024-01-25T00:00:00Z")), None)
+        .foreach(up => IncrementalCdc.applyOnce(s, tail, store,
+          "user_id", "version", up))
+      IncrementalCdc.read(s, store)
+        .select($"user_id", $"event_type".as("last_event_type"),
+          $"value_cents".as("last_value_cents"),
+          $"version".as("last_version"))
+    },
+    Some("""
+      SELECT user_id, event_type AS last_event_type,
+        CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+        epoch_us(ts) AS last_version
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    """))
+
+  // ---------------------------------------------------------------------
+  // w18 — K3's scale probe: a micro-batch MERGE into a fact-sized dim
+  // store, priced on the bench. The base store (every lineitem keyed
+  // by pk = l_orderkey·8 + l_linenumber, 256-way pk-hash buckets) is
+  // STAGED once per dataset; each invocation hardlink-clones it
+  // (O(file count), zero data bytes) and merges a FIXED-SIZE
+  // micro-batch — the ~95 pk-collapsed line items of orderkeys ≤ 32,
+  // version 2, quantity +100 — through DimStore's bucket-pruned
+  // MERGE. ~95 pks hash into ≤95 of 256 buckets, so the merge reads
+  // and rewrites about a third of the buckets worst-case and the
+  // timed number proves
+  // the O(touched-buckets) claim: as the table scales 100×, the
+  // batch and its touched-bucket count do not. The result is the
+  // merged store's full aggregate, so the oracle (plain LWW in SQL)
+  // also certifies that no untouched row was lost or double-applied.
+  val w18 = Q(
+    "w18_dim_merge_probe",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.{DimStore, Staging}
+      // the fixture's (orderkey, linenumber) is NOT unique (synthetic
+      // duplicates), so collapse to pk grain with a deterministic
+      // winner (max qty) FIRST — an upsert batch carrying true pk
+      // duplicates would otherwise pick its survivor by the LWW
+      // content tie-break, which no plain-SQL oracle can mirror
+      def collapsed(v: Long) = Tables.load(s, dir, "lineitem")
+        .select(($"l_orderkey" * 8 + $"l_linenumber").cast("long").as("pk"),
+          $"l_quantity".cast("long").as("qty"))
+        .groupBy($"pk").agg(max($"qty").as("qty"))
+        .withColumn("version", lit(v))
+      val staged = Staging.ensurePath("w18_dim_base", dir, Seq("lineitem")) {
+        p => DimStore.upsert(s, p.toString, collapsed(1L),
+          "pk", "version", nBuckets = 256)
+      }
+      val work = java.nio.file.Files.createTempDirectory("w18_probe_")
+      val store = work.resolve("dim").toString
+      Staging.linkClone(staged, work.resolve("dim"))
+      // orderkeys ≤ 32 ⟺ pk ≤ 263 (linenumber ∈ 1..7): ~95 pks
+      val batch = collapsed(2L).filter($"pk" <= 263L)
+        .withColumn("qty", $"qty" + 100L)
+      DimStore.upsert(s, store, batch, "pk", "version")
+      DimStore.read(s, store)
+        .agg(count(lit(1)).as("n_rows"), sum($"qty").as("sum_qty"),
+          sum(when($"version" === 2L, 1L).otherwise(0L)).as("n_updated"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey * 8 + l_linenumber AS pk,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+      agg AS (SELECT pk, MAX(qty) AS qty FROM li GROUP BY pk)
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN pk <= 263 THEN qty + 100 ELSE qty END)
+             AS BIGINT) AS sum_qty,
+        CAST(SUM(CASE WHEN pk <= 263 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_updated
+      FROM agg
+    """))
+
   def queries: Seq[Q] = Seq(
     w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14,
-    w15, w16)
+    w15, w16, w17, w18)
 }

@@ -18,7 +18,12 @@ import graft.ops.DimStore
   * own summary row keyed (day, batchId) through DimStore's LWW upsert —
   * a replayed batch OVERWRITES its own previous row (same pk, same
   * version, deterministic tie-break) instead of merging into an
-  * accumulator. Merging happens at READ time, over the summary table
+  * accumulator. (Scope caveat, mirroring QuantileSketch's: the
+  * replayed row is byte-identical to the one it replaces only while
+  * the batch stays within sketch capacity; past capacity the summary
+  * bytes depend on partial-merge order and the overwrite is
+  * rank-error-equivalent rather than byte-equal — either way the
+  * store never double-counts.) Merging happens at READ time, over the summary table
   * (one ~KB row per day per batch), via sketch union — the raw stream
   * is never rescanned and re-delivery is exactly-once in effect.
   *

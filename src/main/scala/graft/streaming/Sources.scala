@@ -16,26 +16,45 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
+  /** The source provider name the Kafka path resolves against. */
+  val KafkaFormat = "kafka"
+
+  /** The value-decode projection applied over the Kafka wire schema:
+    * binary `value` → nullable string (tombstones survive as SQL NULL —
+    * the behavior the reference needed a custom deserializer for,
+    * MyKafkaUtil.java:26-35). Pinned by SourcesPlanSpec against the
+    * documented wire schema, jar or no jar. */
+  val KafkaValueProjection = "CAST(value AS STRING) AS value"
+
+  /** One Kafka endpoint declaration, exposed as plain data so the
+    * option wiring is testable in this connector-less container
+    * (SourcesPlanSpec) and auditable before a real cluster sees it. */
+  final case class KafkaSpec(bootstrap: String, topic: String,
+                             groupId: Option[String] = None) {
+    def sourceOptions: Map[String, String] =
+      Map("kafka.bootstrap.servers" -> bootstrap, "subscribe" -> topic) ++
+        groupId.map("kafka.group.id" -> _)
+    def sinkOptions(checkpoint: String): Map[String, String] =
+      Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> topic,
+        "checkpointLocation" -> checkpoint)
+  }
+
   /** S1 — Kafka topic as a stream of nullable strings
-    * (utils/MyKafkaUtil.java:20-51; tombstones survive as SQL NULL, the
-    * behavior the reference needed a custom deserializer for). */
+    * (utils/MyKafkaUtil.java:20-51). */
   def kafkaStringStream(spark: SparkSession, bootstrap: String,
                         topic: String, groupId: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("kafka.group.id", groupId)
+    spark.readStream.format(KafkaFormat)
+      .options(KafkaSpec(bootstrap, topic, Some(groupId)).sourceOptions)
       .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+      .selectExpr(KafkaValueProjection)
 
   /** S1 batch flavor for replay/backfill. */
   def kafkaStringBatch(spark: SparkSession, bootstrap: String,
                        topic: String): DataFrame =
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
+    spark.read.format(KafkaFormat)
+      .options(KafkaSpec(bootstrap, topic).sourceOptions)
       .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+      .selectExpr(KafkaValueProjection)
 
   /** S3-analog — newline-JSON files as a stream (the test/replay
     * source; schema-on-read like the reference's JSON.parseObject). */
@@ -57,10 +76,8 @@ object Sources {
     * micro-batch) — documented semantic difference (SURVEY §2.7). */
   def kafkaSink[T](ds: DataStreamWriter[T], bootstrap: String,
                    topic: String, checkpoint: String): DataStreamWriter[T] =
-    ds.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+    ds.format(KafkaFormat)
+      .options(KafkaSpec(bootstrap, topic).sinkOptions(checkpoint))
 
   /** K5 — console/debug sink. */
   def consoleSink[T](ds: DataStreamWriter[T]): DataStreamWriter[T] =

@@ -208,6 +208,46 @@ class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).count() shouldBe 64
   }
 
+  test("scale probe: micro-batch merge into a 60k-row store touches only " +
+       "the batch's buckets; the rest stay byte-identical") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val path = Files.createTempDirectory("dimscale").toString + "/dim_s"
+    // the w18 bench probe's exact shape, verified at sf0.01 cardinality:
+    // every pk-collapsed lineitem as a dim row, 256-way fan-out, then
+    // a ~95-pk micro-batch (orderkeys ≤ 32 → pk ≤ 263)
+    def li(v: Long) = graft.core.Tables
+      .load(s, "/root/testdata/sf0.01", "lineitem")
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
+          .as("pk"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("pk"))
+      .agg(org.apache.spark.sql.functions.max(col("qty")).as("qty"))
+      .withColumn("ver", lit(v))
+    val nPks = li(1L).count()
+    DimStore.upsert(s, path, li(1L), "pk", "ver", nBuckets = 256)
+    val sigBefore = fileSignatures(s, path)
+    val batch = li(2L).filter(col("pk") <= 263L)
+    val nBatch = batch.count()
+    nBatch should be > 10L
+    val touched = batch
+      .select(pmod(hash(col("pk")), lit(256)).as("b")).distinct().count()
+    DimStore.upsert(s, path, batch, "pk", "ver")
+    val sigAfter = fileSignatures(s, path)
+    val changed = (sigBefore.keySet ++ sigAfter.keySet)
+      .filter(k => sigBefore.get(k) != sigAfter.get(k))
+    val changedBuckets =
+      changed.map(_.split('/').find(_.startsWith("__bucket=")).get)
+    // write amplification is the batch's bucket footprint — a small
+    // fraction of the 256-bucket table — never O(table)
+    changedBuckets.size.toLong should be <= touched
+    touched should be < 128L
+    (sigBefore.keySet -- changed).foreach(k => sigAfter(k) shouldBe sigBefore(k))
+    // and the merge is exactly right at this scale
+    DimStore.read(s, path).count() shouldBe nPks
+    DimStore.read(s, path).filter(col("ver") === 2L).count() shouldBe nBatch
+  }
+
   test("empty batch is a no-op: no schema-less table dir, later upserts unaffected") {
     val s = spark
     import s.implicits._

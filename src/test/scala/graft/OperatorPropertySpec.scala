@@ -78,6 +78,41 @@ class OperatorPropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  /** Per-key strictly-increasing timestamps — an exact-tie under
+    * shuffle would make the canonical processing order itself
+    * ambiguous — with gaps straddling the 10 s bounce gap so both
+    * state-machine arms fire. */
+  private def genHistory(mid: String): Gen[List[PageLog]] = for {
+    n <- Gen.choose(0, 25)
+    gaps <- Gen.listOfN(n, Gen.choose(500L, 30000L))
+    entries <- Gen.listOfN(n, Arbitrary.arbitrary[Boolean])
+    pages <- Gen.listOfN(n, Gen.oneOf("home", "cart", "good", "detail"))
+  } yield gaps.scanLeft(1000L)(_ + _).tail
+    .lazyZip(entries).lazyZip(pages)
+    .map((t, e, p) => PageLog(mid, p, if (e) None else Some("x"), t)).toList
+
+  private val genHistories: Gen[List[PageLog]] = for {
+    a <- genHistory("m1"); b <- genHistory("m2"); c <- genHistory("m3")
+  } yield a ++ b ++ c
+
+  import OperatorPropertySpec.simulateBounces
+
+  test("BounceDetector shuffled replay (batch): output is invariant under " +
+       "input permutation and equals the linear one-pass spec") {
+    val s = spark
+    import s.implicits._
+    forAllSampled(genHistories) { events =>
+      val expected = simulateBounces(events, 10000L, closeOut = false)
+        .map(b => (b.mid, b.ts, b.reason)).sorted
+      Seq(1, 7, 13).foreach { salt =>
+        val shuffled = new scala.util.Random(salt).shuffle(events)
+        val got = BounceDetector(s.createDataset(shuffled)).collect().toSeq
+          .map(b => (b.mid, b.ts, b.reason)).sorted
+        withClue(s"salt=$salt: ") { got shouldBe expected }
+      }
+    }
+  }
+
   // --- RowNumberTopKRewrite widenings: every matched shape must return
   // --- exactly what the un-rewritten window form returns, on generated
   // --- data engineered to contain ties (small key/value domains).
@@ -168,4 +203,37 @@ class OperatorPropertySpec extends AnyFunSuite with Matchers with SparkFixture {
       }
     }
   }
+}
+
+/** Shared W2 oracle: the one-pass linear SPECIFICATION of bounce
+  * detection (SURVEY §7.3 hard part #1 — timeout + out-of-order
+  * interplay). Fold each key's time-sorted history through the CEP
+  * rules; `closeOut` models an end-of-stream watermark flush
+  * (streaming with a far-future watermark pusher) vs batch (no
+  * timers — trailing pending never emits). The implementation must
+  * match this fold no matter how its input is shuffled or
+  * micro-batched; OperatorPropertySpec pins the batch half,
+  * StreamingStateSpec the micro-batched streaming half. */
+object OperatorPropertySpec {
+  def simulateBounces(events: Seq[PageLog], gapMs: Long,
+                      closeOut: Boolean): Seq[Bounce] =
+    events.groupBy(_.mid).toSeq.flatMap { case (mid, es) =>
+      val out = Seq.newBuilder[Bounce]
+      var pending: Option[Long] = None
+      es.sortBy(e => (e.ts, e.pageId)).foreach { e =>
+        val isEntry = e.lastPageId.isEmpty
+        pending match {
+          case Some(p) if e.ts - p <= gapMs =>
+            if (isEntry) { out += Bounce(mid, p, "next_entry"); pending = Some(e.ts) }
+            else pending = None
+          case Some(p) =>
+            out += Bounce(mid, p, "timeout")
+            pending = if (isEntry) Some(e.ts) else None
+          case None =>
+            if (isEntry) pending = Some(e.ts)
+        }
+      }
+      if (closeOut) pending.foreach(p => out += Bounce(mid, p, "timeout"))
+      out.result()
+    }
 }

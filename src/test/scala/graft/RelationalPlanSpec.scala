@@ -154,6 +154,27 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     countExchanges(p) shouldBe 0               // pure per-row map
   }
 
+  test("q27 pre-agg join: aggregation sits below the join, bounded exchanges") {
+    val p = plan(Relational.q27)
+    // the shape that survives 100x: lineitem collapses to order grain
+    // BEFORE the join (partial_sum under the join operator), and the
+    // only exchanges are (1) the pre-agg's l_orderkey shuffle, (2) the
+    // orders join side, (3) the tiny priority agg. The pre-agg output
+    // is already clustered by l_orderkey, so the join must NOT add a
+    // fourth fact-sized exchange on the agg side. At runtime AQE may
+    // further collapse (2) into a broadcast from observed stats —
+    // that's adaptive icing, not something the static plan relies on;
+    // at true scale both sides are fact-sized and the keyed join is
+    // the correct fallback, which is why this pins the static shape.
+    p should include("partial_sum")
+    val joinIdx = p.indexOf("Join")
+    val partialIdx = p.lastIndexOf("partial_sum")
+    assert(joinIdx >= 0 && partialIdx > joinIdx,
+      "pre-aggregation must appear BELOW (after, in plan text) the join")
+    countExchanges(p) should be <= 3
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q33: single fact shuffle — groupBy and window reuse the repartition") {
     val p = plan(Relational.q33)
     // one Exchange on l_orderkey carries the whole computation up to the

@@ -160,4 +160,41 @@ class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe Seq(
       ("b", 0L, "next_entry"))
   }
+
+  test("BounceDetector shuffled replay across micro-batches matches the " +
+       "linear one-pass spec (generative)") {
+    // The W2 "hard part #1" mitigation (SURVEY §7.3): out-of-order
+    // arrival WITHIN the watermark window must not change results, and
+    // event-time timers must fill in exactly the timeouts the linear
+    // spec expects. Construction: per-key strictly-increasing
+    // histories, chunked into time-ordered micro-batches (so nothing
+    // is watermark-late), each batch's rows SHUFFLED (the disorder a
+    // multi-partition Kafka topic actually delivers), plus a
+    // far-future watermark pusher so every trailing timer fires.
+    val gap = BounceDetector.DefaultGapMs
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val events = Seq("m1", "m2", "m3").flatMap { mid =>
+        var t = 1000L
+        (0 until rnd.between(0, 20)).map { _ =>
+          t += rnd.between(500L, 30000L)
+          PageLog(mid, "p" + rnd.between(0, 4),
+            if (rnd.nextBoolean()) None else Some("x"), t)
+        }
+      }
+      val chunkMs = 20000L
+      val batches = events.groupBy(_.ts / chunkMs).toSeq.sortBy(_._1)
+        .map { case (_, es) => rnd.shuffle(es) } :+
+        Seq(PageLog("zzz", "home", Some("x"),
+          events.map(_.ts).maxOption.getOrElse(0L) + 100 * gap))
+      val out = runStream[PageLog, Bounce](batches, BounceDetector(_),
+        s"bounce_replay_$seed")
+      val expected = OperatorPropertySpec
+        .simulateBounces(events, gap, closeOut = true)
+      withClue(s"seed=$seed: ") {
+        out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe
+          expected.map(b => (b.mid, b.ts, b.reason)).sorted
+      }
+    }
+  }
 }
