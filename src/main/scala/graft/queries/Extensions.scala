@@ -3550,10 +3550,47 @@ object Extensions {
       GROUP BY cum.source, n_vocab, total_tokens
     """))
 
+  // ---------------------------------------------------------------------
+  // x69 — salted skew join (ops/SkewJoin.saltedJoin, the manual remedy
+  // for hot keys AQE's SMJ splitting can't reach): the big side
+  // scatters each key across 8 deterministic sub-keys, the dim side
+  // replicates ×8, and the join keys on (key, salt) — shuffle
+  // partitions bound at |key|×salts instead of one straggler per hot
+  // key. Salting is a pure redistribution, so the oracle is the PLAIN
+  // join: a green row proves rows are neither lost nor duplicated by
+  // the scatter/replicate dance, which is exactly the bug class manual
+  // salting invites. ScaleJoinSpec pins the (key, salt) shuffle shape.
+  val x69 = Q(
+    "x69_salted_skew_join",
+    (s, dir) => {
+      import s.implicits._
+      val big = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"value")
+      val dim = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .withColumnRenamed("o_custkey", "user_id")
+      graft.ops.SkewJoin.saltedJoin(big, dim, "user_id", salts = 8)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          Q.dsum($"value").as("sum_value"),
+          sum($"n_orders").as("sum_orders"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        CAST(SUM(n_orders) AS BIGINT) AS sum_orders
+      FROM events e
+      JOIN (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey) d USING (user_id)
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
-    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68)
+    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69)
 }

@@ -583,14 +583,18 @@ object Warehouse {
       val work = java.nio.file.Files.createTempDirectory("w17_cdc_").toString
       val store = s"$work/dim_user_latest"
       val chlog = s"$work/changelog"
+      // fan-out sized to the dim (~150 users): bucket count is a
+      // per-table property, and a small hot dim wants few buckets —
+      // 64 dirs of near-empty files would quintuple the fs ops per
+      // apply for zero pruning benefit
       IncrementalCdc.bootstrap(s, versioned.filter($"version" <= c0),
-        store, "user_id", "version")
+        store, "user_id", "version", nBuckets = 8)
       versioned.filter($"version" > c0).write.parquet(chlog)
       val tail = s.read.parquet(chlog)
       Seq(Some(micros("2024-01-20T00:00:00Z")),
           Some(micros("2024-01-25T00:00:00Z")), None)
         .foreach(up => IncrementalCdc.applyOnce(s, tail, store,
-          "user_id", "version", up))
+          "user_id", "version", up, nBuckets = 8))
       IncrementalCdc.read(s, store)
         .select($"user_id", $"event_type".as("last_event_type"),
           $"value_cents".as("last_value_cents"),

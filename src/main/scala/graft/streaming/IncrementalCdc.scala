@@ -80,8 +80,9 @@ object IncrementalCdc {
     * snapshot leaves the store absent and the cursor at Long.MinValue,
     * so the first apply replays the changelog from the beginning. */
   def bootstrap(spark: SparkSession, snapshot: DataFrame, storePath: String,
-                pk: String, versionCol: String): Unit = {
-    DimStore.upsert(spark, storePath, snapshot, pk, versionCol)
+                pk: String, versionCol: String,
+                nBuckets: Int = DimStore.NumBuckets): Unit = {
+    DimStore.upsert(spark, storePath, snapshot, pk, versionCol, nBuckets)
     val hw = snapshot.agg(max(col(versionCol))).head()
     writeCursor(spark, storePath,
       if (hw.isNullAt(0)) Long.MinValue else hw.getLong(0))
@@ -94,7 +95,8 @@ object IncrementalCdc {
     * beyond the pruned scan. */
   def applyOnce(spark: SparkSession, changelog: DataFrame, storePath: String,
                 pk: String, versionCol: String,
-                upTo: Option[Long] = None): Long = {
+                upTo: Option[Long] = None,
+                nBuckets: Int = DimStore.NumBuckets): Long = {
     val cur = readCursor(spark, storePath).getOrElse(Long.MinValue)
     val fresh0 = changelog.filter(col(versionCol) > cur)
     val fresh = upTo.fold(fresh0)(v => fresh0.filter(col(versionCol) <= v))
@@ -103,7 +105,10 @@ object IncrementalCdc {
       val stats = fresh.agg(count(lit(1)), max(col(versionCol))).head()
       val n = stats.getLong(0)
       if (n > 0) {
-        DimStore.upsert(spark, storePath, fresh, pk, versionCol)
+        // nBuckets only applies on table creation (the store's own
+        // marker wins afterwards) — passed through so a store created
+        // by an apply, not a bootstrap, still gets the caller's layout
+        DimStore.upsert(spark, storePath, fresh, pk, versionCol, nBuckets)
         writeCursor(spark, storePath, stats.getLong(1))
       }
       n

@@ -14,6 +14,28 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
   private def plan(q: graft.queries.Q): String =
     q.run(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("x30: native char_bigrams feeds a broadcast-join scoring plan — " +
+       "no per-char arrays, no per-row array_intersect") {
+    graft.queries.Extensions.clearPersistedIntermediates()
+    val p = plan(Extensions.x30)
+    // the fused expression is in the scan-side projection...
+    p should include("char_bigrams")
+    // ...and the old 27 s shapes are gone: string split/zip_with gram
+    // arrays and the rebuilt-per-row intersect probe
+    p should not include "array_intersect"
+    p should not include "zip_with"
+    // rare-set scoring is a broadcast hash join + aggregation
+    p should include("BroadcastHashJoin")
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x69: salted join shuffles on (key, salt), never a cross join") {
+    val p = plan(Extensions.x69)
+    p should include("__salt")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("x48: the sample is planned as the native per-key top-k operator") {
     val p = plan(Extensions.x48)
     // partial+final TopKPerKeyExec — NOT a window sort over the corpus
