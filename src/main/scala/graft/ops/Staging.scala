@@ -82,9 +82,20 @@ object Staging {
       try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         // rename onto an existing dir surfaces as FileAlreadyExists /
-        // DirectoryNotEmpty depending on the fs — either way another
-        // process published first; use theirs
+        // DirectoryNotEmpty depending on the fs — usually another
+        // process published first (use theirs). But an existing dir
+        // WITHOUT the marker is debris, not a publication — clear it
+        // and retry once rather than serve a broken stage
         case _: java.nio.file.FileSystemException =>
+          if (!Files.exists(target.resolve(Marker))) {
+            val t = Files.walk(target)
+            try {
+              import scala.jdk.CollectionConverters._
+              t.iterator().asScala.toVector.sortBy(-_.getNameCount)
+                .foreach(f => Files.deleteIfExists(f))
+            } finally t.close()
+            Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+          }
       }
       // best-effort cleanup of the (now empty or superseded) temp dir
       try {

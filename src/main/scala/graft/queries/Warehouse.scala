@@ -641,8 +641,15 @@ object Warehouse {
         .groupBy($"pk").agg(max($"qty").as("qty"))
         .withColumn("version", lit(v))
       val staged = Staging.ensurePath("w18_dim_base", dir, Seq("lineitem")) {
-        p => DimStore.upsert(s, p.toString, collapsed(1L),
-          "pk", "version", nBuckets = 256)
+        p =>
+          DimStore.upsert(s, p.toString, collapsed(1L),
+            "pk", "version", nBuckets = 256)
+          // the initial 32-task write leaves up to 32 fragments per
+          // bucket; compacting the published base to one file per
+          // bucket makes every later clone+scan O(buckets) file ops,
+          // the layout a real staged table would ship
+          DimStore.compact(s, p.toString)
+          ()
       }
       val work = java.nio.file.Files.createTempDirectory("w18_probe_")
       val store = work.resolve("dim").toString
