@@ -98,4 +98,30 @@ object Jobs {
              catalogDb: Option[String] = None) =
     DimRouter.start(cdc, loadConfig, basePath, versionCol, checkpoint,
       catalogDb)
+
+  /** DimApp's batch-polling form for a GROWING CHANGELOG TABLE (the
+    * reference's `StartupOptions.initial()` after the snapshot phase):
+    * each call routes per config row and applies ONLY records past
+    * each sink's persisted cursor — [[IncrementalCdc]] composed with
+    * [[DimRouter]]'s projection rules, so a high-churn CDC table costs
+    * O(new records) per poll instead of a full re-read. Returns
+    * applied-record counts per sink table (all zeros ⇒ stores were
+    * already current). Idempotent under replay: a crash between a
+    * sink's merge and its cursor write redelivers into an LWW merge. */
+  def dimAppIncremental(changelog: DataFrame, config: Seq[TableProcess],
+                        basePath: String, versionCol: String,
+                        nBuckets: Int = graft.ops.DimStore.NumBuckets)
+      : Map[String, Long] = {
+    val spark = changelog.sparkSession
+    config.map { tp =>
+      val keep = tp.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
+      val cols = (keep :+ versionCol).distinct.map(col)
+      val routed = changelog
+        .filter(col("source_table") === tp.sourceTable)
+        .select(cols: _*)
+      tp.sinkTable -> IncrementalCdc.applyOnce(spark, routed,
+        s"$basePath/${tp.sinkTable}", tp.sinkPk, versionCol,
+        nBuckets = nBuckets)
+    }.toMap
+  }
 }

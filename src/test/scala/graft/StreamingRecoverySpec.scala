@@ -122,6 +122,100 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers with SparkFixture 
     IncrementalCdc.readCursor(s, store) shouldBe Some(207L)
   }
 
+  test("IncrementalCdc model fuzz: random snapshot cuts, batch slicings " +
+       "and replays always converge to the full re-read state") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.IncrementalCdc
+    import org.apache.spark.sql.functions.col
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // global versions 1..n over 6 keys: every key's latest is well-
+      // defined and the expected state is a plain max-version fold
+      val n = 20 + rnd.nextInt(20)
+      val rows = (1 to n).map { v =>
+        val k = rnd.nextInt(6).toLong
+        (k, s"p${k}_v$v", v.toLong)
+      }
+      val all = rows.toDF("id", "payload", "version")
+      val work = Files.createTempDirectory(s"cdc_fuzz_$seed").toString
+      // cut < n: a fully-consumed snapshot would make the changelog an
+      // EMPTY parquet write, which Spark cannot re-read (no schema)
+      val cut = rnd.nextInt(n).toLong
+      val store = s"$work/store"
+      IncrementalCdc.bootstrap(s, all.filter(col("version") <= cut), store,
+        "id", "version", nBuckets = 4)
+      val chlog = s"$work/chlog"
+      all.filter(col("version") > cut).write.parquet(chlog)
+      val tail = s.read.parquet(chlog)
+      // random ascending upper bounds, then an unbounded drain; with a
+      // 1-in-3 chance replay a batch by regressing the cursor first
+      // (the crash-window double delivery)
+      val bounds = Seq.fill(rnd.nextInt(3))(cut + 1 + rnd.nextInt(n))
+        .sorted.map(Some(_)) :+ None
+      var applied = 0L
+      bounds.foreach { up =>
+        val before = IncrementalCdc.readCursor(s, store).get
+        applied += IncrementalCdc.applyOnce(s, tail, store, "id", "version", up)
+        if (rnd.nextInt(3) == 0) {
+          // regress the cursor (as if the advance was lost) and re-apply
+          val hfs = new org.apache.hadoop.fs.Path(store)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val out = hfs.create(
+            new org.apache.hadoop.fs.Path(s"$store.__cursor"), true)
+          out.write(before.toString.getBytes); out.close()
+          IncrementalCdc.applyOnce(s, tail, store, "id", "version", up)
+        }
+      }
+      applied shouldBe (n.toLong - cut)
+      val expected = rows.groupBy(_._1).values
+        .map(g => g.maxBy(_._3)).toSeq.sortBy(_._1)
+      val got = IncrementalCdc.read(s, store).orderBy("id")
+        .as[(Long, String, Long)].collect().toSeq
+      withClue(s"seed=$seed cut=$cut bounds=$bounds: ") {
+        got shouldBe expected
+      }
+    }
+  }
+
+  test("Jobs.dimAppIncremental routes per config and applies only past " +
+       "each sink's cursor") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{Jobs, TableProcess}
+    val work = Files.createTempDirectory("cdc_route").toString
+    val config = Seq(
+      TableProcess("user_info", "dim_user", "id,name", "id"),
+      TableProcess("sku_info", "dim_sku", "id,price", "id"))
+    val chlog = s"$work/chlog"
+    def row(src: String, id: Long, name: String, price: Long, v: Long) =
+      (src, id, name, price, v)
+    Seq(row("user_info", 1, "ann", 0, 1), row("sku_info", 7, "", 99, 2),
+        row("user_info", 1, "anne", 0, 3))
+      .toDF("source_table", "id", "name", "price", "v")
+      .write.mode("append").parquet(chlog)
+    val n1 = Jobs.dimAppIncremental(s.read.parquet(chlog), config,
+      s"$work/dim", "v", nBuckets = 4)
+    n1 shouldBe Map("dim_user" -> 2L, "dim_sku" -> 1L)
+    // second poll with no new data: stores current, nothing applied
+    Jobs.dimAppIncremental(s.read.parquet(chlog), config,
+      s"$work/dim", "v", nBuckets = 4) shouldBe
+      Map("dim_user" -> 0L, "dim_sku" -> 0L)
+    // changelog grows; only the new record is applied, to its sink only
+    Seq(row("user_info", 2, "bo", 0, 4))
+      .toDF("source_table", "id", "name", "price", "v")
+      .write.mode("append").parquet(chlog)
+    Jobs.dimAppIncremental(s.read.parquet(chlog), config,
+      s"$work/dim", "v", nBuckets = 4) shouldBe
+      Map("dim_user" -> 1L, "dim_sku" -> 0L)
+    // final state: config projection applied, LWW per pk
+    graft.ops.DimStore.read(s, s"$work/dim/dim_user")
+      .orderBy("id").as[(Long, String, Long)].collect() shouldBe
+      Array((1L, "anne", 3L), (2L, "bo", 4L))
+    graft.ops.DimStore.read(s, s"$work/dim/dim_sku")
+      .as[(Long, Long, Long)].collect() shouldBe Array((7L, 99L, 2L))
+  }
+
   test("IncrementalCdc: a current store applies nothing") {
     val s = spark
     import graft.streaming.IncrementalCdc
