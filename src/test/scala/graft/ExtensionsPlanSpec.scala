@@ -36,6 +36,19 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x39: dedup plan reads the staged cluster assignment — the Lloyd " +
+       "build is not in the query plan") {
+    graft.queries.Extensions.clearPersistedIntermediates()
+    val p = plan(Extensions.x39)
+    // scoring runs the fused native cosine over a cluster-keyed
+    // equi-join of the STAGED assignment; the k-means iterations
+    // (posexplode + per-dimension aggregation) happen once at stage
+    // build, never per query
+    p should include("vec_cosine")
+    p should not include "posexplode"
+    p should not include "CartesianProduct"
+  }
+
   test("x48: the sample is planned as the native per-key top-k operator") {
     val p = plan(Extensions.x48)
     // partial+final TopKPerKeyExec — NOT a window sort over the corpus
