@@ -106,6 +106,34 @@ object Staging {
             .foreach(f => Files.deleteIfExists(f))
         } finally s.close()
       } catch { case _: java.io.IOException => () }
+      // retire STALE versions of this stage (same name, different
+      // fingerprint): a regenerated dataset leaves its predecessor's
+      // stage unreachable — every future lookup keys on the new
+      // fingerprint — so retiring it is safe within this lifecycle
+      // (readers hold the current fingerprint for their whole session;
+      // a production deployment would add a grace window here) and
+      // stops the stage root growing one dead copy per regeneration
+      try {
+        val siblings = Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          siblings.iterator().asScala.toVector
+            .filter { d =>
+              val b = d.getFileName.toString
+              b.startsWith(s"$name-") && b != key &&
+                // same "name-<16 hex>" shape only: never touch a
+                // different stage whose name merely shares a prefix
+                b.length == name.length + 17 &&
+                Files.isDirectory(d)
+            }
+            .foreach { d =>
+              val w = Files.walk(d)
+              try w.iterator().asScala.toVector.sortBy(-_.getNameCount)
+                .foreach(f => Files.deleteIfExists(f))
+              finally w.close()
+            }
+        } finally siblings.close()
+      } catch { case _: java.io.IOException => () }
     }
     target.toString
   }

@@ -59,7 +59,10 @@ class StagingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val p2 = stage()
     p2 should not be p1
     s.read.parquet(p2).count() shouldBe 3
-    s.read.parquet(p1).count() shouldBe 1 // old stage untouched
+    // the predecessor's stage is unreachable (every lookup keys on the
+    // new fingerprint) and gets retired rather than leaking one dead
+    // copy per regeneration
+    Files.exists(Paths.get(p1)) shouldBe false
   }
 
   test("marker-less debris at the stage path is cleared and rebuilt") {
