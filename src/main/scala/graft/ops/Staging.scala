@@ -77,8 +77,12 @@ object Staging {
       val stage = tmp.resolve("data")
       build(stage)
       // the marker travels INSIDE the dir, so its presence at the
-      // final path implies a complete, atomically-published build
-      Files.writeString(stage.resolve(Marker), "ok")
+      // final path implies a complete, atomically-published build; its
+      // CONTENT records which source dir this version came from, so
+      // retirement can distinguish "predecessor of the same dataset"
+      // from "same-named stage of a different dataset" (sf0.001/0.01/
+      // 0.1 and test fixtures all stage under the same names)
+      Files.writeString(stage.resolve(Marker), dir)
       try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         // rename onto an existing dir surfaces as FileAlreadyExists /
@@ -106,13 +110,16 @@ object Staging {
             .foreach(f => Files.deleteIfExists(f))
         } finally s.close()
       } catch { case _: java.io.IOException => () }
-      // retire STALE versions of this stage (same name, different
-      // fingerprint): a regenerated dataset leaves its predecessor's
-      // stage unreachable — every future lookup keys on the new
-      // fingerprint — so retiring it is safe within this lifecycle
-      // (readers hold the current fingerprint for their whole session;
-      // a production deployment would add a grace window here) and
-      // stops the stage root growing one dead copy per regeneration
+      // retire STALE versions of this stage — same name, SAME source
+      // dir (per the marker), different fingerprint: a regenerated
+      // dataset leaves its predecessor's stage unreachable (every
+      // future lookup keys on the new fingerprint), so retiring it is
+      // safe within this lifecycle (readers hold the current
+      // fingerprint for their whole session; a production deployment
+      // would add a grace window) and stops the stage root growing one
+      // dead copy per regeneration. Same-named stages of OTHER
+      // datasets (the other scale factors, test fixtures) are live and
+      // untouched.
       try {
         val siblings = Files.list(root)
         try {
@@ -124,7 +131,9 @@ object Staging {
                 // same "name-<16 hex>" shape only: never touch a
                 // different stage whose name merely shares a prefix
                 b.length == name.length + 17 &&
-                Files.isDirectory(d)
+                Files.isDirectory(d) &&
+                (try Files.readString(d.resolve(Marker)) == dir
+                 catch { case _: java.io.IOException => false })
             }
             .foreach { d =>
               val w = Files.walk(d)

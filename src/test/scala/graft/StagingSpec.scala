@@ -65,6 +65,28 @@ class StagingSpec extends AnyFunSuite with Matchers with SparkFixture {
     Files.exists(Paths.get(p1)) shouldBe false
   }
 
+  test("retirement is scoped to the dataset: other datasets' same-named " +
+       "stages survive a regeneration") {
+    val s = spark
+    import s.implicits._
+    val dirA = freshDataset(Seq((1L, "a")))
+    val dirB = freshDataset(Seq((1L, "b"), (2L, "bb")))
+    def stage(dir: String) = Staging.ensure("t_iso", dir, Seq("documents")) {
+      s.read.parquet(s"$dir/documents.parquet")
+    }
+    val pA = stage(dirA)
+    val pB = stage(dirB)
+    pA should not be pB
+    // regenerate A only: A's predecessor retires, B's live stage stays
+    Seq((1L, "a"), (9L, "zzz")).toDF("id", "v").coalesce(1).write
+      .mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val pA2 = stage(dirA)
+    pA2 should not be pA
+    Files.exists(Paths.get(pA)) shouldBe false
+    Files.exists(Paths.get(pB, "_GRAFT_STAGED")) shouldBe true
+    s.read.parquet(pB).count() shouldBe 2
+  }
+
   test("marker-less debris at the stage path is cleared and rebuilt") {
     val s = spark
     import s.implicits._
