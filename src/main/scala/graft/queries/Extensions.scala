@@ -3597,10 +3597,54 @@ object Extensions {
       ORDER BY event_type
     """))
 
+  // ---------------------------------------------------------------------
+  // x70 — dedup-rate drift per ingest batch: the per-crawl-batch
+  // duplicate-rate report a continuously-ingesting pipeline publishes —
+  // a sudden dup-ppm spike in one batch means a crawler re-fetched a
+  // site or an upstream source re-shipped a shard, and is the first
+  // alarm that fires in practice. Batches are doc_id ranges (the
+  // fixture's ingest order); a doc is a duplicate iff it is not its
+  // normalized fingerprint's canonical keeper (min doc_id — exactly
+  // x01's keep-first rule, same Q.normFingerprint, so the drift report
+  // provably agrees with the dedup pass it monitors). One hash shuffle
+  // on the fingerprint (the keeper is a window min over it — no second
+  // join shuffle), then a tiny batch-grain aggregation; integer ppm.
+  val x70 = Q(
+    "x70_dedup_rate_drift",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"fp")
+      docs(s, dir)
+        .select($"doc_id", Q.normFingerprint($"text").as("fp"))
+        .withColumn("keeper", min($"doc_id").over(w))
+        .select(expr("doc_id div 100").as("batch"),
+          when($"doc_id" =!= $"keeper", 1L).otherwise(0L).as("is_dup"))
+        .groupBy($"batch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"is_dup").as("n_dups"),
+          expr("1000000L * sum(is_dup) div count(1)").as("dup_ppm"))
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      k AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM fp)
+      SELECT doc_id // 100 AS batch, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dups,
+        CAST((1000000 * SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END))
+          // COUNT(*) AS BIGINT) AS dup_ppm
+      FROM k
+      GROUP BY 1
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
-    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69)
+    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70)
 }
