@@ -29,6 +29,24 @@ object Warehouse {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Materialize a SMALL result into the driver so the temp working
+    * dir backing it can be deleted before the query returns (the
+    * store-building queries w17–w19 otherwise leak one tree per bench
+    * invocation into /tmp). Only for dim-sized outputs — never call on
+    * a fact-sized frame. */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toVector.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally w.close()
+    }
+
   /** CDC/page-log envelope schema for the from_json round-trips
     * (models the Debezium envelope probed at app/dim/DimApp.java:61 and
     * app/func/TableProcessFunction.java:110-114). */
@@ -580,25 +598,27 @@ object Warehouse {
       val versioned = ev(s, dir).select($"user_id", $"event_type",
         round($"value" * 100).cast("long").as("value_cents"),
         unix_micros($"ts").as("version"))
-      val work = java.nio.file.Files.createTempDirectory("w17_cdc_").toString
-      val store = s"$work/dim_user_latest"
-      val chlog = s"$work/changelog"
-      // fan-out sized to the dim (~150 users): bucket count is a
-      // per-table property, and a small hot dim wants few buckets —
-      // 64 dirs of near-empty files would quintuple the fs ops per
-      // apply for zero pruning benefit
-      IncrementalCdc.bootstrap(s, versioned.filter($"version" <= c0),
-        store, "user_id", "version", nBuckets = 8)
-      versioned.filter($"version" > c0).write.parquet(chlog)
-      val tail = s.read.parquet(chlog)
-      Seq(Some(micros("2024-01-20T00:00:00Z")),
-          Some(micros("2024-01-25T00:00:00Z")), None)
-        .foreach(up => IncrementalCdc.applyOnce(s, tail, store,
-          "user_id", "version", up, nBuckets = 8))
-      IncrementalCdc.read(s, store)
-        .select($"user_id", $"event_type".as("last_event_type"),
-          $"value_cents".as("last_value_cents"),
-          $"version".as("last_version"))
+      val work = java.nio.file.Files.createTempDirectory("w17_cdc_")
+      try {
+        val store = s"$work/dim_user_latest"
+        val chlog = s"$work/changelog"
+        // fan-out sized to the dim (~150 users): bucket count is a
+        // per-table property, and a small hot dim wants few buckets —
+        // 64 dirs of near-empty files would quintuple the fs ops per
+        // apply for zero pruning benefit
+        IncrementalCdc.bootstrap(s, versioned.filter($"version" <= c0),
+          store, "user_id", "version", nBuckets = 8)
+        versioned.filter($"version" > c0).write.parquet(chlog)
+        val tail = s.read.parquet(chlog)
+        Seq(Some(micros("2024-01-20T00:00:00Z")),
+            Some(micros("2024-01-25T00:00:00Z")), None)
+          .foreach(up => IncrementalCdc.applyOnce(s, tail, store,
+            "user_id", "version", up, nBuckets = 8))
+        localized(s, IncrementalCdc.read(s, store)
+          .select($"user_id", $"event_type".as("last_event_type"),
+            $"value_cents".as("last_value_cents"),
+            $"version".as("last_version")))
+      } finally deleteTree(work)
     },
     Some("""
       SELECT user_id, event_type AS last_event_type,
@@ -652,15 +672,17 @@ object Warehouse {
           ()
       }
       val work = java.nio.file.Files.createTempDirectory("w18_probe_")
-      val store = work.resolve("dim").toString
-      Staging.linkClone(staged, work.resolve("dim"))
-      // orderkeys ≤ 32 ⟺ pk ≤ 263 (linenumber ∈ 1..7): ~95 pks
-      val batch = collapsed(2L).filter($"pk" <= 263L)
-        .withColumn("qty", $"qty" + 100L)
-      DimStore.upsert(s, store, batch, "pk", "version")
-      DimStore.read(s, store)
-        .agg(count(lit(1)).as("n_rows"), sum($"qty").as("sum_qty"),
-          sum(when($"version" === 2L, 1L).otherwise(0L)).as("n_updated"))
+      try {
+        val store = work.resolve("dim").toString
+        Staging.linkClone(staged, work.resolve("dim"))
+        // orderkeys ≤ 32 ⟺ pk ≤ 263 (linenumber ∈ 1..7): ~95 pks
+        val batch = collapsed(2L).filter($"pk" <= 263L)
+          .withColumn("qty", $"qty" + 100L)
+        DimStore.upsert(s, store, batch, "pk", "version")
+        localized(s, DimStore.read(s, store)
+          .agg(count(lit(1)).as("n_rows"), sum($"qty").as("sum_qty"),
+            sum(when($"version" === 2L, 1L).otherwise(0L)).as("n_updated")))
+      } finally deleteTree(work)
     },
     Some("""
       WITH li AS (
@@ -676,7 +698,79 @@ object Warehouse {
       FROM agg
     """))
 
+  // ---------------------------------------------------------------------
+  // w19 — the Delta/Iceberg-style commit protocol end-to-end: versioned
+  // snapshots, snapshot-isolated reads, time travel ACROSS a compaction
+  // commit. The reference's Phoenix/HBase sink gets row versioning from
+  // HBase cell timestamps for free (app/func/DimSinkFunction.java:13-33);
+  // DimStore's `_commits/` manifest log is the Spark-native analogue.
+  // The query EXECUTES the machinery: three upsert commits split at two
+  // time cutoffs build a per-user latest-event dim (v1, v2, v4) with a
+  // compaction commit (v3) in between, then diffs the time-traveled
+  // v2 snapshot against the current version — every user whose latest
+  // event changed after the second cutoff, plus users first seen after
+  // it (null v2 columns). The oracle recomputes both snapshots from the
+  // raw events with ROW_NUMBER LWW, so a green row certifies (a) each
+  // commit captured exactly the LWW state of its prefix, (b) the
+  // compaction rewrote bytes but not rows, and (c) the v2 manifest
+  // still resolves after later commits rewrote its buckets.
+  // (user_id, ts) is unique in the fixture, so both LWWs pick
+  // deterministic winners.
+  val w19 = Q(
+    "w19_time_travel_diff",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.DimStore
+      def micros(d: String): Long =
+        java.time.Instant.parse(d).toEpochMilli * 1000L
+      val c0 = micros("2024-01-15T00:00:00Z")
+      val c1 = micros("2024-01-25T00:00:00Z")
+      val versioned = ev(s, dir).select($"user_id", $"event_type",
+        unix_micros($"ts").as("version"))
+      val work = java.nio.file.Files.createTempDirectory("w19_tt_")
+      try {
+        val store = work.resolve("dim_user_latest").toString
+        DimStore.upsert(s, store, versioned.filter($"version" <= c0),
+          "user_id", "version", nBuckets = 8) // commit v1
+        DimStore.upsert(s, store,
+          versioned.filter($"version" > c0 && $"version" <= c1),
+          "user_id", "version") // commit v2 — the snapshot under test
+        DimStore.compact(s, store) // commit v3: new bytes, same rows
+        DimStore.upsert(s, store, versioned.filter($"version" > c1),
+          "user_id", "version") // commit v4 — current
+        val old = DimStore.read(s, store, asOf = 2L)
+          .select($"user_id", $"event_type".as("et_v2"),
+            $"version".as("ver_v2"))
+        val cur = DimStore.read(s, store)
+          .select($"user_id", $"event_type".as("et_now"),
+            $"version".as("ver_now"))
+        localized(s, cur.join(old, Seq("user_id"), "left")
+          .filter($"ver_v2".isNull || $"ver_v2" =!= $"ver_now")
+          .select($"user_id", $"et_v2", $"ver_v2", $"et_now", $"ver_now"))
+      } finally deleteTree(work)
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, event_type, epoch_us(ts) AS version FROM events),
+      old AS (
+        SELECT user_id, event_type AS et_v2, version AS ver_v2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC) AS rn
+              FROM v
+              WHERE version <= epoch_us(TIMESTAMP '2024-01-25 00:00:00'))
+        WHERE rn = 1),
+      cur AS (
+        SELECT user_id, event_type AS et_now, version AS ver_now
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC) AS rn
+              FROM v)
+        WHERE rn = 1)
+      SELECT cur.user_id, old.et_v2, old.ver_v2, cur.et_now, cur.ver_now
+      FROM cur LEFT JOIN old ON cur.user_id = old.user_id
+      WHERE old.ver_v2 IS NULL OR old.ver_v2 <> cur.ver_now
+    """))
+
   def queries: Seq[Q] = Seq(
     w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14,
-    w15, w16, w17, w18)
+    w15, w16, w17, w18, w19)
 }

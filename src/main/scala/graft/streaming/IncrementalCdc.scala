@@ -23,7 +23,10 @@ import graft.ops.DimStore
   *  - [[applyOnce]] reads ONLY change records with `version > cursor`
   *    from the changelog, LWW-merges them through
   *    [[graft.ops.DimStore.upsert]]'s bucket-pruned MERGE, then
-  *    advances the cursor atomically (write-temp + rename).
+  *    advances the cursor (a directory of version-named entries
+  *    resolved to the max — no crash window ever presents an absent
+  *    cursor, so the steady-state O(new records) scan contract holds
+  *    through crashes too).
   *
   * Scale contract: the cursor predicate is a plain comparison on the
   * version column, so Catalyst pushes it into the parquet scan —
@@ -41,37 +44,66 @@ import graft.ops.DimStore
   */
 object IncrementalCdc {
 
-  private def cursorPath(storePath: String) = new Path(storePath + ".__cursor")
+  /** Legacy single-file cursor (read-compat only; see [[writeCursor]]). */
+  private def legacyCursorPath(storePath: String) = new Path(storePath + ".__cursor")
+
+  /** The cursor is a DIRECTORY of version-named entries (`v<long>`),
+    * resolved to the numeric max on read. The advance is "create the
+    * new entry, then best-effort delete the old ones": at every instant
+    * at least one entry (or the legacy file) exists, so no crash window
+    * can ever present NO cursor and trigger an O(history) replay — the
+    * worst a crash leaves behind is a stale extra entry that the max
+    * ignores and the next advance sweeps. (The previous delete-then-
+    * rename scheme had exactly that window.) */
+  private def cursorsDir(storePath: String) = new Path(storePath + ".__cursors")
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The last applied version, or None before any bootstrap/apply. */
+  private val EntryName = "^v(-?\\d+)$".r
+
+  /** The last applied version, or None before any bootstrap/apply.
+    * Max over the cursor-directory entries plus the legacy file (a
+    * store written by pre-versioned-cursor code keeps working). */
   def readCursor(spark: SparkSession, storePath: String): Option[Long] = {
     val f = fs(spark, storePath)
-    val p = cursorPath(storePath)
-    if (!f.exists(p)) None
-    else {
-      val len = f.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
+    val dir = cursorsDir(storePath)
+    val entries: Seq[Long] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+        case EntryName(v) => Some(v.toLong)
+        case _ => None
+      })
+    val legacy: Option[Long] = {
+      val p = legacyCursorPath(storePath)
+      if (!f.exists(p)) None
+      else {
+        val len = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = f.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
+      }
     }
+    (entries ++ legacy).reduceOption(_ max _)
   }
 
   private def writeCursor(spark: SparkSession, storePath: String,
                           version: Long): Unit = {
     val f = fs(spark, storePath)
-    val tmp = new Path(storePath + ".__cursor.tmp")
-    val out = f.create(tmp, true)
-    out.write(version.toString.getBytes(StandardCharsets.UTF_8))
-    out.close()
-    // rename-over is atomic on a posix fs; on object stores the cursor
-    // is a single small object and last-write-wins is equally safe
-    f.delete(cursorPath(storePath), false)
-    if (!f.rename(tmp, cursorPath(storePath)))
-      throw new java.io.IOException(s"cursor rename failed for $storePath")
+    val dir = cursorsDir(storePath)
+    f.mkdirs(dir)
+    // the entry NAME carries the value, so creation is the atomic unit
+    // (an empty file either exists or doesn't — nothing to tear)
+    f.create(new Path(dir, s"v$version"), true).close()
+    // sweep superseded state best-effort; a crash here only leaves
+    // entries the max-resolution read ignores
+    f.listStatus(dir).foreach(_.getPath.getName match {
+      case EntryName(v) if v.toLong < version =>
+        f.delete(new Path(dir, s"v$v"), false)
+      case _ => ()
+    })
+    f.delete(legacyCursorPath(storePath), false)
   }
 
   /** Load the full snapshot into the store and set the cursor to the

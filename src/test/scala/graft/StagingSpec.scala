@@ -59,9 +59,17 @@ class StagingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val p2 = stage()
     p2 should not be p1
     s.read.parquet(p2).count() shouldBe 3
-    // the predecessor's stage is unreachable (every lookup keys on the
-    // new fingerprint) and gets retired rather than leaking one dead
-    // copy per regeneration
+    // the predecessor is unreachable (every lookup keys on the new
+    // fingerprint) but retires through a GRACE WINDOW: stamped in
+    // place, files intact — a reader that resolved p1 before the
+    // republish keeps scanning safely
+    Files.exists(Paths.get(p1, "_RETIRED")) shouldBe true
+    s.read.parquet(p1).count() shouldBe 1
+    // once the stamp ages past the window, the next ensure sweeps it
+    Files.setLastModifiedTime(Paths.get(p1, "_RETIRED"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Staging.GraceMillis - 60000))
+    stage() shouldBe p2
     Files.exists(Paths.get(p1)) shouldBe false
   }
 
@@ -82,9 +90,18 @@ class StagingSpec extends AnyFunSuite with Matchers with SparkFixture {
       .mode("overwrite").parquet(s"$dirA/documents.parquet")
     val pA2 = stage(dirA)
     pA2 should not be pA
-    Files.exists(Paths.get(pA)) shouldBe false
+    // A's predecessor is stamped for retirement; B's live stage is not
+    Files.exists(Paths.get(pA, "_RETIRED")) shouldBe true
+    Files.exists(Paths.get(pB, "_RETIRED")) shouldBe false
     Files.exists(Paths.get(pB, "_GRAFT_STAGED")) shouldBe true
     s.read.parquet(pB).count() shouldBe 2
+    // age A's stamp out: only A's predecessor is swept
+    Files.setLastModifiedTime(Paths.get(pA, "_RETIRED"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Staging.GraceMillis - 60000))
+    stage(dirA) shouldBe pA2
+    Files.exists(Paths.get(pA)) shouldBe false
+    Files.exists(Paths.get(pB, "_GRAFT_STAGED")) shouldBe true
   }
 
   test("marker-less debris at the stage path is cleared and rebuilt") {

@@ -112,6 +112,9 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers with SparkFixture 
     // consistent — the module reads through the same fs.)
     val hfs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // drop the versioned cursor entries and regress via the LEGACY file
+    // (also exercising the pre-versioned-cursor read-compat path)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$store.__cursors"), true)
     val out = hfs.create(new org.apache.hadoop.fs.Path(s"$store.__cursor"), true)
     out.write("199".getBytes); out.close()
     IncrementalCdc.applyOnce(s, tail, store, "id", "version") shouldBe 8L
@@ -120,6 +123,34 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers with SparkFixture 
     after shouldBe before
     // cursor healed to the true high-water mark
     IncrementalCdc.readCursor(s, store) shouldBe Some(207L)
+  }
+
+  test("cursor crash window: a stale extra entry (interrupted sweep) " +
+       "never regresses the cursor, and no window presents NO cursor") {
+    val s = spark
+    import graft.streaming.IncrementalCdc
+    import org.apache.spark.sql.functions.col
+    val work = Files.createTempDirectory("cdc_cursorwin").toString
+    val all = cdcFixture(2)
+    val store = s"$work/store"
+    IncrementalCdc.bootstrap(s, all.filter(col("version") < 200), store,
+      "id", "version")
+    val chlog = s"$work/chlog"
+    all.filter(col("version") >= 200).write.parquet(chlog)
+    val tail = s.read.parquet(chlog)
+    IncrementalCdc.applyOnce(s, tail, store, "id", "version") shouldBe 8L
+    val hw = IncrementalCdc.readCursor(s, store).get
+    // simulate the advance crashing between new-entry creation and the
+    // sweep of old entries: BOTH entries present → max-resolution wins
+    val hfs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.create(new org.apache.hadoop.fs.Path(s"$store.__cursors/v150"), true)
+      .close()
+    IncrementalCdc.readCursor(s, store) shouldBe Some(hw)
+    // already-current: the pruned scan applies nothing (O(new records)
+    // holds through the crash, unlike a lost-cursor full-history replay)
+    IncrementalCdc.applyOnce(s, tail, store, "id", "version") shouldBe 0L
+    // the next real advance sweeps the stale entry
   }
 
   test("IncrementalCdc model fuzz: random snapshot cuts, batch slicings " +
@@ -161,6 +192,7 @@ class StreamingRecoverySpec extends AnyFunSuite with Matchers with SparkFixture 
           // regress the cursor (as if the advance was lost) and re-apply
           val hfs = new org.apache.hadoop.fs.Path(store)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$store.__cursors"), true)
           val out = hfs.create(
             new org.apache.hadoop.fs.Path(s"$store.__cursor"), true)
           out.write(before.toString.getBytes); out.close()

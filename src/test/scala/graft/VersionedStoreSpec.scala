@@ -1,0 +1,243 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.DimStore
+
+/** The Delta/Iceberg-style commit protocol on DimStore: versioned
+  * snapshots in `_commits/`, snapshot-isolated reads, time travel,
+  * optimistic concurrent committers (loser detects + retries), explicit
+  * vacuum, and crash windows that can never lose a committed version. */
+class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/dim"
+
+  test("each upsert commits one version; time travel reads any retained one") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_tt")
+    DimStore.upsert(s, path,
+      Seq((1L, "alice", 10L), (2L, "bob", 10L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 8)
+    DimStore.upsert(s, path,
+      Seq((1L, "alice2", 20L), (3L, "carol", 20L)).toDF("id", "name", "ver"),
+      "id", "ver")
+    DimStore.history(path) shouldBe Seq(1L, 2L)
+    DimStore.currentVersion(path) shouldBe Some(2L)
+    // latest: LWW over both commits
+    DimStore.read(s, path).select("id", "name").as[(Long, String)]
+      .collect().sorted shouldBe Seq((1L, "alice2"), (2L, "bob"), (3L, "carol"))
+    // as-of v1: the world before the second commit
+    DimStore.read(s, path, asOf = 1L).select("id", "name").as[(Long, String)]
+      .collect().sorted shouldBe Seq((1L, "alice"), (2L, "bob"))
+    // a never-committed version is an explicit error naming what exists
+    val e = intercept[IllegalArgumentException] {
+      DimStore.read(s, path, asOf = 7L).collect()
+    }
+    e.getMessage should include("7")
+    e.getMessage should include("1, 2")
+  }
+
+  test("time travel still works across a compaction commit") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_compact_tt")
+    DimStore.upsert(s, path,
+      (1L to 20L).map(i => (i, s"v$i", 1L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 8)
+    DimStore.upsert(s, path,
+      Seq((1L, "CHANGED", 2L)).toDF("id", "name", "ver"), "id", "ver")
+    DimStore.compact(s, path) // commits v3: rewritten layout, same rows
+    DimStore.history(path) shouldBe Seq(1L, 2L, 3L)
+    DimStore.read(s, path).count() shouldBe 20
+    DimStore.read(s, path).filter($"id" === 1L).select("name")
+      .as[String].head() shouldBe "CHANGED"
+    // v3 (compacted) is row-identical to v2
+    DimStore.read(s, path, asOf = 2L).select("id", "name", "ver")
+      .as[(Long, String, Long)].collect().toSet shouldBe
+      DimStore.read(s, path).select("id", "name", "ver")
+        .as[(Long, String, Long)].collect().toSet
+    // v1 (pre-update, pre-compaction) still shows the original row
+    DimStore.read(s, path, asOf = 1L).filter($"id" === 1L).select("name")
+      .as[String].head() shouldBe "v1"
+  }
+
+  test("concurrent committers: every batch's effects land; versions are " +
+       "a gapless monotonic chain (losers retried, none dropped)") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_concurrent")
+    // seed so both writers race on the merge path, not creation
+    DimStore.upsert(s, path,
+      Seq((0L, "seed", 0L)).toDF("id", "name", "ver"), "id", "ver",
+      nBuckets = 4)
+    val threads = (1 to 4).map { t =>
+      new Thread(() => {
+        (1 to 3).foreach { i =>
+          val pk = t * 100L + i
+          DimStore.upsert(s, path,
+            Seq((pk, s"w$t-$i", i.toLong)).toDF("id", "name", "ver"),
+            "id", "ver")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // 1 seed + 12 upserts = 13 commits, consecutive versions: the
+    // atomic claim means losers RETRY (new version), never overwrite
+    DimStore.history(path) shouldBe (1L to 13L)
+    val got = DimStore.read(s, path).select("id", "name")
+      .as[(Long, String)].collect().toMap
+    got.size shouldBe 13
+    for (t <- 1 to 4; i <- 1 to 3) got(t * 100L + i) shouldBe s"w$t-$i"
+  }
+
+  test("vacuum retires old versions and their unreferenced generations; " +
+       "retained versions keep reading") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_vacuum")
+    (1 to 5).foreach { i =>
+      DimStore.upsert(s, path,
+        Seq((i.toLong, s"v$i", i.toLong)).toDF("id", "name", "ver"),
+        "id", "ver", nBuckets = 4)
+    }
+    DimStore.history(path) shouldBe (1L to 5L)
+    val removed = DimStore.vacuum(s, path, keepLast = 2)
+    removed should be > 0
+    DimStore.history(path) shouldBe Seq(4L, 5L)
+    DimStore.read(s, path).count() shouldBe 5
+    DimStore.read(s, path, asOf = 4L).count() shouldBe 4
+    an[IllegalArgumentException] should be thrownBy
+      DimStore.read(s, path, asOf = 1L).collect()
+    // every surviving generation is referenced by a retained manifest
+    val gens = Files.list(Paths.get(path, "_gens"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      gens.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("g")).toVector
+    } finally gens.close()
+    // v1..v3-only generations are gone: nothing older than v4 unless
+    // v4/v5 still reference it
+    names.foreach { n =>
+      val v = n.stripPrefix("g").takeWhile(_ != '-').toLong
+      if (v < 4L) {
+        // must be referenced by a kept manifest (shared generation)
+        val kept = Seq(4L, 5L).flatMap { kv =>
+          Files.readAllLines(Paths.get(path, "_commits",
+            f"$kv%020d.manifest")).toArray.map(_.toString)
+        }
+        kept.exists(_.contains(n)) shouldBe true
+      }
+    }
+  }
+
+  test("crash window A: a generation written but never committed leaves " +
+       "the table at the old version; vacuum sweeps the orphan") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_crashA")
+    DimStore.upsert(s, path,
+      Seq((1L, "a", 1L)).toDF("id", "name", "ver"), "id", "ver", nBuckets = 4)
+    DimStore.upsert(s, path,
+      Seq((2L, "b", 2L)).toDF("id", "name", "ver"), "id", "ver")
+    // fake a committer that crashed after writing its generation for
+    // candidate v3 but before claiming the manifest
+    val orphan = Paths.get(path, "_gens", f"g${3L}%020d-deadbeef")
+    Files.createDirectories(orphan.resolve("__bucket=0"))
+    Files.writeString(orphan.resolve("__bucket=0").resolve("junk"), "x")
+    DimStore.currentVersion(path) shouldBe Some(2L)
+    DimStore.read(s, path).count() shouldBe 2 // orphan invisible
+    // once the table advances past the orphan's version, vacuum can
+    // tell it from an in-flight commit and removes it
+    DimStore.upsert(s, path,
+      Seq((3L, "c", 3L)).toDF("id", "name", "ver"), "id", "ver")
+    DimStore.vacuum(s, path, keepLast = 3) should be >= 1
+    Files.exists(orphan) shouldBe false
+    DimStore.read(s, path).count() shouldBe 3
+  }
+
+  test("crash window B: commit landed but root projection didn't — " +
+       "readers see the committed version and the projection self-heals") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_crashB")
+    DimStore.upsert(s, path,
+      Seq((1L, "a", 1L)).toDF("id", "name", "ver"), "id", "ver", nBuckets = 4)
+    DimStore.upsert(s, path,
+      Seq((1L, "a2", 2L)).toDF("id", "name", "ver"), "id", "ver")
+    // simulate the crash: roll the projection marker back to v1 and
+    // delete a projected bucket dir outright
+    Files.writeString(Paths.get(path, "_graft_view"), "1")
+    val bucket = Files.list(Paths.get(path)).filter(p =>
+      p.getFileName.toString.startsWith("__bucket=")).findFirst().get()
+    Files.walk(bucket).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    // manifest-resolved read is unaffected AND repairs the projection
+    DimStore.read(s, path).select("name").as[String].head() shouldBe "a2"
+    // root (name-based) readers now see exactly the committed state
+    s.read.parquet(path).select("name").as[String].head() shouldBe "a2"
+    Files.readString(Paths.get(path, "_graft_view")).trim shouldBe "2"
+  }
+
+  test("a legacy (pre-commit-log) bucketed store migrates on first " +
+       "upsert: every row kept, fan-out marker wins, later commits pruned") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val path = fresh("vs_legacy")
+    // forge the old layout: __bucket=k partition dirs at root, fan-out
+    // marker, no _commits — what a pre-versioning build (or a stale
+    // staged base) left behind
+    (1L to 30L).map(i => (i, s"v$i", 1L)).toDF("id", "name", "ver")
+      .withColumn("__bucket", pmod(hash(col("id")), lit(8)).cast("int"))
+      .write.partitionBy("__bucket").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_graft_buckets"), true)
+    out.write("8".getBytes); out.close()
+    // first upsert folds table + batch into commit v1 (the caller's
+    // drifted fan-out loses to the table's marker)
+    DimStore.upsert(s, path,
+      Seq((1L, "NEW", 2L), (99L, "ADDED", 2L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 64)
+    DimStore.currentVersion(path) shouldBe Some(1L)
+    val got = DimStore.read(s, path).select("id", "name")
+      .as[(Long, String)].collect().toMap
+    got.size shouldBe 31
+    got(1L) shouldBe "NEW"
+    got(99L) shouldBe "ADDED"
+    got(2L) shouldBe "v2"
+    // the migrated table kept the 8-way fan-out, not the caller's 64
+    val rootBuckets = Files.list(Paths.get(path)).filter(p =>
+      p.getFileName.toString.startsWith("__bucket=")).count()
+    rootBuckets should be <= 8L
+    // later upserts are pruned commits on the migrated table
+    DimStore.upsert(s, path,
+      Seq((2L, "X", 3L)).toDF("id", "name", "ver"), "id", "ver")
+    DimStore.history(path) shouldBe Seq(1L, 2L)
+    DimStore.read(s, path).count() shouldBe 31
+  }
+
+  test("the root projection always equals the manifest-resolved snapshot " +
+       "(what catalog/name-based readers consume)") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_proj")
+    (1 to 4).foreach { i =>
+      DimStore.upsert(s, path,
+        (1L to 10L).map(k => (k, s"r$i-$k", i.toLong)).toDF("id", "name", "ver"),
+        "id", "ver", nBuckets = 8)
+    }
+    val viaManifest = DimStore.read(s, path)
+      .select("id", "name", "ver").as[(Long, String, Long)].collect().toSet
+    val viaRoot = s.read.parquet(path)
+      .select("id", "name", "ver").as[(Long, String, Long)].collect().toSet
+    viaRoot shouldBe viaManifest
+    viaRoot.size shouldBe 10
+  }
+}
