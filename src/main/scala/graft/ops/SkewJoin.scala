@@ -20,18 +20,72 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join `big ⋈ small` on `key`, salted `salts` ways.
-    * Result rows are identical to `big.join(small, key)` — salting only
-    * changes the shuffle distribution. */
+  private val SupportedTypes = Set("inner", "left", "leftouter", "left_outer")
+
+  /** Equi-join `big ⋈ small` on `key`, salted `salts` ways. Result rows
+    * are identical to `big.join(small, Seq(key), joinType)` — salting
+    * only changes the shuffle distribution.
+    *
+    * Scatter note: the salt derives from
+    * `hash(monotonically_increasing_id())`, whose VALUES depend on the
+    * physical partition layout and so may differ between runs over
+    * differently-split inputs. The JOIN RESULT is layout-independent
+    * regardless: the small side carries every salt for every key, so
+    * each big row matches the same small rows whatever salt it drew
+    * (x69's oracle pins exactly this).
+    *
+    * Join types: `inner` and `left` (big side preserved). A LEFT join
+    * is correct under salting with no extra compensation — an unmatched
+    * big row null-extends exactly once, because each big row exists
+    * once (with one salt) and the replicated small side either has its
+    * key at that salt or nowhere. `right`/`full` are REJECTED: an
+    * unmatched SMALL key exists `salts` times after replication and
+    * would null-extend once per salt — de-duplicating those would need
+    * a post-join collapse that re-introduces the hot-key shuffle the
+    * salting exists to avoid. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int): DataFrame = {
+                 salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // Deterministic per-row scatter: hash of the row id spreads rows of
-    // the same hot key uniformly without an RNG (replayable plans).
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(SupportedTypes.map(_.replace("_", "")).contains(jt),
+      s"saltedJoin supports inner and left joins, not '$joinType': the " +
+      "replicated small side would null-extend an unmatched small key " +
+      "once PER SALT under right/full outer semantics")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
-    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Salt count derived from the OBSERVED key histogram instead of a
+    * guessed constant: one partial-aggregated count pass (map-side
+    * combine collapses hot keys per partition, so the pass itself
+    * doesn't straggle) yields the hottest key's row count; the salt
+    * count is what's needed to shrink that key's largest (key, salt)
+    * group to roughly an average shuffle partition's share. Uniform
+    * input derives 1 (salting degenerates to the plain join); a key
+    * holding P× its fair share derives ~P, capped at `maxSalts` so the
+    * small-side replication factor stays bounded. */
+  def adaptiveSalts(big: DataFrame, key: String, maxSalts: Int = 64): Int = {
+    require(maxSalts >= 1, "maxSalts must be at least 1")
+    val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = big.groupBy(col(key)).count()
+      .agg(max(col("count")), sum(col("count"))).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) 1
+    else {
+      val hottest = row.getLong(0)
+      val total = row.getLong(1)
+      math.min(maxSalts.toLong,
+        math.max(1L, math.ceil(hottest.toDouble * parts / total).toLong)).toInt
+    }
+  }
+
+  /** [[saltedJoin]] with the salt count measured by [[adaptiveSalts]].
+    * The histogram pass is the honest price of not guessing: ~one
+    * map-combined aggregation over the big side, amortized against the
+    * straggler it prevents. */
+  def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
+                     joinType: String = "inner", maxSalts: Int = 64): DataFrame =
+    saltedJoin(big, small, key, adaptiveSalts(big, key, maxSalts), joinType)
 }

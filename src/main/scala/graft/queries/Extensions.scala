@@ -187,12 +187,12 @@ object Extensions {
       import s.implicits._
       val hs = shingleHashes(s, dir)
       val bands = minhashBands(hs)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
-          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      // Candidate pairs through the capped band join ([[graft.ops
+      // .Blocking]]): identical to the plain banded self-join while
+      // every band bucket holds ≤ cap docs (the fixture's hold ≤3, so
+      // the SQL oracle below stays exact), and degrading an oversized
+      // boilerplate bucket to star pairs instead of |bucket|² ones.
+      val cand = graft.ops.Blocking.cappedBandPairs(bands)
       // Exact-Jaccard verification on candidates only: join the packed
       // hash sets to the (tiny) pair set and intersect in place. No
       // exploded join, no groupBy; a pair with zero overlap yields
@@ -1578,35 +1578,32 @@ object Extensions {
   // x31 — edit-distance near-dup (fuzzy dedup, the character-level
   // complement of x02's token-level MinHash): candidate pairs come from
   // prefix blocking — docs sharing their first 16 normalized chars —
-  // and only those pairs pay the O(len²) levenshtein. Blocking is the
-  // scale contract: the self-join equi-joins on the block key (hash
-  // shuffle, no crossJoin), so work is Σ|block|², not N². At 100 TB the
-  // block key gains a length bucket and a per-block cap (skewed
-  // boilerplate prefixes would otherwise make one block quadratic);
-  // the fixture's blocks are ≤3 docs so the plain key keeps the oracle
-  // expressible.
+  // and only those pairs pay the banded levenshtein. Pair generation
+  // goes through [[graft.ops.Blocking.cappedPrefixPairs]]: the block
+  // key is (16-char prefix, length bucket of width threshold+1) with
+  // ±1-bucket expansion — semantically free pruning, since a length
+  // delta past the threshold already bounds the distance out — plus
+  // the per-block cap that keeps a boilerplate-skewed corpus from
+  // making any one block quadratic. The fixture's blocks are ≤3 docs,
+  // under the cap, so the plain blocked join below stays the exact
+  // oracle.
   val x31 = Q(
     "x31_edit_distance_neardup",
     (s, dir) => {
       import s.implicits._
-      val b = docs(s, dir)
-        .select($"doc_id", lower($"text").as("t"))
-        .withColumn("blk", substring($"t", 1, 16))
-      val l = b.select($"blk", $"doc_id".as("doc_a"), $"t".as("ta"))
-      val r = b.select($"blk", $"doc_id".as("doc_b"), $"t".as("tb"))
+      val items = docs(s, dir).select($"doc_id", lower($"text").as("t"))
       // The 3-arg levenshtein bounds the DP to a 2·25+1 band with an
-      // O(1) length-delta reject up front (|len(a)-len(b)| lower-bounds
-      // the distance) and returns -1 past the threshold: O(len·25) per
-      // pair, not O(len²) — no separate length-gate conjunct needed.
-      // The doc_a < doc_b dedup cut lives INSIDE the scoring expression
-      // as a when() guard, not as a standalone filter: Catalyst pushes
-      // every post-join predicate into the join condition and reorders
-      // the conjuncts freely, and a measured ordering put levenshtein
-      // ahead of the ordering cut — scoring every block-matched pair
-      // including all N self-pairs (identical full-length strings),
-      // a 6x slowdown at sf0.1. CaseWhen's lazy arms keep the guard
-      // in front of the DP wherever the conjunct lands in the plan.
-      l.join(r, Seq("blk"))
+      // O(1) length-delta reject up front and returns -1 past the
+      // threshold: O(len·25) per pair, not O(len²). The doc_a < doc_b
+      // guard is ALREADY satisfied by the pair table, but stays as a
+      // when() wrapper around the DP: Catalyst pushes the dist filter
+      // into the pair join and reorders conjuncts freely, and a
+      // measured ordering once put levenshtein ahead of the ordering
+      // cut — scoring every block-matched pair including the N
+      // identical self-pairs, a 6x slowdown at sf0.1. CaseWhen's lazy
+      // arms keep the cheap comparison in front of the DP wherever the
+      // conjunct lands.
+      graft.ops.Blocking.cappedPrefixPairs(items, prefixLen = 16, threshold = 25)
         .select($"doc_a", $"doc_b",
           when($"doc_a" < $"doc_b", levenshtein($"ta", $"tb", 25))
             .cast("long").as("dist"))
@@ -3641,10 +3638,68 @@ object Extensions {
       GROUP BY 1
     """))
 
+  // ---------------------------------------------------------------------
+  // x71 — the generalized salted join under REAL skew: the big side is
+  // events with three hot users amplified ×21 (a deterministic,
+  // SQL-expressible stand-in for the one-crawler-dominates-the-batch
+  // shape), the dim side deliberately misses some keys, and the join is
+  // a LEFT join through SkewJoin.saltedJoinAuto — salt count measured
+  // from the key histogram (hot share ≈ hottest·P/total, capped), not
+  // guessed. The oracle is the PLAIN left join over the same amplified
+  // input, so a green row proves (a) left-join null-extension is exact
+  // under salting (one null row per unmatched big row, never per salt)
+  // and (b) the adaptive scatter neither loses nor duplicates matches.
+  // ScaleJoinSpec pins the derived-salts behavior and the (key, salt)
+  // exchange shape; right/full outer are rejected by design (an
+  // unmatched SMALL key would null-extend once per salt).
+  val x71 = Q(
+    "x71_salted_skew_left_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev0 = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"value")
+      // every 50th user's events replicated ×20 more → hot stripe
+      val hot = ev0.filter($"user_id" % 50 === 0)
+        .withColumn("__rep", explode(sequence(lit(1), lit(20))))
+        .drop("__rep")
+      val big = ev0.unionByName(hot)
+      val dim = Tables.load(s, dir, "orders")
+        .filter($"o_custkey" % 3 =!= 0) // some users stay unmatched
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .withColumnRenamed("o_custkey", "user_id")
+      graft.ops.SkewJoin.saltedJoinAuto(big, dim, "user_id", joinType = "left")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"n_orders".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum($"n_orders").as("sum_orders"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH hot AS (
+        SELECT e.user_id, e.event_type, e.value
+        FROM events e CROSS JOIN generate_series(1, 20) g
+        WHERE e.user_id % 50 = 0),
+      big AS (
+        SELECT user_id, event_type, value FROM events
+        UNION ALL
+        SELECT user_id, event_type, value FROM hot),
+      d AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+        FROM orders WHERE o_custkey % 3 <> 0 GROUP BY o_custkey)
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unmatched,
+        CAST(SUM(n_orders) AS BIGINT) AS sum_orders
+      FROM big LEFT JOIN d ON big.user_id = d.user_id
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
-    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70)
+    x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
+    x71)
 }

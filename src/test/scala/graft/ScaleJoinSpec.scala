@@ -30,6 +30,59 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     salted.queryExecution.executedPlan.toString should include("__salt")
   }
 
+  test("saltedJoin LEFT join: unmatched big rows null-extend exactly once " +
+       "per row (never once per salt); matches the plain left join") {
+    val s = spark
+    import s.implicits._
+    // hot key 1, plus keys the dim doesn't know (3, 40..49)
+    val big = (1 to 5000).map { i =>
+      val k = if (i % 5 != 0) 1L else if (i % 10 == 0) 3L else (40 + i % 10).toLong
+      (k, s"v$i")
+    }.toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (45L, "a"), (47L, "b")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k"), "left")
+    val salted = SkewJoin.saltedJoin(big, dim, "k", salts = 8, joinType = "left")
+    salted.count() shouldBe plain.count()
+    salted.select($"k", $"payload", $"name".isNull.as("unmatched"))
+      .as[(Long, String, Boolean)].collect().sorted shouldBe
+      plain.select($"k", $"payload", $"name".isNull.as("unmatched"))
+        .as[(Long, String, Boolean)].collect().sorted
+    // every big row survives exactly once
+    salted.count() shouldBe 5000L
+  }
+
+  test("saltedJoin rejects right/full outer with the designed error") {
+    val s = spark
+    import s.implicits._
+    val big = Seq((1L, "x")).toDF("k", "v")
+    val dim = Seq((1L, "d")).toDF("k", "n")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, dim, "k", salts = 4, joinType = "full_outer")
+    }
+    e.getMessage should include("PER SALT")
+  }
+
+  test("adaptiveSalts: measured skew derives a proportional salt count; " +
+       "uniform input derives 1; cap honored") {
+    val s = spark
+    import s.implicits._
+    // ~90% of rows on one key → hottest·P/total ≈ 0.9·P ≫ 1
+    val skewed = (1 to 20000).map(i =>
+      (if (i % 10 != 0) 7L else i.toLong, i)).toDF("k", "v")
+    val derived = SkewJoin.adaptiveSalts(skewed, "k")
+    derived should be > 1
+    derived should be <= 64
+    SkewJoin.adaptiveSalts(skewed, "k", maxSalts = 4) shouldBe 4
+    // uniform: every key holds one row → fair share → no salting
+    val uniform = (1 to 1000).map(i => (i.toLong, i)).toDF("k", "v")
+    SkewJoin.adaptiveSalts(uniform, "k") shouldBe 1
+    // and the auto form still returns exactly the plain join's rows
+    val dim = Seq((7L, "hot"), (10L, "a")).toDF("k", "name")
+    val auto = SkewJoin.saltedJoinAuto(skewed, dim, "k")
+    auto.count() shouldBe skewed.join(dim, Seq("k")).count()
+    auto.queryExecution.executedPlan.toString should include("__salt")
+  }
+
   test("TopK.perKey equals the window row_number form (q09 semantics)") {
     val s = spark
     import s.implicits._
