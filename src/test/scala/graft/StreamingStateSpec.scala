@@ -117,6 +117,21 @@ class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
       Seq((day + 100L, "0"), (day + 200L, "0"))
   }
 
+  /** Runs `body` with the RocksDB state store provider — the path the
+    * transformWithState operators are built for. */
+  private def withRocksDB[T](body: => T): T = {
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** The reference's own commented fixture
     * (DwdTrafficUserJumpDetail.java:57-65): mid 101 bounces by timeout;
     * mid 102 home→good_list is not a bounce, then a later lone entry
@@ -159,6 +174,76 @@ class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
     // only in-sequence decisions emit
     out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe Seq(
       ("b", 0L, "next_entry"))
+  }
+
+  test("BounceDetectorTWS (transformWithState + RocksDB event-time timers) " +
+       "matches the reference CEP fixture semantics") {
+    withRocksDB {
+      val batches = Seq(
+        Seq(PageLog("101", "home", None, 10000L),
+            PageLog("102", "home", None, 12000L),
+            PageLog("102", "good_list", Some("home"), 15000L)),
+        Seq(PageLog("102", "home", None, 50000L)),
+        Seq(PageLog("999", "home", Some("x"), 500000L)))
+      val out = runStream[PageLog, Bounce](batches, BounceDetectorTWS(_),
+        "bounce_tws_out")
+      out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe Seq(
+        ("101", 10000L, "timeout"),
+        ("102", 50000L, "timeout"))
+    }
+  }
+
+  test("BounceDetectorTWS: stale timer raced by an in-batch update never " +
+       "emits; next_entry and re-pend behave like fMGWS") {
+    withRocksDB {
+      val batches = Seq(
+        // pending at 1000 registers timer at 11000 …
+        Seq(PageLog("301", "home", None, 1000L)),
+        // … then a normal follow-up at 5000 clears it before any fire,
+        // and a fresh entry at 6000 re-pends
+        Seq(PageLog("301", "detail", Some("home"), 5000L),
+            PageLog("301", "home", None, 6000L),
+            PageLog("302", "home", None, 6000L),
+            PageLog("302", "home", None, 8000L)),  // entry→entry within gap
+        Seq(PageLog("999", "home", Some("x"), 500000L)))
+      val out = runStream[PageLog, Bounce](batches, BounceDetectorTWS(_),
+        "bounce_tws_out2")
+      out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe Seq(
+        ("301", 6000L, "timeout"),   // the re-pended entry times out
+        ("302", 6000L, "next_entry"),
+        ("302", 8000L, "timeout"))
+    }
+  }
+
+  test("BounceDetectorTWS shuffled replay matches the linear one-pass spec " +
+       "AND the fMGWS detector (generative cross-check)") {
+    val gap = BounceDetector.DefaultGapMs
+    withRocksDB {
+      (1 to 3).foreach { seed =>
+        val rnd = new scala.util.Random(seed)
+        val events = Seq("m1", "m2", "m3").flatMap { mid =>
+          var t = 1000L
+          (0 until rnd.between(0, 20)).map { _ =>
+            t += rnd.between(500L, 30000L)
+            PageLog(mid, "p" + rnd.between(0, 4),
+              if (rnd.nextBoolean()) None else Some("x"), t)
+          }
+        }
+        val chunkMs = 20000L
+        val batches = events.groupBy(_.ts / chunkMs).toSeq.sortBy(_._1)
+          .map { case (_, es) => rnd.shuffle(es) } :+
+          Seq(PageLog("zzz", "home", Some("x"),
+            events.map(_.ts).maxOption.getOrElse(0L) + 100 * gap))
+        val out = runStream[PageLog, Bounce](batches, BounceDetectorTWS(_),
+          s"bounce_tws_replay_$seed")
+        val expected = OperatorPropertySpec
+          .simulateBounces(events, gap, closeOut = true)
+        withClue(s"seed=$seed: ") {
+          out.map(b => (b.mid, b.ts, b.reason)).sorted shouldBe
+            expected.map(b => (b.mid, b.ts, b.reason)).sorted
+        }
+      }
+    }
   }
 
   test("BounceDetector shuffled replay across micro-batches matches the " +
