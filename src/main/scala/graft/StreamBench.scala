@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+import org.apache.spark.sql.types._
+
+import graft.streaming.{BounceDetector, DedupDaily, FileTopic, Jobs, PageLog, Sources}
+
+/** Streaming throughput bench — the number the batch bench can't give
+  * (the reference's headline claim is real-time volume, README.md:2).
+  *
+  * Pipeline under test is the real DWD topology over the real
+  * transport: sf-scale page-log lines produced into a [[FileTopic]]
+  * (the at-least-once Kafka stand-in), then three streaming queries —
+  *
+  *   - `split`:  FileTopic → baseLogSplit (parse-or-divert + 5-way
+  *               fan-out + display explode) → five parquet sinks out of
+  *               one foreachBatch;
+  *   - `uv_dim`: FileTopic → parse → entry filter → DedupDaily
+  *               (cross-batch fMGWS state) → DimStore LWW upsert sink
+  *               (the K3 merge path, exactly-once effects);
+  *   - `bounce`: FileTopic → parse → BounceDetector (event-time state
+  *               machine + timers) → parquet bounce stream.
+  *
+  * Input is derived deterministically from the events fixture (one log
+  * line per event row, globally time-ordered, chunked into segments so
+  * `maxFilesPerTrigger` yields a steady multi-micro-batch replay — the
+  * arrival shape a drained Kafka topic gives a catching-up consumer).
+  *
+  * Reported per topology: wall seconds to drain the topic,
+  * events/sec, and per-micro-batch latency (p50/max of
+  * `triggerExecution` from query progress). Two passes, min per
+  * topology (same stall-burst rationale as [[Bench]]); divergent
+  * topologies land in `spread`; full per-pass detail goes to
+  * `target/stream_bench_passes.json`. Prints ONE JSON line.
+  */
+object StreamBench {
+
+  private val LogSchema = StructType(Seq(
+    StructField("mid", StringType),
+    StructField("page_id", StringType),
+    StructField("last_page_id", StringType),
+    StructField("ts", LongType),
+    StructField("err", StringType),
+    StructField("start", StringType),
+    StructField("displays", ArrayType(StructType(Seq(
+      StructField("pos", IntegerType), StructField("item", StringType)))))))
+
+  private final case class BatchStat(rows: Long, ms: Long)
+  private final case class TopoResult(sec: Double, batches: Seq[BatchStat])
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- input: one log line per event row, time-ordered segments ----
+    // Deterministic projection of the events fixture onto the page-log
+    // grain: mid from user_id (5k devices), ~1/3 session entries, a
+    // sprinkle of err/start records, display arrays on ~1/11 pages, and
+    // ~1% corrupt lines so the dirty diversion does real work.
+    val lines = core.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), unix_millis(col("ts")).as("ts"),
+        concat(lit("m"), pmod(col("user_id"), lit(5000))).as("mid"),
+        col("event_type").as("page_id"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("string"))
+          .otherwise(lit("prev")).as("last_page_id"))
+      .orderBy("ts")
+      .select(col("event_id"), to_json(struct(col("mid"), col("page_id"),
+        col("last_page_id"), col("ts"),
+        when(pmod(col("event_id"), lit(41)) === 0, lit("boom")).as("err"),
+        when(pmod(col("event_id"), lit(37)) === 0, lit("cold")).as("start"),
+        when(pmod(col("event_id"), lit(11)) === 0,
+          array(struct(lit(0).as("pos"), col("page_id").as("item")),
+                struct(lit(1).as("pos"), lit("ad").as("item"))))
+          .as("displays"))).as("line"))
+      .select(when(pmod(col("event_id"), lit(97)) === 0,
+          concat(lit("!!not-json!!"), col("line"))).otherwise(col("line"))
+        .as("line"))
+      .as[String].collect()
+    val nEvents = lines.length
+    val nSegments = 20
+    val segSize = math.max(1, math.ceil(nEvents.toDouble / nSegments).toInt)
+
+    val work = Files.createTempDirectory("stream_bench_")
+    def deleteTree(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    try {
+      val topic = work.resolve("topic").toString
+      lines.grouped(segSize).foreach(seg => FileTopic.produce(topic, seg.toSeq))
+
+      // ---- per-batch progress capture ----
+      val stats = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[BatchStat]]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.name != null && p.numInputRows > 0) stats.synchronized {
+            stats.getOrElseUpdate(p.name, scala.collection.mutable.ArrayBuffer()) +=
+              BatchStat(p.numInputRows, p.durationMs.get("triggerExecution"))
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+
+      def pages(raw: DataFrame): Dataset[PageLog] =
+        Sources.parseJson(raw, LogSchema)
+          .filter(col("parsed").isNotNull && col("parsed.mid").isNotNull)
+          .select(col("parsed.mid").as("mid"),
+            col("parsed.page_id").as("pageId"),
+            col("parsed.last_page_id").as("lastPageId"),
+            col("parsed.ts").as("ts"),
+            lit("0").as("isNew"),
+            timestamp_millis(col("parsed.ts")).as("eventTime"))
+          .as[PageLog]
+
+      def timed(name: String, pass: Int)
+               (start: (DataFrame, Path) => org.apache.spark.sql.streaming.StreamingQuery): TopoResult = {
+        val key = s"${name}_p$pass"
+        val dir = work.resolve(key)
+        Files.createDirectories(dir)
+        val raw = FileTopic.stream(spark, topic, maxFilesPerTrigger = Some(2))
+        val t0 = System.nanoTime()
+        val q = start(raw, dir)
+        try q.processAllAvailable() finally q.stop()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val b = stats.synchronized(stats.getOrElse(key, Seq.empty).toList)
+        deleteTree(dir) // state/checkpoint/sinks are per-pass scratch
+        TopoResult(dt, b)
+      }
+
+      def runPass(pass: Int): Map[String, TopoResult] = Map(
+        "split" -> timed("split", pass) { (raw, dir) =>
+          raw.writeStream.queryName(s"split_p$pass")
+            .option("checkpointLocation", s"$dir/chk")
+            .foreachBatch { (batch: Dataset[Row], _: Long) =>
+              val b = batch.cache()
+              try {
+                val st = Jobs.baseLogSplit(b.toDF(), LogSchema)
+                st.dirty.write.mode("append").parquet(s"$dir/dirty")
+                st.err.write.mode("append").parquet(s"$dir/err")
+                st.start.write.mode("append").parquet(s"$dir/start")
+                st.page.write.mode("append").parquet(s"$dir/page")
+                st.display.write.mode("append").parquet(s"$dir/display")
+              } finally { b.unpersist(); () }
+            }.start()
+        },
+        "uv_dim" -> timed("uv_dim", pass) { (raw, dir) =>
+          DedupDaily(pages(raw).filter((e: PageLog) => e.lastPageId.isEmpty))
+            .writeStream.queryName(s"uv_dim_p$pass")
+            .option("checkpointLocation", s"$dir/chk")
+            .foreachBatch { (batch: Dataset[PageLog], _: Long) =>
+              graft.ops.DimStore.upsert(batch.sparkSession, s"$dir/uv_dim",
+                batch.toDF(), pk = "mid", versionCol = "ts", nBuckets = 16)
+            }.start()
+        },
+        "bounce" -> timed("bounce", pass) { (raw, dir) =>
+          BounceDetector(pages(raw))
+            .writeStream.queryName(s"bounce_p$pass")
+            .option("checkpointLocation", s"$dir/chk")
+            .foreachBatch { (batch: Dataset[graft.streaming.Bounce], _: Long) =>
+              batch.write.mode("append").parquet(s"$dir/bounces")
+            }.start()
+        })
+
+      val p1 = runPass(1)
+      val p2 = runPass(2)
+      spark.streams.removeListener(listener)
+
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def p50(xs: Seq[Long]): Long =
+        if (xs.isEmpty) 0L else xs.sorted.apply((xs.size - 1) / 2)
+      def topoJson(name: String): String = {
+        val best = if (p1(name).sec <= p2(name).sec) p1(name) else p2(name)
+        val ms = best.batches.map(_.ms)
+        s""""$name":{"sec":${num(best.sec)},"events_per_sec":${
+          num(nEvents / best.sec)},"batches":${best.batches.size},"batch_ms_p50":${
+          p50(ms)},"batch_ms_max":${ms.foldLeft(0L)(math.max)}}"""
+      }
+      val names = Seq("split", "uv_dim", "bounce")
+      val spread = names.collect {
+        case n if math.max(p1(n).sec, p2(n).sec) >
+            1.5 * math.min(p1(n).sec, p2(n).sec) &&
+            math.max(p1(n).sec, p2(n).sec) - math.min(p1(n).sec, p2(n).sec) > 0.3 =>
+          s""""$n":${num(math.max(p1(n).sec, p2(n).sec) - math.min(p1(n).sec, p2(n).sec))}"""
+      }.mkString("{", ",", "}")
+      val total = names.map(n => math.min(p1(n).sec, p2(n).sec)).sum
+      def passJson(p: Map[String, TopoResult]): String =
+        names.map(n => s""""$n":{"sec":${num(p(n).sec)},"batches":[${
+          p(n).batches.map(b => s"[${b.rows},${b.ms}]").mkString(",")}]}""")
+          .mkString("{", ",", "}")
+      try Files.writeString(java.nio.file.Paths.get("target/stream_bench_passes.json"),
+        s"""{"sf":"$sfDir","events":$nEvents,"pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
+      catch { case _: java.io.IOException => () }
+      println(s"""{"metric":"stream_total","value":${num(total)},"unit":"sec","events":$nEvents,"topologies":{${
+        names.map(topoJson).mkString(",")}},"spread":$spread,"sf":"$sfDir"}""")
+    } finally {
+      deleteTree(work)
+      spark.stop()
+    }
+  }
+}

@@ -35,6 +35,18 @@ object BounceDetector {
 
   def process(gapMs: Long)(mid: String, events: Iterator[PageLog],
                            state: GroupState[Long]): Iterator[Bounce] = {
+    // Unlike windowed aggregations, fMGWS does NOT pre-filter
+    // watermark-late input rows — with a disordered multi-partition
+    // source (a real Kafka topic; FileTopic's unordered segment
+    // listing) a batch can deliver events far behind the watermark.
+    // The W4 contract (late events beyond the watermark are dropped)
+    // is therefore enforced HERE; without it a late entry would leave
+    // a pending whose pending+gap timer lies behind the watermark,
+    // which fMGWS rejects outright. Batch mode has no watermark —
+    // nothing is late.
+    val wm =
+      try state.getCurrentWatermarkMs()
+      catch { case _: UnsupportedOperationException => Long.MinValue }
     val out = Seq.newBuilder[Bounce]
     if (state.hasTimedOut) {
       // Timer fired: the watermark passed pending+gap with no follow-up.
@@ -42,7 +54,8 @@ object BounceDetector {
       state.remove()
     } else {
       var pending = state.getOption
-      events.toSeq.sortBy(e => (e.ts, e.pageId)).foreach { e =>
+      events.toSeq.filter(e => wm == Long.MinValue || e.ts >= wm)
+        .sortBy(e => (e.ts, e.pageId)).foreach { e =>
         val isEntry = e.lastPageId.isEmpty
         pending match {
           case Some(p) if e.ts - p <= gapMs =>
@@ -56,6 +69,15 @@ object BounceDetector {
         }
       }
       pending match {
+        case Some(p) if wm != Long.MinValue && wm >= p + gapMs =>
+          // The watermark already passed pending+gap (the key went
+          // quiet while other partitions advanced event time): the
+          // timeout verdict is ALREADY decided — no qualifying
+          // follow-up can arrive, any candidate would be late. Emit
+          // now rather than registering a timer in the past (which
+          // fMGWS rejects).
+          out += Bounce(mid, p, "timeout")
+          state.remove()
         case Some(p) =>
           state.update(p)
           state.setTimeoutTimestamp(p + gapMs)

@@ -47,9 +47,17 @@ class BounceProcessor(gapMs: Long)
 
   override def handleInputRows(mid: String, rows: Iterator[PageLog],
                                timers: TimerValues): Iterator[Bounce] = {
+    // Same disorder hardening as [[BounceDetector.process]]: a
+    // multi-partition source can deliver rows behind the watermark, so
+    // the W4 late-drop contract is enforced in the operator, and a
+    // pending whose pending+gap the watermark already passed emits its
+    // (already decided) timeout verdict now instead of registering a
+    // timer in the past. Watermark 0 = not yet advanced.
+    val wm = timers.getCurrentWatermarkInMs()
     val out = Seq.newBuilder[Bounce]
     var p = if (pending.exists()) Some(pending.get()) else None
-    rows.toSeq.sortBy(e => (e.ts, e.pageId)).foreach { e =>
+    rows.toSeq.filter(e => wm <= 0 || e.ts >= wm)
+      .sortBy(e => (e.ts, e.pageId)).foreach { e =>
       val isEntry = e.lastPageId.isEmpty
       p match {
         case Some(prev) if e.ts - prev <= gapMs =>
@@ -62,7 +70,13 @@ class BounceProcessor(gapMs: Long)
           if (isEntry) p = Some(e.ts)
       }
     }
-    retime(p)
+    p match {
+      case Some(prev) if wm > 0 && wm >= prev + gapMs =>
+        out += Bounce(mid, prev, "timeout")
+        retime(None)
+      case _ =>
+        retime(p)
+    }
     out.result().iterator
   }
 

@@ -48,11 +48,17 @@ object FileTopic {
   }
 
   /** Consume the topic as an unbounded stream of raw string records
-    * (the shape Sources.kafkaStringStream yields from a real broker). */
-  def stream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("value STRING")
-      .text(dir)
+    * (the shape Sources.kafkaStringStream yields from a real broker).
+    * `maxFilesPerTrigger` bounds each micro-batch to that many
+    * segments — the file-source analogue of Kafka's maxOffsetsPerTrigger,
+    * which is what gives a drained topic a realistic multi-batch replay
+    * (StreamBench uses it to measure per-micro-batch latency). */
+  def stream(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema("value STRING")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(dir)
+  }
 
   /** Batch replay of the full log from offset zero (the backfill path,
     * Sources.kafkaStringBatch's analogue). */

@@ -176,6 +176,36 @@ class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
       ("b", 0L, "next_entry"))
   }
 
+  test("BounceDetector drops watermark-late rows and settles a stale " +
+       "pending inline (disordered multi-partition delivery, W4)") {
+    // fMGWS does not pre-filter late input; a disordered source (real
+    // Kafka, FileTopic's unordered segment listing) delivers rows far
+    // behind the watermark. The batch-3 late row used to drive a
+    // pending+gap timer BEHIND the watermark — an operator crash.
+    val batches = Seq(
+      Seq(PageLog("m1", "home", None, 1000L)),                 // pending
+      Seq(PageLog("zzz", "home", Some("x"), 1000000L)),        // wm → ~998s
+      // late non-entry for m1: must be DROPPED (not clear the pending),
+      // and the stale pending's already-decided timeout must emit inline
+      Seq(PageLog("m1", "cart", Some("home"), 5000L)))
+    val out = runStream[PageLog, Bounce](batches, BounceDetector(_),
+      "bounce_late_out")
+    out.map(b => (b.mid, b.ts, b.reason)) shouldBe Seq(("m1", 1000L, "timeout"))
+  }
+
+  test("BounceDetectorTWS drops watermark-late rows and settles a stale " +
+       "pending inline (disordered multi-partition delivery, W4)") {
+    withRocksDB {
+      val batches = Seq(
+        Seq(PageLog("m1", "home", None, 1000L)),
+        Seq(PageLog("zzz", "home", Some("x"), 1000000L)),
+        Seq(PageLog("m1", "cart", Some("home"), 5000L)))
+      val out = runStream[PageLog, Bounce](batches, BounceDetectorTWS(_),
+        "bounce_tws_late_out")
+      out.map(b => (b.mid, b.ts, b.reason)) shouldBe Seq(("m1", 1000L, "timeout"))
+    }
+  }
+
   test("BounceDetectorTWS (transformWithState + RocksDB event-time timers) " +
        "matches the reference CEP fixture semantics") {
     withRocksDB {
