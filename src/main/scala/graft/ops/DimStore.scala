@@ -43,10 +43,21 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, row_number, struct}
   * committers wins a version; losers detect the collision, discard
   * their candidate generation, re-merge against the winner's manifest
   * and retry at the next version — optimistic concurrency, the same
-  * loser-retries contract as Delta's commit protocol. On a filesystem
-  * without atomic create-if-absent (raw S3), this primitive is supplied
-  * by a coordination service exactly as Delta's LogStore does; the
-  * implementation here targets posix-rename filesystems (local, HDFS).
+  * loser-retries contract as Delta's commit protocol. The commit log
+  * is java.nio throughout, so THIS BUILD IS LOCAL-FILESYSTEM ONLY
+  * (`nio` fails loudly on any other scheme); porting to HDFS would
+  * route manifest IO through the Hadoop FileSystem, whose
+  * `create(path, overwrite=false)` supplies the same atomic claim, and
+  * raw S3 needs a coordination service exactly as Delta's LogStore does.
+  *
+  * Because every manifest is a SELF-CONTAINED snapshot (the full
+  * bucket→generation map, not a delta), the Delta-checkpoint problem
+  * reduces to finding the newest manifest without listing the whole
+  * log: a `_commits/_version_hint` pointer (Iceberg's
+  * `version-hint.text` pattern, public spec) is rewritten after every
+  * commit, and [[currentVersion]] reads it and probes forward — O(1)
+  * files per resolution however long the history grows, with a full
+  * listing only as the fallback for a missing/stale-past-vacuum hint.
   *
   * == Snapshot isolation & time travel ==
   *
@@ -108,8 +119,9 @@ object DimStore {
 
   /** Local filesystem path for the commit log. The log's atomicity
     * primitive (hard-link create-if-absent) is per-filesystem, exactly
-    * like Delta's LogStore; this build targets posix-rename
-    * filesystems. */
+    * like Delta's LogStore; this build supports the local filesystem
+    * only and fails loudly elsewhere (an HDFS port would use
+    * `FileSystem.create(path, overwrite = false)` for the claim). */
   private def nio(path: String): java.nio.file.Path = {
     val u = new Path(path).toUri
     if (u.getScheme == null || u.getScheme == "file") Paths.get(u.getPath)
