@@ -138,10 +138,19 @@ object DimStore {
   private def isVersioned(path: String): Boolean =
     Files.isDirectory(commitsDir(path))
 
-  /** All committed (still-retained) versions, ascending. */
+  /** Full `_commits/` directory listings performed (test hook: pins the
+    * O(1)-files-per-resolution contract of the version hint — a hot
+    * read path must not bump this however long the history grows). */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** All committed (still-retained) versions, ascending. O(history)
+    * directory listing — correct always, and the fallback when the
+    * version hint is missing or stale; hot paths go through
+    * [[currentVersion]] instead. */
   def history(path: String): Seq[Long] =
     if (!Files.isDirectory(commitsDir(path))) Nil
     else {
+      logListings.incrementAndGet()
       val s = Files.list(commitsDir(path))
       try {
         import scala.jdk.CollectionConverters._
@@ -151,9 +160,57 @@ object DimStore {
       } finally s.close()
     }
 
+  // ---- `_commits/_version_hint`: Iceberg's version-hint.text pattern.
+  // The hint is an OPTIMIZATION ONLY — best-effort written, never the
+  // source of truth. A reader trusts it only when the hinted manifest
+  // actually exists, then probes forward (versions are dense integers,
+  // so the newest retained version is the last in an unbroken run);
+  // a missing/corrupt/vacuumed-past hint falls back to the full
+  // listing and rewrites the hint for the next reader.
+
+  private def hintFile(path: String) = commitsDir(path).resolve("_version_hint")
+
+  private def readHint(path: String): Option[Long] =
+    try Some(new String(Files.readAllBytes(hintFile(path)),
+      StandardCharsets.UTF_8).trim.toLong)
+    catch { case _: java.io.IOException | _: NumberFormatException => None }
+
+  /** Advance the hint to `v`. Default is forward-only — a slow
+    * committer of v−1 finishing after the committer of v must not move
+    * the pointer backwards; staleness is survivable, churn is
+    * pointless. `force` is for the listing fallback, which has just
+    * authoritatively resolved the log and must be able to REPLACE a
+    * bogus too-high hint (which forward-only would keep forever,
+    * condemning every later resolution to the full listing). Failures
+    * are swallowed: the listing fallback owns correctness. */
+  private def writeHint(path: String, v: Long, force: Boolean = false): Unit =
+    try {
+      if (force || readHint(path).forall(_ < v)) {
+        val cd = commitsDir(path)
+        val tmp = Files.createTempFile(cd, "._hint-", "")
+        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, hintFile(path),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** The table's current committed version (None before first commit
-    * and for legacy/flat stores). */
-  def currentVersion(path: String): Option[Long] = history(path).lastOption
+    * and for legacy/flat stores). O(1) files touched when the hint is
+    * fresh: read hint, stat the hinted manifest, stat one-past-the-end;
+    * each stale step adds one stat. Only a missing/unusable hint pays
+    * the O(history) listing. */
+  def currentVersion(path: String): Option[Long] =
+    readHint(path) match {
+      case Some(h) if Files.exists(commitsDir(path).resolve(manifestName(h))) =>
+        var v = h
+        while (Files.exists(commitsDir(path).resolve(manifestName(v + 1)))) v += 1
+        if (v != h) writeHint(path, v)
+        Some(v)
+      case _ =>
+        val r = history(path).lastOption
+        r.foreach(writeHint(path, _, force = true))
+        r
+    }
 
   private def readManifest(path: String, v: Long): Manifest = {
     import scala.jdk.CollectionConverters._
@@ -200,6 +257,7 @@ object DimStore {
           catch { case _: FileAlreadyExistsException => false }
       }
     Files.deleteIfExists(tmp)
+    if (won) writeHint(path, m.version)
     won
   }
 

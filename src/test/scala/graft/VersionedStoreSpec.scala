@@ -223,6 +223,60 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).count() shouldBe 31
   }
 
+  test("_version_hint: resolution is O(1) files on the hot path — no full " +
+       "log listing however long the history — and every broken-hint shape " +
+       "falls back, stays correct, and repairs the hint") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_hint")
+    DimStore.upsert(s, path,
+      Seq((1L, "a", 1L)).toDF("id", "name", "ver"), "id", "ver", nBuckets = 4)
+    DimStore.upsert(s, path,
+      Seq((2L, "b", 2L)).toDF("id", "name", "ver"), "id", "ver")
+    val hint = Paths.get(path, "_commits", "_version_hint")
+    // the committer maintains the pointer
+    Files.readString(hint).trim shouldBe "2"
+    // forge a 100-commit-deep history: versions 3..102 sharing v2's
+    // generations (valid manifests — generations are shared on purpose,
+    // exactly what a long run of no-op-bucket commits produces)
+    val body = Files.readString(Paths.get(path, "_commits", f"${2L}%020d.manifest"))
+    (3L to 102L).foreach { v =>
+      Files.writeString(Paths.get(path, "_commits", f"$v%020d.manifest"),
+        body.replaceFirst("v=2", s"v=$v"))
+    }
+    // stale hint (2, actual 102): probe-forward resolves WITHOUT a
+    // listing and repairs the pointer for the next reader
+    DimStore.logListings.set(0)
+    DimStore.currentVersion(path) shouldBe Some(102L)
+    DimStore.logListings.get() shouldBe 0
+    Files.readString(hint).trim shouldBe "102"
+    // hot read path: repeated snapshot reads never list the log
+    (1 to 5).foreach(_ => DimStore.read(s, path).count() shouldBe 2)
+    DimStore.logListings.get() shouldBe 0
+    // corrupt hint → listing fallback, correct answer, hint restored
+    Files.writeString(hint, "not-a-number")
+    DimStore.currentVersion(path) shouldBe Some(102L)
+    DimStore.logListings.get() should be >= 1L
+    Files.readString(hint).trim shouldBe "102"
+    // bogus too-HIGH hint (points past the log, e.g. debris of a failed
+    // experiment): fallback resolves AND replaces it — forward-only
+    // writing must not wedge the pointer above reality forever
+    Files.writeString(hint, "999")
+    DimStore.currentVersion(path) shouldBe Some(102L)
+    Files.readString(hint).trim shouldBe "102"
+    // missing hint (pre-hint table / deleted): same fallback + repair
+    Files.delete(hint)
+    DimStore.currentVersion(path) shouldBe Some(102L)
+    Files.readString(hint).trim shouldBe "102"
+    // vacuum keeps the newest versions, so the hint stays valid after
+    // retirement; history (an explicitly O(history) call) agrees
+    DimStore.vacuum(s, path, keepLast = 2) // removes nothing shared, retires manifests
+    DimStore.history(path) shouldBe Seq(101L, 102L)
+    DimStore.logListings.set(0)
+    DimStore.currentVersion(path) shouldBe Some(102L)
+    DimStore.logListings.get() shouldBe 0
+  }
+
   test("the root projection always equals the manifest-resolved snapshot " +
        "(what catalog/name-based readers consume)") {
     val s = spark
