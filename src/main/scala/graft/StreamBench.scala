@@ -72,14 +72,22 @@ object StreamBench {
     // grain: mid from user_id (5k devices), ~1/3 session entries, a
     // sprinkle of err/start records, display arrays on ~1/11 pages, and
     // ~1% corrupt lines so the dirty diversion does real work.
-    val lines = core.Tables.load(spark, sfDir, "events")
+    // Segment generation is DISTRIBUTED: range-partition by event time
+    // into nSegments chunks, each executor streams its chunk straight
+    // into a staged topic segment (no driver collect — the input never
+    // materializes on the driver, so the generator scales with the
+    // fixture), then the driver publishes the staged segments with
+    // ascending mod-times so the file source replays them in event-time
+    // order — the same ordered-drain shape the old sequential producer
+    // gave a catching-up consumer.
+    val nSegments = 20
+    val lineCols = core.Tables.load(spark, sfDir, "events")
       .select(col("event_id"), unix_millis(col("ts")).as("ts"),
         concat(lit("m"), pmod(col("user_id"), lit(5000))).as("mid"),
         col("event_type").as("page_id"),
         when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("string"))
           .otherwise(lit("prev")).as("last_page_id"))
-      .orderBy("ts")
-      .select(col("event_id"), to_json(struct(col("mid"), col("page_id"),
+      .select(col("event_id"), col("ts"), to_json(struct(col("mid"), col("page_id"),
         col("last_page_id"), col("ts"),
         when(pmod(col("event_id"), lit(41)) === 0, lit("boom")).as("err"),
         when(pmod(col("event_id"), lit(37)) === 0, lit("cold")).as("start"),
@@ -87,13 +95,10 @@ object StreamBench {
           array(struct(lit(0).as("pos"), col("page_id").as("item")),
                 struct(lit(1).as("pos"), lit("ad").as("item"))))
           .as("displays"))).as("line"))
-      .select(when(pmod(col("event_id"), lit(97)) === 0,
+      .select(col("ts"),
+        when(pmod(col("event_id"), lit(97)) === 0,
           concat(lit("!!not-json!!"), col("line"))).otherwise(col("line"))
         .as("line"))
-      .as[String].collect()
-    val nEvents = lines.length
-    val nSegments = 20
-    val segSize = math.max(1, math.ceil(nEvents.toDouble / nSegments).toInt)
 
     val work = Files.createTempDirectory("stream_bench_")
     def deleteTree(p: Path): Unit = {
@@ -103,7 +108,18 @@ object StreamBench {
     }
     try {
       val topic = work.resolve("topic").toString
-      lines.grouped(segSize).foreach(seg => FileTopic.produce(topic, seg.toSeq))
+      val writeSegment: Iterator[String] => Unit = { it =>
+        if (it.hasNext)
+          FileTopic.produceStaged(topic,
+            org.apache.spark.TaskContext.getPartitionId(), it)
+      }
+      lineCols
+        .repartitionByRange(nSegments, col("ts"))
+        .sortWithinPartitions("ts")
+        .select("line").as[String]
+        .foreachPartition(writeSegment)
+      FileTopic.publishStaged(topic)
+      val nEvents = FileTopic.replay(spark, topic).count().toInt
 
       // ---- per-batch progress capture ----
       val stats = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[BatchStat]]()

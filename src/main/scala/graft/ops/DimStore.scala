@@ -68,7 +68,9 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, row_number, struct}
   * reads any still-retained historical version; [[history]] lists them;
   * [[vacuum]] retires old versions and deletes the generations only
   * they reference (explicit, like Delta's VACUUM — time travel works
-  * until vacuumed, never silently).
+  * until vacuumed, never silently), with a grace window: retired
+  * generations are stamped in place and deleted only after the stamp
+  * ages, so in-flight readers of a just-retired version finish clean.
   *
   * == The root projection ==
   *
@@ -212,17 +214,37 @@ object DimStore {
         r
     }
 
+  /** Manifests are IMMUTABLE once published (the atomic create-if-
+    * absent claim means a version's content can never change), so
+    * reads are cached unconditionally — a per-micro-batch committer
+    * re-resolves the same manifest several times (recover, merge base,
+    * view sync), and each re-read would otherwise be file IO. Bounded
+    * by wholesale clear (entries are tiny; 4096 ≈ years of retained
+    * history across every table a JVM touches). Vacuumed versions may
+    * linger in cache; every vacuum-sensitive caller (`read(asOf)`)
+    * re-validates against [[history]] first, which lists the log. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+
   private def readManifest(path: String, v: Long): Manifest = {
-    import scala.jdk.CollectionConverters._
-    val lines = Files.readAllLines(
-      commitsDir(path).resolve(manifestName(v)), StandardCharsets.UTF_8).asScala
-    val n = lines.collectFirst { case l if l.startsWith("n=") => l.drop(2).toInt }
-      .getOrElse(throw new IllegalStateException(s"manifest $v of $path has no fan-out"))
-    val gens = lines.collect { case l if l.startsWith("b=") =>
-      val Array(b, g) = l.drop(2).split("\t", 2)
-      b.toInt -> g
+    val key = (nio(path).toAbsolutePath.toString, v)
+    val hit = manifestCache.get(key)
+    if (hit != null) hit
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = Files.readAllLines(
+        commitsDir(path).resolve(manifestName(v)), StandardCharsets.UTF_8).asScala
+      val n = lines.collectFirst { case l if l.startsWith("n=") => l.drop(2).toInt }
+        .getOrElse(throw new IllegalStateException(s"manifest $v of $path has no fan-out"))
+      val gens = lines.collect { case l if l.startsWith("b=") =>
+        val Array(b, g) = l.drop(2).split("\t", 2)
+        b.toInt -> g
+      }
+      val m = Manifest(v, n, gens.toMap)
+      if (manifestCache.size > 4096) manifestCache.clear()
+      manifestCache.put(key, m)
+      m
     }
-    Manifest(v, n, gens.toMap)
   }
 
   private def tryReadManifest(path: String, v: Long): Option[Manifest] =
@@ -413,17 +435,23 @@ object DimStore {
     * against the latest manifest, write a new generation for the
     * touched buckets, claim the next version (losers of a concurrent
     * race discard and retry against the winner). */
-  def upsert(spark: SparkSession, path: String, batch: DataFrame,
+  def upsert(spark: SparkSession, path: String, rawBatch: DataFrame,
              pk: String, versionCol: String, nBuckets: Int = NumBuckets): Unit = {
-    require(!batch.columns.contains(BucketCol),
+    require(!rawBatch.columns.contains(BucketCol),
       s"$BucketCol is reserved for DimStore's internal layout; " +
       "rename the batch column")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, fs, path)
+    // The batch is consumed several times per commit (emptiness probe,
+    // touched-bucket collect, the merge write — more on a lost race).
+    // Its lineage is often a whole parse/state topology (the streaming
+    // foreachBatch path), so pin it once instead of recomputing per
+    // consumer; spill-safe, and released in finally.
+    val batch = rawBatch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // An all-filtered micro-batch (every record malformed/routed away)
     // must be a no-op: creating the table from it would write a
     // schema-less directory that wedges every later read.
-    if (batch.isEmpty) return
+    try if (!batch.isEmpty) {
 
     // "has data" distinguishes a real legacy table from an empty root
     // (or one holding only the debris of a crashed first commit)
@@ -470,6 +498,7 @@ object DimStore {
     } else {
       mergeLoop(spark, path, batch, pk, versionCol)
     }
+    } finally { batch.unpersist(); () }
   }
 
   /** The optimistic-concurrency MERGE: read the touched buckets of the
@@ -695,14 +724,34 @@ object DimStore {
     }
   }
 
-  /** Retire history: keep the newest `keepLast` versions, delete older
-    * manifests and every generation referenced ONLY by them. Explicit,
-    * like Delta's VACUUM — time travel works until vacuumed, never
-    * silently. In-flight candidate generations (version > newest
-    * committed) are never touched, so a concurrent committer can't be
-    * vacuumed out from under. Returns the number of generations
-    * removed. */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): Int = {
+  /** How long a retired generation's files stay on disk (and therefore
+    * readable by anyone still holding a manifest that references it)
+    * after vacuum retires it. */
+  val VacuumGraceMillis: Long = 15L * 60 * 1000
+
+  private val RetiredStamp = "_RETIRED"
+
+  /** Retire history: keep the newest `keepLast` versions, drop older
+    * manifests, and retire every generation referenced ONLY by them.
+    * Explicit, like Delta's VACUUM — time travel works until vacuumed,
+    * never silently.
+    *
+    * Retirement has a GRACE WINDOW (same contract as
+    * [[Staging]]'s `_RETIRED` stamps): a retired generation is first
+    * stamped IN PLACE — its data files untouched, so a concurrent
+    * reader that pinned a v−N manifest before the vacuum keeps
+    * scanning safely (deleting, or moving to a trash dir, would yank
+    * the files out from under the in-flight scan either way) — and a
+    * later vacuum deletes it only once the stamp is older than
+    * `graceMillis`. The stamp is a `_`-prefixed file at the generation
+    * root: invisible to parquet readers and to [[bucketDirsOf]].
+    * In-flight candidate generations (version > newest committed) are
+    * never touched, so a concurrent committer can't be vacuumed out
+    * from under. Returns the number of generations physically removed
+    * (stamp-only retirements don't count until a later pass deletes
+    * them; `graceMillis = 0` restores immediate deletion). */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 2,
+             graceMillis: Long = VacuumGraceMillis): Int = {
     require(keepLast >= 1, "must retain at least the current version")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, fs, path)
@@ -718,7 +767,7 @@ object DimStore {
     val gd = gensDir(path)
     if (!Files.isDirectory(gd)) return 0
     val s = Files.list(gd)
-    val removable =
+    val retirable =
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.map(_.getFileName.toString)
@@ -729,8 +778,30 @@ object DimStore {
              catch { case _: NumberFormatException => false }))
           .toVector
       } finally s.close()
-    removable.foreach(n => deleteTree(gd.resolve(n)))
-    removable.size
+    val now = System.currentTimeMillis()
+    var removed = 0
+    retirable.foreach { n =>
+      val stamp = gd.resolve(n).resolve(RetiredStamp)
+      val retiredAt: Long =
+        if (Files.exists(stamp))
+          try new String(Files.readAllBytes(stamp),
+            StandardCharsets.UTF_8).trim.toLong
+          catch { case _: NumberFormatException => 0L } // unreadable: treat as aged out
+        else {
+          Files.write(stamp, now.toString.getBytes(StandardCharsets.UTF_8))
+          now
+        }
+      if (now - retiredAt >= graceMillis) {
+        deleteTree(gd.resolve(n))
+        removed += 1
+      }
+    }
+    // self-heal: a generation back in the kept set must never carry a
+    // stale stamp (defensive — reference resurrection can't happen
+    // under the current commit protocol, but a stray stamp must not
+    // schedule a live generation for deletion)
+    keptGens.foreach(n => Files.deleteIfExists(gd.resolve(n).resolve(RetiredStamp)))
+    removed
   }
 
   /** Small-file compaction: rewrite the current version toward

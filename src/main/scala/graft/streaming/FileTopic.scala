@@ -47,6 +47,55 @@ object FileTopic {
     name
   }
 
+  /** Executor-side half of a DISTRIBUTED produce: write one staged
+    * (hidden, consumer-invisible) segment carrying the producing
+    * partition's index, streaming the iterator straight to disk — no
+    * driver materialization, no partition-sized buffer. Task retries
+    * leave extra staged copies of the same partition;
+    * [[publishStaged]] dedupes them, so the visible log gets exactly
+    * one segment per partition while the transport's at-least-once
+    * contract is untouched. */
+  def produceStaged(dir: String, part: Int, records: Iterator[String]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val tmp = d.resolve(f".seg-p$part%05d-${java.util.UUID.randomUUID}.stage")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      var first = true
+      records.foreach { r =>
+        if (!first) w.write("\n")
+        w.write(r); first = false
+      }
+    } finally w.close()
+  }
+
+  /** Driver-side half: publish every staged segment, in partition
+    * order, as a visible segment whose modification time is strictly
+    * ascending — Spark's file source replays files in mod-time order,
+    * so a range-partitioned-by-event-time write drains in event-time
+    * order, the same catching-up-consumer shape the sequential
+    * producer gave. O(#segments) metadata ops on the driver; the data
+    * bytes never pass through it. Returns segments published. */
+  def publishStaged(dir: String): Int = {
+    val d = Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(d)
+    val staged = try s.iterator().asScala.map(p => p.getFileName.toString -> p)
+      .filter(_._1.matches("""\.seg-p\d{5}-[0-9a-f-]+\.stage"""))
+      .toVector.sortBy(_._1) finally s.close()
+    val byPart = staged.groupBy(_._1.take(11)).toSeq.sortBy(_._1) // ".seg-pNNNNN"
+    val base = System.currentTimeMillis() - byPart.size * 1000L - 60000L
+    byPart.zipWithIndex.foreach { case ((_, copies), i) =>
+      val keep = copies.head._2
+      copies.tail.foreach { case (_, p) => Files.deleteIfExists(p) }
+      val name = keep.getFileName.toString.stripPrefix(".").stripSuffix(".stage") + ".txt"
+      Files.setLastModifiedTime(keep,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      Files.move(keep, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    }
+    byPart.size
+  }
+
   /** Consume the topic as an unbounded stream of raw string records
     * (the shape Sources.kafkaStringStream yields from a real broker).
     * `maxFilesPerTrigger` bounds each micro-batch to that many

@@ -107,7 +107,7 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
         "id", "ver", nBuckets = 4)
     }
     DimStore.history(path) shouldBe (1L to 5L)
-    val removed = DimStore.vacuum(s, path, keepLast = 2)
+    val removed = DimStore.vacuum(s, path, keepLast = 2, graceMillis = 0L)
     removed should be > 0
     DimStore.history(path) shouldBe Seq(4L, 5L)
     DimStore.read(s, path).count() shouldBe 5
@@ -156,7 +156,7 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     // tell it from an in-flight commit and removes it
     DimStore.upsert(s, path,
       Seq((3L, "c", 3L)).toDF("id", "name", "ver"), "id", "ver")
-    DimStore.vacuum(s, path, keepLast = 3) should be >= 1
+    DimStore.vacuum(s, path, keepLast = 3, graceMillis = 0L) should be >= 1
     Files.exists(orphan) shouldBe false
     DimStore.read(s, path).count() shouldBe 3
   }
@@ -275,6 +275,54 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.logListings.set(0)
     DimStore.currentVersion(path) shouldBe Some(102L)
     DimStore.logListings.get() shouldBe 0
+  }
+
+  test("vacuum grace window: a reader holding a retired version's manifest " +
+       "survives a concurrent vacuum; files go only after the stamp ages") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_grace")
+    // same pk every commit: each new generation REWRITES the pk's
+    // bucket, so older generations become unreferenced (vacuumable) —
+    // distinct pks would leave every generation shared with the head
+    (1 to 3).foreach { i =>
+      DimStore.upsert(s, path,
+        Seq((1L, s"v$i", i.toLong)).toDF("id", "name", "ver"),
+        "id", "ver", nBuckets = 4)
+    }
+    // a reader pins v1 BEFORE the vacuum (plan resolved, scan deferred
+    // — the shape of a long-running job that listed its files already)
+    val pinned = DimStore.read(s, path, asOf = 1L)
+    // vacuum with the default grace: v1/v2 manifests retire immediately
+    // (history shrinks), but their generations are stamped, not deleted
+    DimStore.vacuum(s, path, keepLast = 1) shouldBe 0
+    DimStore.history(path) shouldBe Seq(3L)
+    // the pinned reader still scans clean — its files are untouched
+    pinned.count() shouldBe 1
+    pinned.select("name").as[String].head() shouldBe "v1"
+    // stamps exist on the retired generations
+    val gd = Paths.get(path, "_gens")
+    val stamped = {
+      val l = Files.list(gd)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.filter(p =>
+          Files.exists(p.resolve("_RETIRED"))).toVector
+      } finally l.close()
+    }
+    stamped should not be empty
+    // a second vacuum inside the window still deletes nothing
+    DimStore.vacuum(s, path, keepLast = 1) shouldBe 0
+    pinned.count() shouldBe 1
+    // age the stamps out and vacuum again: now the files go
+    stamped.foreach { g =>
+      Files.writeString(g.resolve("_RETIRED"),
+        (System.currentTimeMillis() - DimStore.VacuumGraceMillis - 1000L).toString)
+    }
+    DimStore.vacuum(s, path, keepLast = 1) should be >= stamped.size
+    stamped.foreach(g => Files.exists(g) shouldBe false)
+    // the current version is of course unaffected throughout
+    DimStore.read(s, path).select("name").as[String].head() shouldBe "v3"
   }
 
   test("the root projection always equals the manifest-resolved snapshot " +
