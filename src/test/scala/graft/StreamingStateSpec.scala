@@ -117,6 +117,49 @@ class StreamingStateSpec extends AnyFunSuite with Matchers with SparkFixture {
       Seq((day + 100L, "0"), (day + 200L, "0"))
   }
 
+  test("VisitorFlagRepairTWS (transformWithState + RocksDB) matches the " +
+       "fMGWS twin on the golden repair scenarios") {
+    withRocksDB {
+      val day = 86400000L
+      val batches = Seq(
+        Seq(PageLog("m1", "home", None, 1000L, "1"),
+            PageLog("m1", "cart", None, 2000L, "1")),
+        Seq(PageLog("m1", "home", None, day + 100L, "1"),
+            PageLog("m2", "home", None, day + 200L, "0")),
+        Seq(PageLog("m2", "home", None, 2 * day + 100L, "1")))
+      val tws = runStream[PageLog, PageLog](batches,
+        VisitorFlagRepairTWS(_), "isnew_tws")
+      val fmgws = runStream[PageLog, PageLog](batches,
+        VisitorFlagRepair(_), "isnew_fmgws_ref")
+      tws.map(e => (e.mid, e.ts, e.isNew)).sorted shouldBe
+        fmgws.map(e => (e.mid, e.ts, e.isNew)).sorted
+      tws.map(e => (e.mid, e.ts, e.isNew)).sorted shouldBe Seq(
+        ("m1", 1000L, "1"), ("m1", 2000L, "1"), ("m1", day + 100L, "0"),
+        ("m2", day + 200L, "0"), ("m2", 2 * day + 100L, "0"))
+    }
+  }
+
+  test("VisitorFlagRepairTWS matches the fMGWS twin on a randomized " +
+       "multi-device multi-batch replay") {
+    withRocksDB {
+      val day = 86400000L
+      val rnd = new scala.util.Random(4242)
+      val batches = (0 until 4).map { b =>
+        (0 until 60).map { i =>
+          PageLog(s"m${rnd.nextInt(8)}", s"p$i", None,
+            b * day / 2 + rnd.nextInt(day.toInt / 2).toLong,
+            if (rnd.nextBoolean()) "1" else "0")
+        }
+      }
+      val tws = runStream[PageLog, PageLog](batches,
+        VisitorFlagRepairTWS(_), "isnew_tws_rnd")
+      val fmgws = runStream[PageLog, PageLog](batches,
+        VisitorFlagRepair(_), "isnew_fmgws_rnd")
+      tws.map(e => (e.mid, e.ts, e.pageId, e.isNew)).sorted shouldBe
+        fmgws.map(e => (e.mid, e.ts, e.pageId, e.isNew)).sorted
+    }
+  }
+
   /** Runs `body` with the RocksDB state store provider — the path the
     * transformWithState operators are built for. */
   private def withRocksDB[T](body: => T): T = {
