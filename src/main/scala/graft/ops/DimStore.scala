@@ -304,7 +304,13 @@ object DimStore {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val genName = f"g$v%020d-$nonce"
     val tmp = gd.resolve(s".w-$genName")
-    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    // repartition on the bucket key first: without it every upstream
+    // task writes a file into every bucket dir it has rows for
+    // (tasks × buckets files per generation — file-count bloat that
+    // taxes the readback, the hardlink projection, and eventually
+    // compaction); with it each bucket is one task → one file
+    merged.repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
     Files.move(tmp, gd.resolve(genName))
     genName
   }
@@ -450,15 +456,21 @@ object DimStore {
     val batch = rawBatch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // An all-filtered micro-batch (every record malformed/routed away)
     // must be a no-op: creating the table from it would write a
-    // schema-less directory that wedges every later read.
-    try if (!batch.isEmpty) {
+    // schema-less directory that wedges every later read. The probe is
+    // only paid on the create/migrate paths — for an existing
+    // versioned table mergeLoop's touched-bucket collect subsumes it
+    // (empty batch → no touched buckets → no commit), saving one
+    // Spark job per steady-state micro-batch.
+    try if (currentVersion(path).nonEmpty) {
+      mergeLoop(spark, path, batch, pk, versionCol)
+    } else if (!batch.isEmpty) {
 
     // "has data" distinguishes a real legacy table from an empty root
     // (or one holding only the debris of a crashed first commit)
     def rootHasVisibleData =
       fs.exists(new Path(path)) &&
         fs.listStatus(new Path(path)).exists(st => isVisible(st.getPath.getName))
-    if (currentVersion(path).isEmpty && !rootHasVisibleData) {
+    if (!rootHasVisibleData) {
       // ---- create: commit version 1
       val bb = batch.withColumn(BucketCol, bucketOf(pk, nBuckets))
       val gen = writeGen(latestPerPk(bb, pk, versionCol), path, 1L)
@@ -472,7 +484,7 @@ object DimStore {
         deleteTree(gensDir(path).resolve(gen))
         mergeLoop(spark, path, batch, pk, versionCol)
       }
-    } else if (currentVersion(path).isEmpty) {
+    } else {
       // ---- migrate a legacy (pre-commit-log) table: fold its full
       // contents and this batch into version 1 — a one-time O(table)
       // cost, after which upserts are O(touched buckets) again
@@ -495,8 +507,6 @@ object DimStore {
         deleteTree(gensDir(path).resolve(gen))
         mergeLoop(spark, path, batch, pk, versionCol)
       }
-    } else {
-      mergeLoop(spark, path, batch, pk, versionCol)
     }
     } finally { batch.unpersist(); () }
   }
@@ -517,6 +527,9 @@ object DimStore {
       val bb = batch.withColumn(BucketCol, bucketOf(pk, base.buckets))
       val touched = bb.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted
+      // empty batch → no touched buckets → no commit (this collect IS
+      // upsert's emptiness gate on the steady-state path)
+      if (touched.isEmpty) return
       val existingBuckets = touched.filter(base.gens.contains).toSeq
       val existing = readSnapshot(spark, path, base, Some(existingBuckets))
         .map(_.withColumn(BucketCol, bucketOf(pk, base.buckets)))
