@@ -56,14 +56,21 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_STORE=rocksdb benches the production state
+    // backend (large stateful deploys run RocksDB, not the default
+    // HDFS-backed in-memory map; the TWS operators require it)
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    if (stateStore == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -228,7 +235,7 @@ object StreamBench {
         s"""{"sf":"$sfDir","events":$nEvents,"pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
       catch { case _: java.io.IOException => () }
       println(s"""{"metric":"stream_total","value":${num(total)},"unit":"sec","events":$nEvents,"topologies":{${
-        names.map(topoJson).mkString(",")}},"spread":$spread,"sf":"$sfDir"}""")
+        names.map(topoJson).mkString(",")}},"spread":$spread,"state_store":"$stateStore","sf":"$sfDir"}""")
     } finally {
       deleteTree(work)
       spark.stop()
