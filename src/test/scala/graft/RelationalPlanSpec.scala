@@ -39,6 +39,26 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p.toLowerCase should not include "o_orderdate"
   }
 
+  test("timestamp predicates push through Tables.load's NTZ normalization " +
+       "to the parquet scan (cast eliminated, literal rewritten)") {
+    // Tables.load casts TIMESTAMP_NTZ fixture columns to TIMESTAMP; a
+    // filter above that cast must still reach PushedFilters — Catalyst
+    // eliminates the order-preserving cast under the UTC session tz.
+    // If a load-layer change ever re-materializes the cast, date-range
+    // scans stop pruning at the parquet reader and every 100 TB
+    // shipdate slice becomes a full-table read: fail here, loudly.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.load(s, sf0001, "lineitem")
+    val p = li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    p should include("LessThanOrEqual(l_shipdate")   // pushed, not just Filter
+    p should include("IsNotNull(l_shipdate)")
+    // column pruning survives the normalization layer too
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate")
+  }
+
   test("q03: small dims broadcast, fact join does not broadcast the fact") {
     val p = plan(Relational.q03)
     p should include("BroadcastHashJoin")
