@@ -298,19 +298,25 @@ object DimStore {
     * write lands in a hidden temp dir and is renamed into `_gens` in
     * one atomic same-fs move, so a generation is either fully present
     * or absent. */
-  private def writeGen(merged: DataFrame, path: String, v: Long): String = {
+  /** `onePerBucket = true` (the upsert paths) repartitions on the
+    * bucket key first: without it every upstream task writes a file
+    * into every bucket dir it has rows for (tasks × buckets files per
+    * generation — file-count bloat that taxes the readback, the
+    * hardlink projection, and eventually compaction); with it each
+    * bucket is one task → one file. Compaction passes `false` — it
+    * already owns its partitioning (bucket + size salt, so an
+    * over-target bucket deliberately splits across several files) and
+    * a blanket bucket repartition here would collapse that back to
+    * one. */
+  private def writeGen(merged: DataFrame, path: String, v: Long,
+                       onePerBucket: Boolean = true): String = {
     val gd = gensDir(path)
     Files.createDirectories(gd)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val genName = f"g$v%020d-$nonce"
     val tmp = gd.resolve(s".w-$genName")
-    // repartition on the bucket key first: without it every upstream
-    // task writes a file into every bucket dir it has rows for
-    // (tasks × buckets files per generation — file-count bloat that
-    // taxes the readback, the hardlink projection, and eventually
-    // compaction); with it each bucket is one task → one file
-    merged.repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    val laidOut = if (onePerBucket) merged.repartition(col(BucketCol)) else merged
+    laidOut.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
     Files.move(tmp, gd.resolve(genName))
     genName
   }
@@ -856,7 +862,8 @@ object DimStore {
             df.columns.filter(_ != BucketCol).map(col): _*)), lit(perBucket))
           val rewritten = df.repartition(base.buckets * perBucket,
             col(BucketCol), salt)
-          val gen = writeGen(rewritten, path, base.version + 1)
+          val gen = writeGen(rewritten, path, base.version + 1,
+            onePerBucket = false)
           val next = Manifest(base.version + 1, base.buckets,
             bucketDirsOf(path, gen).map(_ -> gen).toMap)
           if (tryCommit(path, next)) {

@@ -177,6 +177,31 @@ class DimRouterSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).as[(Long, String, Long)].collect().toSet shouldBe before
   }
 
+  test("compact honors targetFileBytes WITHIN a bucket: an over-target " +
+       "bucket splits across several files (the salt survives writeGen)") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("dimsplit").toString + "/dim_s"
+    // one bucket, ~200 KB of INCOMPRESSIBLE payload (seeded random per
+    // row — a constant string would parquet-compress below any target
+    // and never split) → a tiny file target must split it
+    def payload(i: Long): String = {
+      val r = new scala.util.Random(i)
+      Array.fill(2000)((r.nextInt(94) + 33).toChar).mkString
+    }
+    DimStore.upsert(s, path,
+      (1L to 100L).map(i => (i, payload(i), 1L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 1)
+    DimStore.compact(s, path, targetFileBytes = 16L * 1024)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bucketDir = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("__bucket=")).head.getPath
+    fs.listStatus(bucketDir)
+      .count(_.getPath.getName.endsWith(".parquet")) should be > 1
+    DimStore.read(s, path).count() shouldBe 100
+  }
+
   test("upsert rewrites only touched buckets; untouched buckets stay byte-identical") {
     val s = spark
     import s.implicits._
