@@ -58,8 +58,15 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_STATE_STORE=rocksdb benches the production state
     // backend (large stateful deploys run RocksDB, not the default
-    // HDFS-backed in-memory map; the TWS operators require it)
-    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default")
+    // HDFS-backed in-memory map; the TWS operators require it).
+    // Unknown values fail loudly: a typo silently running the default
+    // store would stamp a mislabeled artifact.
+    val stateStore =
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "default").toLowerCase match {
+        case s @ ("default" | "rocksdb") => s
+        case other => sys.error(
+          s"unknown SPARK_GRAFT_STATE_STORE '$other' (use default|rocksdb)")
+      }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -216,24 +216,31 @@ object DimStore {
 
   /** Manifests are IMMUTABLE once published (the atomic create-if-
     * absent claim means a version's content can never change), so
-    * reads are cached unconditionally — a per-micro-batch committer
-    * re-resolves the same manifest several times (recover, merge base,
-    * view sync), and each re-read would otherwise be file IO. Bounded
-    * by wholesale clear (entries are tiny; 4096 ≈ years of retained
-    * history across every table a JVM touches). Vacuumed versions may
-    * linger in cache; every vacuum-sensitive caller (`read(asOf)`)
-    * re-validates against [[history]] first, which lists the log. */
+    * reads are cached — a per-micro-batch committer re-resolves the
+    * same manifest several times (recover, merge base, view sync), and
+    * each re-read would otherwise be file IO. The cache key includes
+    * the manifest FILE's size+mtime (one stat, an order cheaper than
+    * read+parse): a table deleted and recreated at the same path gets
+    * a fresh entry instead of resurrecting the old table's generation
+    * map, and a vacuumed manifest stops being servable the moment its
+    * file is gone (the stat throws NoSuchFileException — callers that
+    * can race a vacuum catch it and re-resolve). Bounded by wholesale
+    * clear (entries are tiny; 4096 ≈ years of retained history across
+    * every table a JVM touches). */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Manifest]()
 
   private def readManifest(path: String, v: Long): Manifest = {
-    val key = (nio(path).toAbsolutePath.toString, v)
+    val file = commitsDir(path).resolve(manifestName(v))
+    val attrs = Files.readAttributes(
+      file, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (nio(path).toAbsolutePath.toString, v,
+      attrs.size, attrs.lastModifiedTime.toMillis)
     val hit = manifestCache.get(key)
     if (hit != null) hit
     else {
       import scala.jdk.CollectionConverters._
-      val lines = Files.readAllLines(
-        commitsDir(path).resolve(manifestName(v)), StandardCharsets.UTF_8).asScala
+      val lines = Files.readAllLines(file, StandardCharsets.UTF_8).asScala
       val n = lines.collectFirst { case l if l.startsWith("n=") => l.drop(2).toInt }
         .getOrElse(throw new IllegalStateException(s"manifest $v of $path has no fan-out"))
       val gens = lines.collect { case l if l.startsWith("b=") =>
@@ -252,7 +259,20 @@ object DimStore {
     catch { case _: java.io.IOException | _: java.nio.file.NoSuchFileException => None }
 
   private def latest(path: String): Option[Manifest] =
-    currentVersion(path).map(readManifest(path, _))
+    currentVersion(path) match {
+      case None => None
+      case Some(v) =>
+        try Some(readManifest(path, v))
+        catch { case _: java.nio.file.NoSuchFileException =>
+          // a stale hint raced a concurrent vacuum: the probed version's
+          // manifest is gone by the time we read it. Re-resolve from the
+          // authoritative listing and repair the hint.
+          history(path).lastOption.map { w =>
+            writeHint(path, w, force = true)
+            readManifest(path, w)
+          }
+        }
+    }
 
   /** Publish manifest `m` iff version `m.version` is still unclaimed.
     * Returns false when a concurrent committer won the version — the
@@ -458,8 +478,15 @@ object DimStore {
     // touched-bucket collect, the merge write — more on a lost race).
     // Its lineage is often a whole parse/state topology (the streaming
     // foreachBatch path), so pin it once instead of recomputing per
-    // consumer; spill-safe, and released in finally.
-    val batch = rawBatch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumer; spill-safe, and released in finally. Ownership: only
+    // unpersist what WE persisted — persist() on an already-cached
+    // Dataset is a no-op returning the same plan, so unpersisting a
+    // caller-persisted batch would evict the CALLER's cache.
+    val callerPersisted =
+      rawBatch.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val batch =
+      if (callerPersisted) rawBatch
+      else rawBatch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // An all-filtered micro-batch (every record malformed/routed away)
     // must be a no-op: creating the table from it would write a
     // schema-less directory that wedges every later read. The probe is
@@ -514,7 +541,7 @@ object DimStore {
         mergeLoop(spark, path, batch, pk, versionCol)
       }
     }
-    } finally { batch.unpersist(); () }
+    } finally { if (!callerPersisted) { batch.unpersist(); () } }
   }
 
   /** The optimistic-concurrency MERGE: read the touched buckets of the
@@ -805,7 +832,13 @@ object DimStore {
         if (Files.exists(stamp))
           try new String(Files.readAllBytes(stamp),
             StandardCharsets.UTF_8).trim.toLong
-          catch { case _: NumberFormatException => 0L } // unreadable: treat as aged out
+          catch { case _: NumberFormatException =>
+            // torn stamp (a vacuum crashed mid-write): re-stamp NOW and
+            // restart the clock — treating it as aged-out would delete
+            // with zero grace, the exact failure the window prevents
+            Files.write(stamp, now.toString.getBytes(StandardCharsets.UTF_8))
+            now
+          }
         else {
           Files.write(stamp, now.toString.getBytes(StandardCharsets.UTF_8))
           now

@@ -58,7 +58,12 @@ object FileTopic {
   def produceStaged(dir: String, part: Int, records: Iterator[String]): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val tmp = d.resolve(f".seg-p$part%05d-${java.util.UUID.randomUUID}.stage")
+    // write-to-temp + atomic rename, same dance as produce(): a task
+    // attempt killed mid-write must leave debris that publishStaged's
+    // regex NEVER matches — otherwise the dedup could keep a truncated
+    // attempt and delete the complete retry, silently losing events
+    val name = f".seg-p$part%05d-${java.util.UUID.randomUUID}.stage"
+    val tmp = d.resolve(s"$name.tmp")
     val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
     try {
       var first = true
@@ -67,6 +72,7 @@ object FileTopic {
         w.write(r); first = false
       }
     } finally w.close()
+    Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Driver-side half: publish every staged segment, in partition
