@@ -86,6 +86,36 @@ class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture
       .as[(Long, String, Long)].collect().sortBy(_._1) shouldBe got
   }
 
+  test("staged produce: retry duplicates dedup to one segment per partition, " +
+       "publish order follows partition index, torn attempts are invisible") {
+    val s = spark
+    import s.implicits._
+    val topic = Files.createTempDirectory("ft_staged").toString
+    // three partitions, written out of order; partition 1 staged TWICE
+    // (a task retry after a speculative kill) with identical content
+    FileTopic.produceStaged(topic, 2, Iterator("c1", "c2"))
+    FileTopic.produceStaged(topic, 0, Iterator("a1", "a2"))
+    FileTopic.produceStaged(topic, 1, Iterator("b1"))
+    FileTopic.produceStaged(topic, 1, Iterator("b1"))
+    // plus torn debris of a killed attempt: a .tmp that never renamed
+    Files.writeString(java.nio.file.Paths.get(topic)
+      .resolve(".seg-p00001-deadbeef.stage.tmp"), "b1-trunc")
+    FileTopic.publishStaged(topic) shouldBe 3
+    // exactly one visible segment per partition, duplicates gone
+    val segs = java.nio.file.Files.list(java.nio.file.Paths.get(topic))
+      .toArray.map(_.toString).filter(_.endsWith(".txt")).sorted
+    segs.length shouldBe 3
+    // mod-times strictly ascend with partition index (file-source
+    // replay order == event-time order for range-partitioned input)
+    val times = segs.map(p =>
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)).toMillis)
+    times.sorted.toSeq shouldBe times.toSeq
+    // content round-trips complete and deduped
+    FileTopic.replay(s, topic).as[String].collect().sorted shouldBe
+      Array("a1", "a2", "b1", "c1", "c2")
+  }
+
   test("a malformed record in the log is diverted, not poisonous (P2 over transport)") {
     val s = spark
     import s.implicits._
