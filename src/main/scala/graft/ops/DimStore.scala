@@ -1,7 +1,6 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -37,18 +36,22 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod, row_number, struct}
   *
   * A manifest records the table version, the bucket fan-out, and which
   * generation currently owns each `__bucket=k`. Commits are published
-  * by an atomic create-if-absent of the next version's manifest file
-  * (hard-link of a temp file — the POSIX primitive that fails, atomically,
-  * when the target exists). Exactly one of any set of concurrent
-  * committers wins a version; losers detect the collision, discard
-  * their candidate generation, re-merge against the winner's manifest
-  * and retry at the next version — optimistic concurrency, the same
-  * loser-retries contract as Delta's commit protocol. The commit log
-  * is java.nio throughout, so THIS BUILD IS LOCAL-FILESYSTEM ONLY
-  * (`nio` fails loudly on any other scheme); porting to HDFS would
-  * route manifest IO through the Hadoop FileSystem, whose
-  * `create(path, overwrite=false)` supplies the same atomic claim, and
-  * raw S3 needs a coordination service exactly as Delta's LogStore does.
+  * by an atomic create-if-absent of the next version's manifest file.
+  * Exactly one of any set of concurrent committers wins a version;
+  * losers detect the collision, discard their candidate generation,
+  * re-merge against the winner's manifest and retry at the next
+  * version — optimistic concurrency, the same loser-retries contract
+  * as Delta's commit protocol. All log IO routes through the
+  * [[LogStore]] seam (Delta's public `LogStore` pattern), chosen per
+  * table path: `file:`/schemeless paths get [[PosixLogStore]] (the
+  * claim is a hard link of a temp file — the posix primitive that
+  * fails, atomically, when the target exists); any other scheme gets
+  * [[HadoopLogStore]] (write-temp + `FileContext.rename(Rename.NONE)`,
+  * which the HDFS NameNode executes atomically — Delta `HDFSLogStore`'s
+  * exact recipe), so the versioned store runs wherever a Hadoop
+  * filesystem with atomic rename does. Raw S3 needs a coordination
+  * service exactly as Delta's S3 LogStore does — it would slot in
+  * behind the same trait.
   *
   * Because every manifest is a SELF-CONTAINED snapshot (the full
   * bucket→generation map, not a delta), the Delta-checkpoint problem
@@ -111,34 +114,51 @@ object DimStore {
     pmod(hash(col(pk)), lit(n)).cast("int")
 
   // -------------------------------------------------------------------
-  // commit log (java.nio throughout: manifests are never read through
-  // the Hadoop fs, so no .crc sidecar can ever disagree with them)
+  // commit log — all IO through the LogStore seam. PosixLogStore's
+  // FileContext-free nio route doubles as the no-.crc-sidecar
+  // guarantee; HadoopLogStore uses FileContext (raw fs) for the same
+  // reason.
 
   private final case class Manifest(version: Long, buckets: Int,
                                     gens: Map[Int, String])
 
   private val ManifestSuffix = ".manifest"
 
-  /** Local filesystem path for the commit log. The log's atomicity
-    * primitive (hard-link create-if-absent) is per-filesystem, exactly
-    * like Delta's LogStore; this build supports the local filesystem
-    * only and fails loudly elsewhere (an HDFS port would use
-    * `FileSystem.create(path, overwrite = false)` for the claim). */
-  private def nio(path: String): java.nio.file.Path = {
-    val u = new Path(path).toUri
-    if (u.getScheme == null || u.getScheme == "file") Paths.get(u.getPath)
-    else throw new UnsupportedOperationException(
-      s"DimStore's commit log needs a posix filesystem; got scheme ${u.getScheme}")
+  /** Test hook: table-path prefixes whose log IO is forced through
+    * [[HadoopLogStore]] even on `file:`/schemeless paths, so the
+    * remote-filesystem route is exercisable without a remote fs
+    * (VersionedStoreSpec runs the commit/race/vacuum/time-travel
+    * matrix through both stores). */
+  private val hadoopRouted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def routeLogViaHadoop(prefix: String): Unit = {
+    hadoopRouted.add(prefix); ()
+  }
+  private[graft] def unrouteLogViaHadoop(prefix: String): Unit = {
+    hadoopRouted.remove(prefix); ()
   }
 
-  private def commitsDir(path: String) = nio(path).resolve("_commits")
-  private def gensDir(path: String)    = nio(path).resolve("_gens")
-  private def viewFile(path: String)   = nio(path).resolve("_graft_view")
+  /** The [[LogStore]] for a table path: posix (hard-link claim) for
+    * local paths, Hadoop (no-overwrite-rename claim) for any remote
+    * scheme. Per-path, so one JVM can serve both kinds of table. */
+  private def store(path: String): LogStore = {
+    val scheme = new Path(path).toUri.getScheme
+    val posix = scheme == null || scheme == "file"
+    import scala.jdk.CollectionConverters._
+    if (posix && !hadoopRouted.asScala.exists(path.startsWith)) PosixLogStore
+    else HadoopLogStore
+  }
+
+  private def commitsDir(path: String) = s"$path/_commits"
+  private def gensDir(path: String)    = s"$path/_gens"
+  private def viewFile(path: String)   = s"$path/_graft_view"
 
   private def manifestName(v: Long) = f"$v%020d$ManifestSuffix"
+  private def manifestPath(path: String, v: Long) =
+    s"${commitsDir(path)}/${manifestName(v)}"
 
   private def isVersioned(path: String): Boolean =
-    Files.isDirectory(commitsDir(path))
+    store(path).isDir(commitsDir(path))
 
   /** Full `_commits/` directory listings performed (test hook: pins the
     * O(1)-files-per-resolution contract of the version hint — a hot
@@ -149,18 +169,16 @@ object DimStore {
     * directory listing — correct always, and the fallback when the
     * version hint is missing or stale; hot paths go through
     * [[currentVersion]] instead. */
-  def history(path: String): Seq[Long] =
-    if (!Files.isDirectory(commitsDir(path))) Nil
+  def history(path: String): Seq[Long] = {
+    val st = store(path)
+    if (!st.isDir(commitsDir(path))) Nil
     else {
       logListings.incrementAndGet()
-      val s = Files.list(commitsDir(path))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.endsWith(ManifestSuffix) && !n.startsWith("."))
-          .map(_.stripSuffix(ManifestSuffix).toLong).toVector.sorted
-      } finally s.close()
+      st.list(commitsDir(path))
+        .filter(n => n.endsWith(ManifestSuffix) && !n.startsWith("."))
+        .map(_.stripSuffix(ManifestSuffix).toLong).sorted
     }
+  }
 
   // ---- `_commits/_version_hint`: Iceberg's version-hint.text pattern.
   // The hint is an OPTIMIZATION ONLY — best-effort written, never the
@@ -170,11 +188,10 @@ object DimStore {
   // a missing/corrupt/vacuumed-past hint falls back to the full
   // listing and rewrites the hint for the next reader.
 
-  private def hintFile(path: String) = commitsDir(path).resolve("_version_hint")
+  private def hintFile(path: String) = s"${commitsDir(path)}/_version_hint"
 
   private def readHint(path: String): Option[Long] =
-    try Some(new String(Files.readAllBytes(hintFile(path)),
-      StandardCharsets.UTF_8).trim.toLong)
+    try Some(store(path).readString(hintFile(path)).trim.toLong)
     catch { case _: java.io.IOException | _: NumberFormatException => None }
 
   /** Advance the hint to `v`. Default is forward-only — a slow
@@ -187,13 +204,8 @@ object DimStore {
     * are swallowed: the listing fallback owns correctness. */
   private def writeHint(path: String, v: Long, force: Boolean = false): Unit =
     try {
-      if (force || readHint(path).forall(_ < v)) {
-        val cd = commitsDir(path)
-        val tmp = Files.createTempFile(cd, "._hint-", "")
-        Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, hintFile(path),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      }
+      if (force || readHint(path).forall(_ < v))
+        store(path).writeAtomic(hintFile(path), v.toString)
     } catch { case _: java.io.IOException => () }
 
   /** The table's current committed version (None before first commit
@@ -203,9 +215,9 @@ object DimStore {
     * the O(history) listing. */
   def currentVersion(path: String): Option[Long] =
     readHint(path) match {
-      case Some(h) if Files.exists(commitsDir(path).resolve(manifestName(h))) =>
+      case Some(h) if store(path).exists(manifestPath(path, h)) =>
         var v = h
-        while (Files.exists(commitsDir(path).resolve(manifestName(v + 1)))) v += 1
+        while (store(path).exists(manifestPath(path, v + 1))) v += 1
         if (v != h) writeHint(path, v)
         Some(v)
       case _ =>
@@ -218,29 +230,28 @@ object DimStore {
     * absent claim means a version's content can never change), so
     * reads are cached — a per-micro-batch committer re-resolves the
     * same manifest several times (recover, merge base, view sync), and
-    * each re-read would otherwise be file IO. The cache key includes
-    * the manifest FILE's size+mtime (one stat, an order cheaper than
-    * read+parse): a table deleted and recreated at the same path gets
-    * a fresh entry instead of resurrecting the old table's generation
-    * map, and a vacuumed manifest stops being servable the moment its
-    * file is gone (the stat throws NoSuchFileException — callers that
-    * can race a vacuum catch it and re-resolve). Bounded by wholesale
-    * clear (entries are tiny; 4096 ≈ years of retained history across
-    * every table a JVM touches). */
+    * each re-read would otherwise be file IO. The cache key is the
+    * store's file IDENTITY (one stat, an order cheaper than
+    * read+parse): size + mtime + — on posix — the inode `fileKey`, so
+    * a table deleted and recreated at the same path gets a fresh entry
+    * instead of resurrecting the old table's generation map even when
+    * the replacement manifest matches byte length and mtime millisecond
+    * (inodes differ); a vacuumed manifest stops being servable the
+    * moment its file is gone (the stat throws — callers that can race
+    * a vacuum catch it and re-resolve). Bounded by wholesale clear
+    * (entries are tiny; 4096 ≈ years of retained history across every
+    * table a JVM touches). */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long), Manifest]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, AnyRef), Manifest]()
 
   private def readManifest(path: String, v: Long): Manifest = {
-    val file = commitsDir(path).resolve(manifestName(v))
-    val attrs = Files.readAttributes(
-      file, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val key = (nio(path).toAbsolutePath.toString, v,
-      attrs.size, attrs.lastModifiedTime.toMillis)
+    val st = store(path)
+    val file = manifestPath(path, v)
+    val key = (new Path(path).toString, v, st.identity(file))
     val hit = manifestCache.get(key)
     if (hit != null) hit
     else {
-      import scala.jdk.CollectionConverters._
-      val lines = Files.readAllLines(file, StandardCharsets.UTF_8).asScala
+      val lines = st.readString(file).linesIterator.toVector
       val n = lines.collectFirst { case l if l.startsWith("n=") => l.drop(2).toInt }
         .getOrElse(throw new IllegalStateException(s"manifest $v of $path has no fan-out"))
       val gens = lines.collect { case l if l.startsWith("b=") =>
@@ -263,7 +274,8 @@ object DimStore {
       case None => None
       case Some(v) =>
         try Some(readManifest(path, v))
-        catch { case _: java.nio.file.NoSuchFileException =>
+        catch { case _: java.nio.file.NoSuchFileException |
+                     _: java.io.FileNotFoundException =>
           // a stale hint raced a concurrent vacuum: the probed version's
           // manifest is gone by the time we read it. Re-resolve from the
           // authoritative listing and repair the hint.
@@ -276,42 +288,18 @@ object DimStore {
 
   /** Publish manifest `m` iff version `m.version` is still unclaimed.
     * Returns false when a concurrent committer won the version — the
-    * caller re-merges against the winner and retries. Atomicity:
-    * content goes to a hidden temp file, then a hard link (create-if-
-    * absent, atomic on posix) claims the version name; readers can
-    * never observe a partially-written manifest. */
+    * caller re-merges against the winner and retries. Atomicity is the
+    * [[LogStore.createIfAbsent]] contract (posix hard-link claim /
+    * Hadoop no-overwrite rename); readers can never observe a
+    * partially-written manifest. */
   private def tryCommit(path: String, m: Manifest): Boolean = {
-    val cd = commitsDir(path)
-    Files.createDirectories(cd)
     val body = (s"v=${m.version}" +: s"n=${m.buckets}" +:
       m.gens.toSeq.sortBy(_._1).map { case (b, g) => s"b=$b\t$g" })
       .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(cd, ".tmp-", "")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    val target = cd.resolve(manifestName(m.version))
-    val won =
-      try { Files.createLink(target, tmp); true }
-      catch {
-        case _: FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // no hard links (exotic fs): move-no-replace is the fallback
-          try { Files.move(tmp, target); true }
-          catch { case _: FileAlreadyExistsException => false }
-      }
-    Files.deleteIfExists(tmp)
+    val won = store(path).createIfAbsent(manifestPath(path, m.version), body)
     if (won) writeHint(path, m.version)
     won
   }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        w.iterator().asScala.toVector.sortBy(-_.getNameCount)
-          .foreach(f => Files.deleteIfExists(f))
-      } finally w.close()
-    }
 
   /** Write `merged` (carrying BucketCol) as a new immutable generation
     * for candidate version `v`; returns the generation dir name. The
@@ -330,29 +318,25 @@ object DimStore {
     * one. */
   private def writeGen(merged: DataFrame, path: String, v: Long,
                        onePerBucket: Boolean = true): String = {
+    val st = store(path)
     val gd = gensDir(path)
-    Files.createDirectories(gd)
+    st.mkdirs(gd)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val genName = f"g$v%020d-$nonce"
-    val tmp = gd.resolve(s".w-$genName")
+    val tmp = s"$gd/.w-$genName"
     val laidOut = if (onePerBucket) merged.repartition(col(BucketCol)) else merged
-    laidOut.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    Files.move(tmp, gd.resolve(genName))
+    laidOut.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+    st.rename(tmp, s"$gd/$genName")
     genName
   }
 
   private def genVersionOf(genName: String): Long =
     genName.stripPrefix("g").takeWhile(_ != '-').toLong
 
-  private def bucketDirsOf(path: String, gen: String): Seq[Int] = {
-    val s = Files.list(gensDir(path).resolve(gen))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(s"$BucketCol="))
-        .map(_.stripPrefix(s"$BucketCol=").toInt).toVector.sorted
-    } finally s.close()
-  }
+  private def bucketDirsOf(path: String, gen: String): Seq[Int] =
+    store(path).list(s"${gensDir(path)}/$gen")
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).sorted
 
   private def bucketPath(path: String, gen: String, b: Int): String =
     s"$path/_gens/$gen/$BucketCol=$b"
@@ -396,16 +380,11 @@ object DimStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def readViewVersion(path: String): Option[Long] =
-    try Some(new String(Files.readAllBytes(viewFile(path)),
-      StandardCharsets.UTF_8).trim.toLong)
+    try Some(store(path).readString(viewFile(path)).trim.toLong)
     catch { case _: java.io.IOException | _: NumberFormatException => None }
 
-  private def writeViewVersion(path: String, v: Long): Unit = {
-    val tmp = Files.createTempFile(nio(path), "._view-", "")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, viewFile(path),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeViewVersion(path: String, v: Long): Unit =
+    store(path).writeAtomic(viewFile(path), v.toString)
 
   /** Bring the root `__bucket=k` hardlink projection up to the latest
     * manifest. Only buckets whose generation changed since the last
@@ -425,32 +404,39 @@ object DimStore {
           case None => done = true
           case Some(m) if readViewVersion(path).contains(m.version) => done = true
           case Some(m) =>
+            val st = store(path)
             val prev = readViewVersion(path)
               .flatMap(tryReadManifest(path, _)).map(_.gens).getOrElse(Map.empty)
             val stale = m.gens.filter { case (b, g) => !prev.get(b).contains(g) }
             stale.keys.toSeq.sorted.foreach { b =>
-              val src = gensDir(path).resolve(m.gens(b)).resolve(s"$BucketCol=$b")
-              val tmpB = nio(path).resolve(s".__view-$b")
-              deleteTree(tmpB)
-              Staging.linkClone(src.toString, tmpB)
-              val tgt = nio(path).resolve(s"$BucketCol=$b")
-              val oldRoot = Paths.get(path + ".__old")
-              Files.createDirectories(oldRoot)
-              val oldB = oldRoot.resolve(s"$BucketCol=$b")
-              deleteTree(oldB)
+              val src = s"${gensDir(path)}/${m.gens(b)}/$BucketCol=$b"
+              val tmpB = s"$path/.__view-$b"
+              st.deleteTree(tmpB)
+              st.cloneTree(src, tmpB)
+              val tgt = s"$path/$BucketCol=$b"
+              val oldRoot = path + ".__old"
+              st.mkdirs(oldRoot)
+              val oldB = s"$oldRoot/$BucketCol=$b"
+              st.deleteTree(oldB)
               // same at-least-one-complete-copy dance as the legacy
               // swap; recover() finishes it after a crash
-              if (Files.exists(tgt)) Files.move(tgt, oldB)
-              Files.move(tmpB, tgt)
-              deleteTree(oldB)
+              if (st.exists(tgt)) st.rename(tgt, oldB)
+              st.rename(tmpB, tgt)
+              st.deleteTree(oldB)
             }
+            // drop root bucket dirs the manifest no longer references —
+            // a fan-out change (rebucket) shrinks or renumbers the
+            // bucket set, and a projection dir with no manifest owner
+            // would leak stale rows into every name-based root scan
+            st.list(path).filter(_.startsWith(s"$BucketCol="))
+              .flatMap(n => scala.util.Try(
+                n.stripPrefix(s"$BucketCol=").toInt).toOption)
+              .filterNot(m.gens.contains)
+              .foreach(b => st.deleteTree(s"$path/$BucketCol=$b"))
             // the .__old root is only a crash-window staging area here
-            val oldRoot = Paths.get(path + ".__old")
-            if (Files.isDirectory(oldRoot)) {
-              val l = Files.list(oldRoot)
-              val empty = try !l.iterator().hasNext finally l.close()
-              if (empty) Files.deleteIfExists(oldRoot)
-            }
+            val oldRoot = path + ".__old"
+            if (st.isDir(oldRoot) && st.list(oldRoot).isEmpty)
+              st.deleteTree(oldRoot)
             writeViewVersion(path, m.version)
             // loop once more in case a newer commit landed meanwhile
         }
@@ -514,7 +500,7 @@ object DimStore {
         syncView(spark, path)
       } else {
         // a concurrent creator won v1: discard and merge against it
-        deleteTree(gensDir(path).resolve(gen))
+        store(path).deleteTree(s"${gensDir(path)}/$gen")
         mergeLoop(spark, path, batch, pk, versionCol)
       }
     } else {
@@ -537,7 +523,7 @@ object DimStore {
         writeBucketCount(fs, path, tableBuckets)
         syncView(spark, path)
       } else {
-        deleteTree(gensDir(path).resolve(gen))
+        store(path).deleteTree(s"${gensDir(path)}/$gen")
         mergeLoop(spark, path, batch, pk, versionCol)
       }
     }
@@ -591,7 +577,7 @@ object DimStore {
         syncView(spark, path)
         done = true
       } else {
-        deleteTree(gensDir(path).resolve(gen))
+        store(path).deleteTree(s"${gensDir(path)}/$gen")
         attempt += 1
         if (attempt > 50) throw new java.util.ConcurrentModificationException(
           s"lost the commit race $attempt times at $path")
@@ -801,50 +787,50 @@ object DimStore {
     require(keepLast >= 1, "must retain at least the current version")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, fs, path)
+    val st = store(path)
     val vs = history(path)
     if (vs.isEmpty) return 0
     // even when no manifests fall out of the window, the generation
     // sweep below still collects orphans of crashed commits
     val keep = vs.takeRight(keepLast)
     val keptGens = keep.map(readManifest(path, _)).flatMap(_.gens.values).toSet
-    vs.dropRight(keepLast).foreach { v =>
-      Files.deleteIfExists(commitsDir(path).resolve(manifestName(v)))
-    }
+    vs.dropRight(keepLast).foreach(v => st.delete(manifestPath(path, v)))
     val gd = gensDir(path)
-    if (!Files.isDirectory(gd)) return 0
-    val s = Files.list(gd)
-    val retirable =
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("g") && !keptGens(n) &&
-            // only generations at-or-below the newest kept version can
-            // be garbage; anything newer is a commit in flight
-            (try genVersionOf(n) <= keep.last
-             catch { case _: NumberFormatException => false }))
-          .toVector
-      } finally s.close()
+    if (!st.isDir(gd)) return 0
+    val retirable = st.list(gd)
+      .filter(n => n.startsWith("g") && !keptGens(n) &&
+        // only generations at-or-below the newest kept version can
+        // be garbage; anything newer is a commit in flight
+        (try genVersionOf(n) <= keep.last
+         catch { case _: NumberFormatException => false }))
     val now = System.currentTimeMillis()
+    // a stamp value outside [2000-01-01, now + 1 day] is torn or
+    // forged, never a clock we trust: a crash mid-write can leave a
+    // truncated-but-NUMERIC prefix ("175" of "1755…") that parses as
+    // an ancient timestamp and would delete with zero grace — the
+    // exact failure the window exists to prevent
+    val StampFloor = 946684800000L
+    def stampValue(stamp: String): Option[Long] =
+      if (!st.exists(stamp)) None
+      else
+        try {
+          val v = st.readString(stamp).trim.toLong
+          if (v >= StampFloor && v <= now + 86400000L) Some(v) else None
+        } catch {
+          case _: NumberFormatException | _: java.io.IOException => None
+        }
     var removed = 0
     retirable.foreach { n =>
-      val stamp = gd.resolve(n).resolve(RetiredStamp)
-      val retiredAt: Long =
-        if (Files.exists(stamp))
-          try new String(Files.readAllBytes(stamp),
-            StandardCharsets.UTF_8).trim.toLong
-          catch { case _: NumberFormatException =>
-            // torn stamp (a vacuum crashed mid-write): re-stamp NOW and
-            // restart the clock — treating it as aged-out would delete
-            // with zero grace, the exact failure the window prevents
-            Files.write(stamp, now.toString.getBytes(StandardCharsets.UTF_8))
-            now
-          }
-        else {
-          Files.write(stamp, now.toString.getBytes(StandardCharsets.UTF_8))
-          now
-        }
+      val stamp = s"$gd/$n/$RetiredStamp"
+      val retiredAt: Long = stampValue(stamp).getOrElse {
+        // missing OR unusable: (re)stamp NOW — atomically (temp +
+        // rename), so a crashed stamping can itself never tear —
+        // and restart the grace clock
+        st.writeAtomic(stamp, now.toString)
+        now
+      }
       if (now - retiredAt >= graceMillis) {
-        deleteTree(gd.resolve(n))
+        st.deleteTree(s"$gd/$n")
         removed += 1
       }
     }
@@ -852,8 +838,55 @@ object DimStore {
     // stale stamp (defensive — reference resurrection can't happen
     // under the current commit protocol, but a stray stamp must not
     // schedule a live generation for deletion)
-    keptGens.foreach(n => Files.deleteIfExists(gd.resolve(n).resolve(RetiredStamp)))
+    keptGens.foreach(n => st.delete(s"$gd/$n/$RetiredStamp"))
     removed
+  }
+
+  /** Bucket fan-out EVOLUTION: rewrite the current version to
+    * `newBuckets` hash buckets as ONE optimistic commit — the cure for
+    * a dim that outgrew (or never grew into) its creation fan-out.
+    * Upsert write amplification is O(table bytes / buckets) per
+    * touched bucket, so a table that grows 100× at a frozen fan-out
+    * sees its per-commit rewrite cost grow linearly with table size;
+    * re-bucketing restores the bound. The fan-out is recorded PER
+    * MANIFEST (`n=`), so the change needs no special cases anywhere
+    * else: later upserts read the new fan-out from the new manifest,
+    * and a time-travel read of a pre-rebucket version resolves its own
+    * manifest and scans the old-fan-out generations untouched —
+    * history crosses the boundary for free. Needs the pk (bucket
+    * assignment is `hash(pk) % n`; the table does not persist its pk,
+    * same contract as [[upsert]]). Same loser-retries optimistic
+    * protocol as [[compact]]; a concurrent upsert race is safe in
+    * either order. One O(table) shuffle — periodic maintenance, priced
+    * like compaction. No-op when the fan-out already matches. */
+  def rebucket(spark: SparkSession, path: String, pk: String,
+               newBuckets: Int): Unit = {
+    require(newBuckets >= 1, "newBuckets must be positive")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, fs, path)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val base = latest(path).getOrElse(throw new IllegalStateException(
+        s"rebucket needs a versioned table at $path; commit an upsert first"))
+      if (base.buckets == newBuckets) return
+      val df = readSnapshot(spark, path, base).getOrElse(
+        throw new IllegalStateException(s"nothing to rebucket at $path"))
+      val rebucketed = df.withColumn(BucketCol, bucketOf(pk, newBuckets))
+      val gen = writeGen(rebucketed, path, base.version + 1)
+      val next = Manifest(base.version + 1, newBuckets,
+        bucketDirsOf(path, gen).map(_ -> gen).toMap)
+      if (tryCommit(path, next)) {
+        writeBucketCount(fs, path, newBuckets)
+        syncView(spark, path)
+        done = true
+      } else {
+        store(path).deleteTree(s"${gensDir(path)}/$gen")
+        attempt += 1
+        if (attempt > 50) throw new java.util.ConcurrentModificationException(
+          s"lost the rebucket commit race $attempt times at $path")
+      }
+    }
   }
 
   /** Small-file compaction: rewrite the current version toward
@@ -865,9 +898,22 @@ object DimStore {
     * periodic maintenance, not an optimization. Bucketed tables
     * repartition by bucket — one shuffle, one-or-few files per bucket —
     * and keep their layout so upserts stay partition-pruned. Returns
-    * the number of root bucket dirs (flat tables: the new file count). */
+    * the number of root bucket dirs (flat tables: the new file count).
+    *
+    * `zorderBy = Some((x, y))` Z-ORDER CLUSTERS the rewrite (the
+    * layout `OPTIMIZE ... ZORDER BY` produces): within the preserved
+    * bucket fan-out, rows land in range-partitioned, internally sorted
+    * Morton-curve runs over the two columns, so every data file covers
+    * a compact rectangle in (x, y) space and file-level min/max
+    * statistics prune range scans on EITHER dimension — content-hash
+    * salting (the default) spreads rows uniformly and prunes nothing.
+    * Costs one extra min/max pass over the snapshot
+    * ([[ZOrder.zvalNormalized]]); bucket pruning for upserts is
+    * unaffected (the bucket column stays the leading layout key). */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              zorderBy: Option[(String, String)] = None,
+              zBits: Int = 12): Int = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, fs, path)
     latest(path) match {
@@ -877,24 +923,30 @@ object DimStore {
           val base = latest(path).get
           val df = readSnapshotWithBuckets(spark, path, base).getOrElse(
             throw new IllegalStateException(s"nothing to compact at $path"))
-          val bytes = base.gens.toSeq.map { case (b, g) =>
-            val p = Paths.get(new Path(bucketPath(path, g, b)).toUri.getPath)
-            val w = Files.walk(p)
-            try {
-              import scala.jdk.CollectionConverters._
-              w.iterator().asScala.filter(Files.isRegularFile(_))
-                .map(Files.size).sum
-            } finally w.close()
-          }.sum
+          // store-portable sizing (posix walk / one getContentSummary
+          // RPC per bucket on HDFS) — O(buckets) driver metadata, not
+          // O(files)
+          val bytes = base.gens.toSeq
+            .map { case (b, g) => store(path).treeBytes(bucketPath(path, g, b)) }
+            .sum
           // honor targetFileBytes WITHIN buckets too: a bucket bigger
           // than the target splits across several files via a
           // deterministic content-hash salt in the repartition key
           val perBucket = math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes / base.buckets).toInt)
-          val salt = pmod(hash(struct(
-            df.columns.filter(_ != BucketCol).map(col): _*)), lit(perBucket))
-          val rewritten = df.repartition(base.buckets * perBucket,
-            col(BucketCol), salt)
+          val rewritten = zorderBy match {
+            case Some((x, y)) =>
+              val z = ZOrder.zvalNormalized(df, x, y, zBits)
+              df.withColumn("__zc", z)
+                .repartitionByRange(base.buckets * perBucket,
+                  col(BucketCol), col("__zc"))
+                .sortWithinPartitions(col(BucketCol), col("__zc"))
+                .drop("__zc")
+            case None =>
+              val salt = pmod(hash(struct(
+                df.columns.filter(_ != BucketCol).map(col): _*)), lit(perBucket))
+              df.repartition(base.buckets * perBucket, col(BucketCol), salt)
+          }
           val gen = writeGen(rewritten, path, base.version + 1,
             onePerBucket = false)
           val next = Manifest(base.version + 1, base.buckets,
@@ -904,7 +956,7 @@ object DimStore {
             return fs.listStatus(new Path(path))
               .count(_.getPath.getName.startsWith(s"$BucketCol="))
           }
-          deleteTree(gensDir(path).resolve(gen))
+          store(path).deleteTree(s"${gensDir(path)}/$gen")
           attempt += 1
           if (attempt > 50) throw new java.util.ConcurrentModificationException(
             s"lost the compaction commit race $attempt times at $path")
@@ -913,7 +965,16 @@ object DimStore {
       case None =>
         val bytes = fs.getContentSummary(new Path(path)).getLength
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        swapIn(spark, path, readRaw(spark, path).coalesce(nFiles))
+        val raw = readRaw(spark, path)
+        val laidOut = zorderBy match {
+          case Some((x, y)) =>
+            raw.withColumn("__zc", ZOrder.zvalNormalized(raw, x, y, zBits))
+              .repartitionByRange(nFiles, col("__zc"))
+              .sortWithinPartitions("__zc")
+              .drop("__zc")
+          case None => raw.coalesce(nFiles)
+        }
+        swapIn(spark, path, laidOut)
         nFiles
     }
   }

@@ -40,4 +40,30 @@ object ZOrder {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** [[zval]] over ARBITRARY numeric columns: one min/max aggregation
+    * pass scales both into the `bits`-bit grid [[zval]] requires
+    * (negative/fractional values included; nulls land in cell 0). The
+    * extra job is the clustering price — O(scan) with partial agg, no
+    * shuffle — and what Delta's OPTIMIZE ZORDER pays for its range-id
+    * computation too. Returns a grid-cell Morton column usable in any
+    * repartitionByRange/sort. */
+  def zvalNormalized(df: DataFrame, x: String, y: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    val r = df.agg(
+      min(col(x)).cast("double"), max(col(x)).cast("double"),
+      min(col(y)).cast("double"), max(col(y)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) lit(0L)
+    else {
+      val cells = (1 << bits) - 1
+      def scale(c: String, lo: Double, hi: Double): Column = {
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        least(lit(cells.toLong), greatest(lit(0L),
+          (((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) / lit(span))
+            * lit(cells.toDouble)).cast("long")))
+      }
+      zval(scale(x, r.getDouble(0), r.getDouble(1)),
+           scale(y, r.getDouble(2), r.getDouble(3)), bits)
+    }
+  }
 }

@@ -325,6 +325,140 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).select("name").as[String].head() shouldBe "v3"
   }
 
+  test("LogStore seam: the commit/race/compact/vacuum/time-travel matrix " +
+       "holds with the log routed through the Hadoop FileContext store " +
+       "(the remote-filesystem path, exercised on local file://)") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("vs_hadoop").toString
+    val path = root + "/dim"
+    DimStore.routeLogViaHadoop(root)
+    try {
+      // create + upsert: two commits, LWW read, time travel
+      DimStore.upsert(s, path,
+        Seq((1L, "alice", 10L), (2L, "bob", 10L)).toDF("id", "name", "ver"),
+        "id", "ver", nBuckets = 4)
+      DimStore.upsert(s, path,
+        Seq((1L, "alice2", 20L), (3L, "carol", 20L)).toDF("id", "name", "ver"),
+        "id", "ver")
+      DimStore.history(path) shouldBe Seq(1L, 2L)
+      DimStore.currentVersion(path) shouldBe Some(2L)
+      DimStore.read(s, path).select("id", "name").as[(Long, String)]
+        .collect().sorted shouldBe
+        Seq((1L, "alice2"), (2L, "bob"), (3L, "carol"))
+      DimStore.read(s, path, asOf = 1L).select("id", "name").as[(Long, String)]
+        .collect().sorted shouldBe Seq((1L, "alice"), (2L, "bob"))
+      // concurrent committers: the claim must still admit exactly one
+      // winner per version (Hadoop route: no-overwrite rename under the
+      // in-JVM claim lock — Delta LocalLogStore's contract)
+      val threads = (1 to 4).map { t =>
+        new Thread(() => {
+          (1 to 3).foreach { i =>
+            val pk = t * 100L + i
+            DimStore.upsert(s, path,
+              Seq((pk, s"w$t-$i", i.toLong)).toDF("id", "name", "ver"),
+              "id", "ver")
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      DimStore.history(path) shouldBe (1L to 14L)
+      val got = DimStore.read(s, path).select("id", "name")
+        .as[(Long, String)].collect().toMap
+      got.size shouldBe 15
+      for (t <- 1 to 4; i <- 1 to 3) got(t * 100L + i) shouldBe s"w$t-$i"
+      // compaction + rebucket commits ride the same protocol
+      DimStore.compact(s, path)
+      DimStore.rebucket(s, path, "id", newBuckets = 8)
+      DimStore.history(path) shouldBe (1L to 16L)
+      DimStore.read(s, path).count() shouldBe 15
+      DimStore.read(s, path, asOf = 14L).count() shouldBe 15
+      // vacuum: manifests retire, unreferenced generations delete
+      DimStore.vacuum(s, path, keepLast = 2, graceMillis = 0L) should be > 0
+      DimStore.history(path) shouldBe Seq(15L, 16L)
+      DimStore.read(s, path).count() shouldBe 15
+      an[IllegalArgumentException] should be thrownBy
+        DimStore.read(s, path, asOf = 1L).collect()
+      // the root projection (name-based readers) equals the manifest
+      // snapshot — on a no-hardlink filesystem the clone is a copy
+      s.read.parquet(path).select("id", "name").as[(Long, String)]
+        .collect().toSet shouldBe
+        DimStore.read(s, path).select("id", "name").as[(Long, String)]
+          .collect().toSet
+    } finally DimStore.unrouteLogViaHadoop(root)
+  }
+
+  test("rebucket: fan-out evolution as a commit — reads agree before and " +
+       "after, time travel crosses the boundary, later upserts are " +
+       "O(touched) at the NEW fan-out, shrink removes orphan root dirs") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_rebucket")
+    // v1: 40 pks at fan-out 8; v2: one update
+    DimStore.upsert(s, path,
+      (1L to 40L).map(i => (i, s"v$i", 1L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 8)
+    DimStore.upsert(s, path,
+      Seq((1L, "CHANGED", 2L)).toDF("id", "name", "ver"), "id", "ver")
+    // v3: widen 8 -> 32
+    DimStore.rebucket(s, path, "id", newBuckets = 32)
+    DimStore.history(path) shouldBe Seq(1L, 2L, 3L)
+    val expect = (2L to 40L).map(i => (i, s"v$i")).toSet + ((1L, "CHANGED"))
+    DimStore.read(s, path).select("id", "name").as[(Long, String)]
+      .collect().toSet shouldBe expect
+    // time travel across the fan-out boundary: v2 resolves its own
+    // manifest (n=8) and scans the old-layout generations untouched
+    DimStore.read(s, path, asOf = 2L).select("id", "name").as[(Long, String)]
+      .collect().toSet shouldBe expect
+    DimStore.read(s, path, asOf = 1L).filter($"id" === 1L)
+      .select("name").as[String].head() shouldBe "v1"
+    // a later upsert reads the new fan-out from the manifest and
+    // rewrites ONLY the touched bucket: the v4 generation holds one
+    // bucket dir, not 32
+    DimStore.upsert(s, path,
+      Seq((7L, "SEVEN", 3L)).toDF("id", "name", "ver"), "id", "ver")
+    val v4gens = {
+      val l = Files.list(Paths.get(path, "_gens"))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(f"g${4L}%020d")).toVector
+      } finally l.close()
+    }
+    v4gens.size shouldBe 1
+    val v4buckets = {
+      val l = Files.list(Paths.get(path, "_gens", v4gens.head))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("__bucket="))
+      } finally l.close()
+    }
+    v4buckets shouldBe 1
+    DimStore.read(s, path).filter($"id" === 7L).select("name")
+      .as[String].head() shouldBe "SEVEN"
+    // shrink 32 -> 4: the root projection must drop the bucket dirs the
+    // new manifest no longer references (a stale projection dir would
+    // leak duplicate rows into every name-based root scan)
+    DimStore.rebucket(s, path, "id", newBuckets = 4)
+    val rootBuckets = {
+      val l = Files.list(Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("__bucket="))
+      } finally l.close()
+    }
+    rootBuckets should be <= 4
+    s.read.parquet(path).select("id", "name").as[(Long, String)]
+      .collect().toSet shouldBe (expect - ((7L, "v7")) + ((7L, "SEVEN")))
+    // the whole history is still a gapless chain and vacuumable
+    DimStore.history(path) shouldBe (1L to 5L)
+    DimStore.vacuum(s, path, keepLast = 1, graceMillis = 0L) should be > 0
+    DimStore.read(s, path).count() shouldBe 40
+  }
+
   test("the root projection always equals the manifest-resolved snapshot " +
        "(what catalog/name-based readers consume)") {
     val s = spark

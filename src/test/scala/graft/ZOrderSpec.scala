@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.ops.ZOrder
+import graft.ops.{DimStore, ZOrder}
 
 /** Z-order clustering: correctness of the Morton interleave and the
   * property that actually matters at scale — a z-clustered layout lets
@@ -84,5 +84,62 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     // z: a real fraction of files skipped (typically 4-9 of 16 touched;
     // sampled partition boundaries move the exact count run to run)
     zB should be <= 10
+  }
+
+  test("compact(zorderBy): the rewritten store's files cover compact 2-D " +
+       "rectangles — range scans skip files a hash-salted compaction " +
+       "must all read") {
+    val s = spark
+    import s.implicits._
+    def mkStore(dir: String): String = {
+      val path = dir + "/dim"
+      val df = s.range(65536).select(col("id"),
+        (col("id") % 256).as("a"),
+        ((col("id") * 2654435761L) % 256).as("b"),
+        lit(1L).as("ver"))
+      DimStore.upsert(s, path, df, "id", "ver", nBuckets = 1)
+      path
+    }
+    def fileRanges(dir: String): Seq[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      files.map { f =>
+        val r = s.read.parquet(f)
+          .agg(min("a"), max("a"), min("b"), max("b")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    def touched(ranges: Seq[(Long, Long, Long, Long)]): Int =
+      ranges.count { case (amin, amax, bmin, bmax) =>
+        amax >= 64 && amin < 96 && bmax >= 64 && bmin < 96 }
+    def touchedB(ranges: Seq[(Long, Long, Long, Long)]): Int =
+      ranges.count { case (_, _, bmin, bmax) => bmax >= 64 && bmin < 96 }
+
+    val zPath = mkStore(Files.createTempDirectory("zc").toString)
+    DimStore.compact(s, zPath, targetFileBytes = 40000L,
+      zorderBy = Some(("a", "b")), zBits = 8)
+    val hPath = mkStore(Files.createTempDirectory("hc").toString)
+    DimStore.compact(s, hPath, targetFileBytes = 40000L)
+
+    // both compactions preserve content; the commit protocol is shared
+    DimStore.read(s, zPath).count() shouldBe 65536
+    DimStore.read(s, hPath).count() shouldBe 65536
+    DimStore.read(s, zPath).agg(sum($"a" * $"b")).head().getLong(0) shouldBe
+      DimStore.read(s, hPath).agg(sum($"a" * $"b")).head().getLong(0)
+
+    // per-file min/max over the ROOT PROJECTION (what a name-based
+    // range scan consults)
+    val zr = fileRanges(s"$zPath/__bucket=0")
+    val hr = fileRanges(s"$hPath/__bucket=0")
+    zr.size should be > 3
+    // hash-salted layout: every file holds a uniform sample, min/max
+    // span the whole grid, nothing skips
+    touched(hr) shouldBe hr.size
+    touchedB(hr) shouldBe hr.size
+    // z-clustered layout: the 2-D box (1/64 of the grid) and the
+    // one-dimension slice both skip a real fraction of files
+    touched(zr).toDouble should be < zr.size / 2.0
+    touchedB(zr).toDouble should be < zr.size.toDouble
+    touched(zr) should be < touched(hr)
   }
 }
