@@ -82,24 +82,162 @@ object FileTopic {
     * order, the same catching-up-consumer shape the sequential
     * producer gave. O(#segments) metadata ops on the driver; the data
     * bytes never pass through it. Returns segments published. */
+  private val StagedSeg = """\.seg-p(\d+)-[0-9a-f-]+\.stage""".r
+
   def publishStaged(dir: String): Int = {
     val d = Paths.get(dir)
     import scala.jdk.CollectionConverters._
     val s = Files.list(d)
+    // partition index via regex capture, grouped and ordered
+    // NUMERICALLY: produceStaged zero-pads to 5 digits, but the
+    // f-interpolator WIDENS past 99999 — a fixed-width prefix key
+    // would silently mis-group and lexically mis-order those
     val staged = try s.iterator().asScala.map(p => p.getFileName.toString -> p)
-      .filter(_._1.matches("""\.seg-p\d{5}-[0-9a-f-]+\.stage"""))
-      .toVector.sortBy(_._1) finally s.close()
-    val byPart = staged.groupBy(_._1.take(11)).toSeq.sortBy(_._1) // ".seg-pNNNNN"
+      .collect { case (n @ StagedSeg(part), p) => (part.toInt, n, p) }
+      .toVector finally s.close()
+    val byPart = staged.groupBy(_._1).toSeq.sortBy(_._1)
     val base = System.currentTimeMillis() - byPart.size * 1000L - 60000L
-    byPart.zipWithIndex.foreach { case ((_, copies), i) =>
-      val keep = copies.head._2
-      copies.tail.foreach { case (_, p) => Files.deleteIfExists(p) }
+    byPart.zipWithIndex.foreach { case ((_, copies0), i) =>
+      // deterministic keep among retry copies: lowest name
+      val copies = copies0.sortBy(_._2)
+      val keep = copies.head._3
+      copies.tail.foreach { case (_, _, p) => Files.deleteIfExists(p) }
       val name = keep.getFileName.toString.stripPrefix(".").stripSuffix(".stage") + ".txt"
       Files.setLastModifiedTime(keep,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
       Files.move(keep, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
     }
     byPart.size
+  }
+
+  // -------------------------------------------------------------------
+  // cross-sink atomic publish: N topics see micro-batch B entirely or
+  // not at all. The commit point is a per-batch marker file (atomic
+  // create-if-absent, the same primitive as DimStore's manifest claim);
+  // staged segments are invisible until the marker exists, and the
+  // post-marker visibility flips are deterministic + idempotent, so a
+  // crash anywhere is healed by the next publish (or an explicit
+  // recover) — Delta's commit-then-finish-visibility shape applied to
+  // the reference's 5-way side-output fan-out (BaseLogApp writes five
+  // Kafka topics; a crash between its producer sends exposes batch N
+  // in some topics and N−1 in others — this closes that hole).
+
+  /** Executor-side: stage one hidden segment for (`batchId`,
+    * `part`) in `dir`. Same streamed write-to-temp + atomic-rename
+    * dance as [[produceStaged]]; task retries leave extra copies that
+    * [[publishBatch]] dedupes deterministically. */
+  def produceStagedBatch(dir: String, batchId: Long, part: Int,
+                         records: Iterator[String]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val name =
+      f".b$batchId%020d-p$part%05d-${java.util.UUID.randomUUID}.stage"
+    val tmp = d.resolve(s"$name.tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      var first = true
+      records.foreach { r =>
+        if (!first) w.write("\n")
+        w.write(r); first = false
+      }
+    } finally w.close()
+    Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def batchStagedRe(batchId: Long) =
+    ("""\.b""" + f"$batchId%020d" + """-p(\d+)-[0-9a-f-]+\.stage""").r
+
+  /** Flip batch `batchId`'s staged segments in `dir` to visible.
+    * Deterministic and idempotent: the visible name is a pure function
+    * of (batch, partition), so a replayed flip sees the target exists
+    * and just discards its staged duplicates — exactly-once visible
+    * segments from at-least-once staging. */
+  private[graft] def flipBatch(dir: String, batchId: Long): Int = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return 0
+    val Re = batchStagedRe(batchId)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(d)
+    val staged = try s.iterator().asScala.map(p => p.getFileName.toString -> p)
+      .collect { case (n @ Re(part), p) => (part.toInt, n, p) }
+      .toVector finally s.close()
+    var flipped = 0
+    staged.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, copies0) =>
+      val visible = d.resolve(f"b$batchId%020d-p$part%05d.txt")
+      if (Files.exists(visible)) copies0.foreach(c => Files.deleteIfExists(c._3))
+      else {
+        val copies = copies0.sortBy(_._2)
+        copies.tail.foreach(c => Files.deleteIfExists(c._3))
+        Files.move(copies.head._3, visible, StandardCopyOption.ATOMIC_MOVE)
+        flipped += 1
+      }
+    }
+    flipped
+  }
+
+  private def newestMarker(manifestDir: java.nio.file.Path): Option[Long] =
+    if (!Files.isDirectory(manifestDir)) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(manifestDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("b") && n.endsWith(".commit") =>
+          n.stripPrefix("b").stripSuffix(".commit").toLong }
+        .maxOption
+      finally s.close()
+    }
+
+  /** Driver-side commit of micro-batch `batchId` across `dirs`.
+    * Protocol: (1) finish any pending flips of the NEWEST existing
+    * marker — a crash can only leave the most recent committed batch
+    * partially flipped, and closing it here means batch N's visibility
+    * completes before batch N+1's ever begins; (2) claim the batch
+    * marker by atomic create-if-absent; (3) flip this batch in every
+    * dir. Crash anywhere: before the marker, nothing is visible in ANY
+    * topic and the replayed batch re-stages + dedupes; after the
+    * marker, the next publish (or [[recoverBatches]]) completes the
+    * flips — readers never see a batch that lacks its marker, and a
+    * marked batch becomes fully visible before any later batch.
+    * Returns true when this call claimed the marker (false: replay of
+    * an already-committed batch — effects already in place). */
+  def publishBatch(manifestDir: String, batchId: Long,
+                   dirs: Seq[String]): Boolean = {
+    val md = Paths.get(manifestDir)
+    Files.createDirectories(md)
+    newestMarker(md).foreach(b => dirs.foreach(flipBatch(_, b)))
+    val marker = md.resolve(f"b$batchId%020d.commit")
+    val already = Files.exists(marker)
+    if (!already) {
+      val tmp = Files.createTempFile(md, ".commit-", "")
+      try {
+        Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(marker, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: UnsupportedOperationException =>
+            try Files.move(tmp, marker)
+            catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      } finally { Files.deleteIfExists(tmp); () }
+    }
+    dirs.foreach(flipBatch(_, batchId))
+    !already
+  }
+
+  /** Standalone recovery: finish the flips of every marked batch (a
+    * restart path that wants the topics consistent before any new
+    * publish). Idempotent. */
+  def recoverBatches(manifestDir: String, dirs: Seq[String]): Unit = {
+    val md = Paths.get(manifestDir)
+    if (!Files.isDirectory(md)) return
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(md)
+    val batches = try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("b") && n.endsWith(".commit") =>
+        n.stripPrefix("b").stripSuffix(".commit").toLong }
+      .toVector.sorted
+    finally s.close()
+    batches.foreach(b => dirs.foreach(flipBatch(_, b)))
   }
 
   /** Consume the topic as an unbounded stream of raw string records

@@ -53,6 +53,48 @@ object Jobs {
     LogStreams(dirty, err, start, page, display)
   }
 
+  /** [[baseLogSplit]] wired to five file topics with CROSS-SINK ATOMIC
+    * PUBLISH: every micro-batch lands in all five topics or none.
+    *
+    * The reference's BaseLogApp writes its five side-output streams to
+    * five Kafka topics with independent producer sends — a crash
+    * between sends exposes batch N in some topics and N−1 in others.
+    * Here each micro-batch stages all five splits as hidden segments
+    * (executor-side, one per partition — no driver materialization),
+    * then commits ONE batch marker and flips visibility
+    * ([[FileTopic.publishBatch]]): readers never see a torn batch, and
+    * a replayed batch (Spark's foreachBatch redelivery contract)
+    * dedupes to exactly-once visible segments. The parse/split runs
+    * once per batch (persisted), not once per sink. */
+  def startBaseLogSplitAtomic(raw: DataFrame, schema: StructType,
+      baseDir: String, checkpoint: String, rawCol: String = "value")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val names = Seq("dirty", "err", "start", "page", "display")
+    val dirs = names.map(n => s"$baseDir/$n")
+    val manifestDir = s"$baseDir/_batches"
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val st = baseLogSplit(cached, schema, rawCol)
+          Seq(st.dirty, st.err, st.start, st.page, st.display)
+            .zip(dirs).foreach { case (df, dir) =>
+              df.toJSON.foreachPartition { (it: Iterator[String]) =>
+                // skip empty partitions: no zero-byte segment per task
+                if (it.hasNext)
+                  FileTopic.produceStagedBatch(dir, batchId,
+                    org.apache.spark.TaskContext.getPartitionId(), it)
+              }
+            }
+          FileTopic.publishBatch(manifestDir, batchId, dirs)
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** DwdTrafficUniqueVisitorDetail: session-entry pages only (P3), then
     * first visit per device per day (A1). */
   def uniqueVisitorDetail(pages: Dataset[PageLog]): Dataset[PageLog] =

@@ -116,6 +116,150 @@ class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture
       Array("a1", "a2", "b1", "c1", "c2")
   }
 
+  test("staged produce: partition indexes past the 5-digit pad width " +
+       "group and order correctly (regex parse, numeric sort)") {
+    val s = spark
+    import s.implicits._
+    val topic = Files.createTempDirectory("ft_wide").toString
+    // an index the %05d pad WIDENS to 6 digits, duplicated by a retry —
+    // a fixed-width prefix key would mis-group these
+    FileTopic.produceStaged(topic, 123456, Iterator("z1"))
+    FileTopic.produceStaged(topic, 123456, Iterator("z1"))
+    FileTopic.produceStaged(topic, 7, Iterator("a1"))
+    FileTopic.publishStaged(topic) shouldBe 2
+    val segs = java.nio.file.Files.list(java.nio.file.Paths.get(topic))
+      .toArray.map(_.toString).filter(_.endsWith(".txt"))
+    segs.length shouldBe 2
+    // numeric order: part 7 publishes before part 123456
+    val byTime = segs.sortBy(p => java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p)).toMillis)
+    byTime.head should include("seg-p00007")
+    byTime.last should include("seg-p123456")
+    FileTopic.replay(s, topic).as[String].collect().sorted shouldBe
+      Array("a1", "z1")
+  }
+
+  private def visibleSegs(dir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val l = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !n.startsWith(".") && n.endsWith(".txt")).toVector.sorted
+      } finally l.close()
+    }
+  }
+
+  test("cross-sink atomic publish: a crash between sink writes exposes " +
+       "nothing anywhere; a marked batch completes before any later one; " +
+       "replay dedupes to exactly-once visible segments") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("fanout").toString
+    val dirs = Seq("dirty", "err", "start", "page", "display").map(n => s"$base/$n")
+    val manifests = s"$base/_batches"
+
+    // crash BETWEEN sink writes: batch 0 staged into only 3 of 5
+    // topics, never committed — NOTHING is visible in ANY topic (the
+    // exact failure the reference's five independent producer sends
+    // cannot contain)
+    dirs.take(3).zipWithIndex.foreach { case (d, i) =>
+      FileTopic.produceStagedBatch(d, 0L, 0, Iterator(s"b0-$i")) }
+    dirs.foreach(d => visibleSegs(d) shouldBe empty)
+
+    // the replayed batch (foreachBatch redelivery) stages ALL topics —
+    // same deterministic content — and publishes; the earlier partial
+    // attempt's copies dedupe away
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      FileTopic.produceStagedBatch(d, 0L, 0, Iterator(s"b0-$i")) }
+    FileTopic.publishBatch(manifests, 0L, dirs) shouldBe true
+    dirs.foreach(d => visibleSegs(d).size shouldBe 1)
+
+    // crash AFTER the marker, before any flip: batch 1 staged
+    // everywhere, marker present, flips never ran — still invisible
+    // (readers never see a half-flipped batch ahead of its healing)
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      FileTopic.produceStagedBatch(d, 1L, 0, Iterator(s"b1-$i")) }
+    Files.writeString(java.nio.file.Paths.get(manifests)
+      .resolve(f"b${1L}%020d.commit"), dirs.mkString("\n"))
+    dirs.foreach(d => visibleSegs(d).size shouldBe 1)
+
+    // the NEXT batch's publish completes batch 1 first, then commits
+    // batch 2: topics go 1 -> 3 visible segments, never a torn 2
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      FileTopic.produceStagedBatch(d, 2L, 0, Iterator(s"b2-$i")) }
+    FileTopic.publishBatch(manifests, 2L, dirs) shouldBe true
+    dirs.foreach(d => visibleSegs(d).size shouldBe 3)
+
+    // republish of an already-committed batch is a detected no-op
+    FileTopic.publishBatch(manifests, 1L, dirs) shouldBe false
+    dirs.foreach(d => visibleSegs(d).size shouldBe 3)
+
+    // content round-trips once per batch per topic
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      FileTopic.replay(s, d).as[String].collect().sorted shouldBe
+        Array(s"b0-$i", s"b1-$i", s"b2-$i")
+    }
+  }
+
+  test("startBaseLogSplitAtomic: the 5-way split lands all-or-nothing per " +
+       "micro-batch, split semantics intact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val logSchema = StructType(Seq(
+      StructField("mid", StringType),
+      StructField("page_id", StringType),
+      StructField("last_page_id", StringType),
+      StructField("ts", LongType),
+      StructField("err", StringType),
+      StructField("start", StringType),
+      StructField("displays", ArrayType(StructType(Seq(
+        StructField("pos", IntegerType), StructField("item", StringType)))))))
+    val in = Files.createTempDirectory("fanout_in").toString
+    val base = Files.createTempDirectory("fanout_out").toString
+    val chk = Files.createTempDirectory("fanout_chk").toString
+    FileTopic.produce(in, Seq(
+      """{"mid":"m1","page_id":"home","ts":1000,"displays":[{"pos":0,"item":"a"},{"pos":1,"item":"b"}]}""",
+      """{"mid":"m1","page_id":"cart","last_page_id":"home","ts":2000}""",
+      """{"mid":"m2","start":"cold","ts":1500}""",
+      """{"mid":"m3","err":"boom","ts":1700}""",
+      """this is not json at all"""))
+    val q = graft.streaming.Jobs.startBaseLogSplitAtomic(
+      FileTopic.stream(s, in), logSchema, base, chk)
+    try q.processAllAvailable() finally q.stop()
+
+    FileTopic.replay(s, s"$base/dirty").count() shouldBe 1
+    FileTopic.replay(s, s"$base/err").count() shouldBe 1
+    FileTopic.replay(s, s"$base/start").count() shouldBe 1
+    FileTopic.replay(s, s"$base/page").count() shouldBe 2
+    FileTopic.replay(s, s"$base/display").count() shouldBe 2
+    // display records carry the denormalized parent fields (M3)
+    val disp = FileTopic.replay(s, s"$base/display")
+      .selectExpr("from_json(value, 'mid STRING, page_id STRING, ts LONG, pos INT, item STRING') AS r")
+      .selectExpr("r.mid", "r.page_id", "r.pos", "r.item")
+      .as[(String, String, Int, String)].collect().sortBy(_._3)
+    disp shouldBe Array(("m1", "home", 0, "a"), ("m1", "home", 1, "b"))
+    // every visible segment belongs to a batch whose commit marker
+    // exists: visibility implies the cross-sink commit
+    val markers = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/_batches"))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".commit"))
+          .map(_.stripPrefix("b").stripSuffix(".commit").toLong).toSet
+      } finally l.close()
+    }
+    Seq("dirty", "err", "start", "page", "display").foreach { n =>
+      visibleSegs(s"$base/$n").foreach { seg =>
+        markers should contain(seg.take(21).stripPrefix("b").toLong)
+      }
+    }
+  }
+
   test("a malformed record in the log is diverted, not poisonous (P2 over transport)") {
     val s = spark
     import s.implicits._
