@@ -40,7 +40,7 @@ object Bench {
       queries.Extensions.clearPersistedIntermediates()
     }
     var sinceGc = 0
-    def timedPass(): Seq[(String, Double)] = qs.map { q =>
+    def timeOne(q: queries.Q): Double = {
       val t0 = System.nanoTime()
       val ok = try { runOnce(q.run); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -59,8 +59,9 @@ object Bench {
       // let minutes of dead state pile up mid-run.
       sinceGc += 1
       if (sinceGc >= 16) { System.gc(); sinceGc = 0 }
-      q.name -> (if (ok) dt else -1.0)
+      if (ok) dt else -1.0
     }
+    def timedPass(): Seq[(String, Double)] = qs.map(q => q.name -> timeOne(q))
     // Two timed passes, min per query. The sandbox host shows multi-
     // second stall bursts (hypervisor-level: identical-code reruns
     // inflated DIFFERENT consecutive-in-time query blocks 10-90x while
@@ -71,12 +72,27 @@ object Bench {
     // one clean pass is trusted.
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = p1.zip(p2).map { case ((n1, d1), (_, d2)) =>
-      val best =
-        if (d1 < 0) d2
-        else if (d2 < 0) d1
-        else math.min(d1, d2)
-      n1 -> best
+    // Tie-break pass: a query whose two timings DIVERGE (>1.5x and
+    // >0.3 s apart — one pass plausibly hit a burst) gets a THIRD
+    // timed run, so a real regression is distinguishable from noise:
+    // if the burst was noise, two of the three samples now agree and
+    // the spread entry disappears; if all three disagree the query
+    // stays flagged. Bounded extra cost: only flagged queries re-run.
+    def diverges(a: Double, b: Double): Boolean =
+      a >= 0 && b >= 0 &&
+        math.max(a, b) > 1.5 * math.min(a, b) &&
+        math.max(a, b) - math.min(a, b) > 0.3
+    val flagged = p1.zip(p2).collect {
+      case ((n, d1), (_, d2)) if diverges(d1, d2) || (d1 < 0) != (d2 < 0) => n
+    }.toSet
+    val p3: Map[String, Double] =
+      qs.filter(q => flagged(q.name)).map(q => q.name -> timeOne(q)).toMap
+    val samples: Seq[(String, Seq[Double])] = p1.zip(p2).map {
+      case ((n, d1), (_, d2)) => n -> (Seq(d1, d2) ++ p3.get(n))
+    }
+    val results = samples.map { case (n, ss) =>
+      val ok = ss.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     // Locale.ROOT: the default-locale f-interpolator would print a
     // comma decimal separator on e.g. de_DE JVMs and break json.load
@@ -102,24 +118,30 @@ object Bench {
       if (failed.exists(headlineNames)) -1.0
       else results.filter(r => headlineNames(r._1)).map(_._2).sum
     val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    // Min-of-two reports capability, but a reviewer must be able to
-    // tell a stall-burst min from a stable timing. The JSON line must
-    // stay small (the consumer parses only the tail of stdout), so it
-    // carries just the DIVERGENT queries (max/min > 1.5x and > 0.3 s
-    // apart — i.e. one pass hit a burst); the full per-pass detail
-    // goes to a sidecar file.
-    val spreadJson = p1.zip(p2).collect {
-      case ((n1, d1), (_, d2)) if d1 >= 0 && d2 >= 0 &&
-          math.max(d1, d2) > 1.5 * math.min(d1, d2) &&
-          math.max(d1, d2) - math.min(d1, d2) > 0.3 =>
-        "\"" + shortKey(n1) + "\":" + num(math.max(d1, d2) - math.min(d1, d2))
+    // Min-of-N reports capability, but a reviewer must be able to tell
+    // a stall-burst min from a stable timing. A spread entry survives
+    // only when the TWO BEST samples still diverge — i.e. even after
+    // the tie-break pass no two runs agree, so the timing is genuinely
+    // unstable (or regressed mid-run), not one-burst noise. The JSON
+    // line must stay small (the consumer parses only the tail of
+    // stdout); full per-pass detail goes to the sidecar file.
+    val spreadJson = samples.collect {
+      case (n, ss) if ss.count(_ >= 0) >= 2 && {
+        val sorted = ss.filter(_ >= 0).sorted
+        diverges(sorted(0), sorted(1))
+      } =>
+        val sorted = ss.filter(_ >= 0).sorted
+        "\"" + shortKey(n) + "\":" + num(sorted(1) - sorted(0))
     }.mkString("{", ",", "}")
     def passJson(p: Seq[(String, Double)]): String =
       p.map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
+    val p3Json = p3.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + num(v) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_passes.json"),
-      s"""{"sf":"$sfDir","pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
+      s"""{"sf":"$sfDir","pass1":${passJson(p1)},"pass2":${passJson(p2)},"pass3":$p3Json}""")
     catch { case _: java.io.IOException => () } // diagnostics only
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline":${num(headline)},"failed":$failedJson,"spread":$spreadJson,"queries":$qj,"sf":"$sfDir"}""")
     spark.stop()

@@ -58,16 +58,16 @@ object SkewJoin {
     saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
-  /** Salt count derived from the OBSERVED key histogram instead of a
-    * guessed constant: one partial-aggregated count pass (map-side
-    * combine collapses hot keys per partition, so the pass itself
-    * doesn't straggle) yields the hottest key's row count; the salt
-    * count is what's needed to shrink that key's largest (key, salt)
-    * group to roughly an average shuffle partition's share. Uniform
-    * input derives 1 (salting degenerates to the plain join); a key
-    * holding P× its fair share derives ~P, capped at `maxSalts` so the
-    * small-side replication factor stays bounded. */
-  def adaptiveSalts(big: DataFrame, key: String, maxSalts: Int = 64): Int = {
+  /** Salt count derived from the EXACT key histogram: one
+    * partial-aggregated count pass (map-side combine collapses hot
+    * keys per partition, so the pass itself doesn't straggle) yields
+    * the hottest key's row count; the salt count is what's needed to
+    * shrink that key's largest (key, salt) group to roughly an average
+    * shuffle partition's share. Uniform input derives 1 (salting
+    * degenerates to the plain join); a key holding P× its fair share
+    * derives ~P, capped at `maxSalts` so the small-side replication
+    * factor stays bounded. */
+  def adaptiveSaltsExact(big: DataFrame, key: String, maxSalts: Int = 64): Int = {
     require(maxSalts >= 1, "maxSalts must be at least 1")
     val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val row = big.groupBy(col(key)).count()
@@ -76,15 +76,52 @@ object SkewJoin {
     else {
       val hottest = row.getLong(0)
       val total = row.getLong(1)
-      math.min(maxSalts.toLong,
-        math.max(1L, math.ceil(hottest.toDouble * parts / total).toLong)).toInt
+      saltsFor(hottest, total, parts, maxSalts)
     }
   }
 
-  /** [[saltedJoin]] with the salt count measured by [[adaptiveSalts]].
-    * The histogram pass is the honest price of not guessing: ~one
-    * map-combined aggregation over the big side, amortized against the
-    * straggler it prevents. */
+  private def saltsFor(hottest: Long, total: Long,
+                       parts: Int, maxSalts: Int): Int =
+    math.min(maxSalts.toLong,
+      math.max(1L, math.ceil(hottest.toDouble * parts / total).toLong)).toInt
+
+  /** Below this many SAMPLED rows the hottest-share estimate is too
+    * noisy to trust — and a table this small aggregates exactly for
+    * pennies anyway, so the sampled path hands off to
+    * [[adaptiveSaltsExact]]. */
+  val SampleFloor = 10000L
+
+  /** [[adaptiveSaltsExact]] from a SAMPLED histogram: at 100× scale
+    * the exact pass is a full extra aggregation job over the big side
+    * per call, while the quantity it derives is a RATIO (the hottest
+    * key's share of all rows), which a seeded few-percent sample
+    * estimates within ±1 salt for any key hot enough to matter — a
+    * key too rare for the sample to see is by the same token too rare
+    * to straggle a partition. Deterministic (fixed seed); falls back
+    * to exact when the sample is under [[SampleFloor]] rows. */
+  def adaptiveSalts(big: DataFrame, key: String, maxSalts: Int = 64,
+                    sampleFraction: Double = 0.05): Int = {
+    require(maxSalts >= 1, "maxSalts must be at least 1")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    val parts = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = big.sample(withReplacement = false, sampleFraction, seed = 8191L)
+      .groupBy(col(key)).count()
+      .agg(max(col("count")), sum(col("count"))).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) adaptiveSaltsExact(big, key, maxSalts)
+    else {
+      val hottest = row.getLong(0)
+      val total = row.getLong(1)
+      if (total < SampleFloor) adaptiveSaltsExact(big, key, maxSalts)
+      else saltsFor(hottest, total, parts, maxSalts)
+    }
+  }
+
+  /** [[saltedJoin]] with the salt count measured by [[adaptiveSalts]]
+    * — a sampled histogram pass (exact below the sample floor), the
+    * measured-not-guessed salt count at a few percent of the old
+    * full-aggregation price, amortized against the straggler it
+    * prevents. */
   def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
                      joinType: String = "inner", maxSalts: Int = 64): DataFrame =
     saltedJoin(big, small, key, adaptiveSalts(big, key, maxSalts), joinType)

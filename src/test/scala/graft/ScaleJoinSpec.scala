@@ -83,6 +83,28 @@ class ScaleJoinSpec extends AnyFunSuite with Matchers with SparkFixture {
     auto.queryExecution.executedPlan.toString should include("__salt")
   }
 
+  test("adaptiveSalts (sampled): above the sample floor the derived count " +
+       "tracks the exact histogram within ±1 — the full-side aggregation " +
+       "job is replaced by a seeded few-percent sample") {
+    val s = spark
+    import s.implicits._
+    // 400k rows, ~30% on one hot key: 5% sample ≈ 20k rows ≥ floor →
+    // the sampled estimator runs (the smaller fixtures above fall back
+    // to exact by design)
+    val skewed = s.range(400000).selectExpr(
+      "CASE WHEN id % 10 < 3 THEN 777L ELSE id END AS k", "id AS v")
+    val exact = SkewJoin.adaptiveSaltsExact(skewed, "k")
+    val sampled = SkewJoin.adaptiveSalts(skewed, "k")
+    exact should be > 1
+    math.abs(sampled - exact) should be <= 1
+    // and the count is deterministic run to run (seeded sample)
+    SkewJoin.adaptiveSalts(skewed, "k") shouldBe sampled
+    // join correctness is independent of the derived count
+    // (120000 CASE-branch rows + the one natural id=777 row)
+    val dim = Seq((777L, "hot")).toDF("k", "name")
+    SkewJoin.saltedJoin(skewed, dim, "k", sampled).count() shouldBe 120001L
+  }
+
   test("TopK.perKey equals the window row_number form (q09 semantics)") {
     val s = spark
     import s.implicits._
