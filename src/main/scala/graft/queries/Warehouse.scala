@@ -770,7 +770,77 @@ object Warehouse {
       WHERE old.ver_v2 IS NULL OR old.ver_v2 <> cur.ver_now
     """))
 
+  // ---------------------------------------------------------------------
+  // w20 — bucket fan-out EVOLUTION end-to-end: the same commit-protocol
+  // machinery as w19, but the mid-history maintenance commit is a
+  // REBUCKET (8 → 32 hash buckets) instead of a compaction. At 100 TB
+  // this is the operation that keeps upsert write amplification
+  // bounded after a dim outgrows its creation fan-out
+  // (ops/DimStore.rebucket; amplification is O(table/buckets) per
+  // touched bucket). The query builds the per-user latest-event dim in
+  // commits v1/v2, re-buckets as commit v3, applies the remaining tail
+  // at the NEW fan-out as v4, then diffs the time-traveled v2 snapshot
+  // against the current version. A green row certifies (a) the rebucket
+  // rewrote layout but not rows (current LWW still exact), (b) upserts
+  // after the boundary merge correctly under the new bucket assignment,
+  // and (c) the v2 manifest — recorded at the OLD fan-out — still
+  // resolves after the table's fan-out changed (the `n=` property is
+  // per-manifest, so history needs no migration).
+  val w20 = Q(
+    "w20_rebucket_diff",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.DimStore
+      def micros(d: String): Long =
+        java.time.Instant.parse(d).toEpochMilli * 1000L
+      val c0 = micros("2024-01-15T00:00:00Z")
+      val c1 = micros("2024-01-25T00:00:00Z")
+      val versioned = ev(s, dir).select($"user_id", $"event_type",
+        unix_micros($"ts").as("version"))
+      val work = java.nio.file.Files.createTempDirectory("w20_rb_")
+      try {
+        val store = work.resolve("dim_user_latest").toString
+        DimStore.upsert(s, store, versioned.filter($"version" <= c0),
+          "user_id", "version", nBuckets = 8) // commit v1 (8 buckets)
+        DimStore.upsert(s, store,
+          versioned.filter($"version" > c0 && $"version" <= c1),
+          "user_id", "version") // commit v2 — the snapshot under test
+        DimStore.rebucket(s, store, "user_id", 32) // commit v3: 8 → 32
+        DimStore.upsert(s, store, versioned.filter($"version" > c1),
+          "user_id", "version") // commit v4 — merged at the new fan-out
+        val old = DimStore.read(s, store, asOf = 2L)
+          .select($"user_id", $"event_type".as("et_v2"),
+            $"version".as("ver_v2"))
+        val cur = DimStore.read(s, store)
+          .select($"user_id", $"event_type".as("et_now"),
+            $"version".as("ver_now"))
+        localized(s, cur.join(old, Seq("user_id"), "left")
+          .filter($"ver_v2".isNull || $"ver_v2" =!= $"ver_now")
+          .select($"user_id", $"et_v2", $"ver_v2", $"et_now", $"ver_now"))
+      } finally deleteTree(work)
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, event_type, epoch_us(ts) AS version FROM events),
+      old AS (
+        SELECT user_id, event_type AS et_v2, version AS ver_v2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC) AS rn
+              FROM v
+              WHERE version <= epoch_us(TIMESTAMP '2024-01-25 00:00:00'))
+        WHERE rn = 1),
+      cur AS (
+        SELECT user_id, event_type AS et_now, version AS ver_now
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC) AS rn
+              FROM v)
+        WHERE rn = 1)
+      SELECT cur.user_id, old.et_v2, old.ver_v2, cur.et_now, cur.ver_now
+      FROM cur LEFT JOIN old ON cur.user_id = old.user_id
+      WHERE old.ver_v2 IS NULL OR old.ver_v2 <> cur.ver_now
+    """))
+
   def queries: Seq[Q] = Seq(
     w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14,
-    w15, w16, w17, w18, w19)
+    w15, w16, w17, w18, w19, w20)
 }
