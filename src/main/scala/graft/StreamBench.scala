@@ -193,6 +193,18 @@ object StreamBench {
               } finally { b.unpersist(); () }
             }.start()
         },
+        // the same parse/split work through the CROSS-SINK ATOMIC
+        // publish path (staged hidden segments + one batch marker +
+        // visibility flips — Jobs.startBaseLogSplitAtomic): prices the
+        // all-five-topics-or-none guarantee the independent-sink
+        // `split` lacks. Sinks differ by design (file-topic JSON text
+        // vs parquet), so compare as "atomicity path throughput", not
+        // file-format throughput.
+        "split_atomic" -> timed("split_atomic", pass) { (raw, dir) =>
+          Jobs.startBaseLogSplitAtomic(raw, LogSchema,
+            s"$dir/topics", s"$dir/chk",
+            queryName = Some(s"split_atomic_p$pass"))
+        },
         "uv_dim" -> timed("uv_dim", pass) { (raw, dir) =>
           DedupDaily(pages(raw).filter((e: PageLog) => e.lastPageId.isEmpty))
             .writeStream.queryName(s"uv_dim_p$pass")
@@ -226,7 +238,7 @@ object StreamBench {
           num(nEvents / best.sec)},"batches":${best.batches.size},"batch_ms_p50":${
           p50(ms)},"batch_ms_max":${ms.foldLeft(0L)(math.max)}}"""
       }
-      val names = Seq("split", "uv_dim", "bounce")
+      val names = Seq("split", "split_atomic", "uv_dim", "bounce")
       val spread = names.collect {
         case n if math.max(p1(n).sec, p2(n).sec) >
             1.5 * math.min(p1(n).sec, p2(n).sec) &&

@@ -67,12 +67,15 @@ object Jobs {
     * dedupes to exactly-once visible segments. The parse/split runs
     * once per batch (persisted), not once per sink. */
   def startBaseLogSplitAtomic(raw: DataFrame, schema: StructType,
-      baseDir: String, checkpoint: String, rawCol: String = "value")
+      baseDir: String, checkpoint: String, rawCol: String = "value",
+      queryName: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val names = Seq("dirty", "err", "start", "page", "display")
     val dirs = names.map(n => s"$baseDir/$n")
     val manifestDir = s"$baseDir/_batches"
-    raw.writeStream
+    val writer = raw.writeStream
+    queryName.foreach(writer.queryName)
+    writer
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist(

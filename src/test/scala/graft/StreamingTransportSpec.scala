@@ -260,6 +260,50 @@ class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture
     }
   }
 
+  test("cross-sink publish model fuzz: random crash points (partial stage, " +
+       "marker-no-flip, replays) always converge to marked-batches-only, " +
+       "exactly once, in every topic") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val base = Files.createTempDirectory("fanout_fuzz").toString
+    val dirs = (0 until 5).map(i => s"$base/t$i")
+    val manifests = s"$base/_batches"
+    Files.createDirectories(java.nio.file.Paths.get(manifests))
+    var committed = Set.empty[Long]
+    def stage(b: Long, subset: Seq[String]): Unit =
+      subset.foreach(d =>
+        FileTopic.produceStagedBatch(d, b, 0, Iterator(s"batch$b")))
+    (0L until 12L).foreach { b =>
+      rnd.nextInt(4) match {
+        case 0 => // crash mid-staging, then full replay + publish
+          stage(b, dirs.take(1 + rnd.nextInt(4)))
+          stage(b, dirs)
+          FileTopic.publishBatch(manifests, b, dirs)
+          committed += b
+        case 1 => // crash after marker, before flips (healed later)
+          stage(b, dirs)
+          Files.writeString(java.nio.file.Paths.get(manifests)
+            .resolve(f"b$b%020d.commit"), dirs.mkString("\n"))
+          committed += b
+        case 2 => // normal publish, then a replayed duplicate publish
+          stage(b, dirs)
+          FileTopic.publishBatch(manifests, b, dirs) shouldBe true
+          stage(b, dirs)
+          FileTopic.publishBatch(manifests, b, dirs) shouldBe false
+          committed += b
+        case 3 => // crash mid-staging, NEVER replayed (abandoned batch)
+          stage(b, dirs.take(1 + rnd.nextInt(4)))
+      }
+    }
+    FileTopic.recoverBatches(manifests, dirs)
+    // invariant: every topic shows exactly the committed batches, once
+    dirs.foreach { d =>
+      val got = FileTopic.replay(s, d).as[String].collect().sorted
+      got shouldBe committed.map(b => s"batch$b").toArray.sorted
+    }
+  }
+
   test("a malformed record in the log is diverted, not poisonous (P2 over transport)") {
     val s = spark
     import s.implicits._
