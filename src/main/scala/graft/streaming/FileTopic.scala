@@ -175,16 +175,38 @@ object FileTopic {
     flipped
   }
 
-  private def newestMarker(manifestDir: java.nio.file.Path): Option[Long] =
-    if (!Files.isDirectory(manifestDir)) None
+  private def markers(manifestDir: java.nio.file.Path): Seq[Long] =
+    if (!Files.isDirectory(manifestDir)) Nil
     else {
       import scala.jdk.CollectionConverters._
       val s = Files.list(manifestDir)
       try s.iterator().asScala.map(_.getFileName.toString)
         .collect { case n if n.startsWith("b") && n.endsWith(".commit") =>
           n.stripPrefix("b").stripSuffix(".commit").toLong }
-        .maxOption
+        .toVector.sorted
       finally s.close()
+    }
+
+  private def newestMarker(manifestDir: java.nio.file.Path): Option[Long] =
+    markers(manifestDir).lastOption
+
+  /** How many batch markers the manifest dir retains. Markers exist to
+    * (a) make a batch's commit detectable and (b) heal its flips after
+    * a crash — and since batch N's flips complete before batch N+1's
+    * marker is ever written, only the NEWEST marker can need healing;
+    * everything older is pure history. Pruning bounds the manifest
+    * dir's metadata at O(retention) instead of O(stream lifetime) —
+    * a month-long micro-batch stream must not accrete millions of
+    * marker files that every listing pays for. A replayed batch older
+    * than the horizon (impossible under Spark's checkpoint contract,
+    * which replays at most the last uncommitted batch) would merely
+    * re-create its marker and re-flip idempotently — deterministic
+    * visible names make convergence order-free. */
+  val MarkerRetention = 100
+
+  private def pruneMarkers(manifestDir: java.nio.file.Path): Unit =
+    markers(manifestDir).dropRight(MarkerRetention).foreach { b =>
+      Files.deleteIfExists(manifestDir.resolve(f"b$b%020d.commit")); ()
     }
 
   /** Driver-side commit of micro-batch `batchId` across `dirs`.
@@ -221,6 +243,7 @@ object FileTopic {
       } finally { Files.deleteIfExists(tmp); () }
     }
     dirs.foreach(flipBatch(_, batchId))
+    pruneMarkers(md)
     !already
   }
 

@@ -304,6 +304,31 @@ class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture
     }
   }
 
+  test("marker retention: the manifest dir stays O(retention) over a long " +
+       "stream, visible segments unaffected") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("fanout_prune").toString
+    val dir = s"$base/topic"
+    val manifests = s"$base/_batches"
+    val nBatches = FileTopic.MarkerRetention + 150
+    (0 until nBatches).foreach { b =>
+      FileTopic.produceStagedBatch(dir, b.toLong, 0, Iterator(s"batch$b"))
+      FileTopic.publishBatch(manifests, b.toLong, Seq(dir))
+    }
+    val markerCount = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(manifests))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.count(_.getFileName.toString.endsWith(".commit"))
+      } finally l.close()
+    }
+    markerCount shouldBe FileTopic.MarkerRetention
+    // every batch's segment is still visible — pruning touches history
+    // markers, never data
+    FileTopic.replay(s, dir).count() shouldBe nBatches.toLong
+  }
+
   test("a malformed record in the log is diverted, not poisonous (P2 over transport)") {
     val s = spark
     import s.implicits._
