@@ -240,15 +240,18 @@ private[graft] object HadoopLogStore extends LogStore {
     * rename is check-then-act (the local fs): correct for any number
     * of threads in one JVM — Delta `LocalLogStore`'s contract. On
     * HDFS the NameNode makes the rename itself atomic and the lock is
-    * just uncontended overhead. */
-  private val claimLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * just uncontended overhead. STRIPED (fixed 64 monitors keyed by
+    * path hash) rather than per-path: a long-lived JVM claims
+    * unboundedly many manifest paths, and a per-path map would be a
+    * slow leak; coarser granularity only ever costs contention, never
+    * correctness. */
+  private val claimLocks = Array.fill(64)(new Object)
 
   def createIfAbsent(p: String, body: String): Boolean = {
     val target = new HPath(p)
     val tmp = new HPath(target.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val lock = claimLocks.computeIfAbsent(p, _ => new Object)
+    val lock = claimLocks(math.abs(p.hashCode % 64))
     try {
       writeFile(tmp, body, overwrite = false)
       lock.synchronized {
