@@ -389,6 +389,43 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally DimStore.unrouteLogViaHadoop(root)
   }
 
+  test("LogStore seam model fuzz: random upsert sequences with a mid-history " +
+       "compact and rebucket match the reference LWW map through the " +
+       "Hadoop route; the log stays a gapless chain") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val root = Files.createTempDirectory("vs_hfuzz").toString
+    val path = root + "/dim"
+    DimStore.routeLogViaHadoop(root)
+    try {
+      val model = scala.collection.mutable.Map[Long, (String, Long)]()
+      (1 to 10).foreach { step =>
+        val perPk = (1 to (1 + rnd.nextInt(15))).map { _ =>
+          val pk = rnd.nextInt(30).toLong
+          (pk, s"v$step-$pk", step.toLong)
+        }.distinct.groupBy(_._1).map(_._2.head).toSeq
+        perPk.foreach { case (pk, n, v) =>
+          if (model.get(pk).forall(_._2 <= v)) model(pk) = (n, v)
+        }
+        DimStore.upsert(s, path, perPk.toDF("id", "name", "ver"),
+          "id", "ver", nBuckets = 8)
+        // maintenance commits mid-history: same optimistic protocol,
+        // must be row-invisible to the model
+        if (step == 4) DimStore.compact(s, path)
+        if (step == 7) DimStore.rebucket(s, path, "id", 16)
+      }
+      val got = DimStore.read(s, path).select("id", "name", "ver")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got shouldBe model.toMap
+      // 10 upserts + compact + rebucket = 12 commits, gapless
+      DimStore.history(path) shouldBe (1L to 12L)
+      // and the projection agrees for name-based readers
+      s.read.parquet(path).count() shouldBe model.size.toLong
+    } finally DimStore.unrouteLogViaHadoop(root)
+  }
+
   test("rebucket: fan-out evolution as a commit — reads agree before and " +
        "after, time travel crosses the boundary, later upserts are " +
        "O(touched) at the NEW fan-out, shrink removes orphan root dirs") {
