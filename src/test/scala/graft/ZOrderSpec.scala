@@ -86,6 +86,27 @@ class ZOrderSpec extends AnyFunSuite with Matchers with SparkFixture {
     zB should be <= 10
   }
 
+  test("zvalNormalized edges: empty input, constant columns, nulls and " +
+       "negatives all land in valid grid cells") {
+    val s = spark
+    import s.implicits._
+    // empty: the min/max row is null → constant zero column, no throw
+    val empty = Seq.empty[(Double, Double)].toDF("a", "b")
+    empty.select(ZOrder.zvalNormalized(empty, "a", "b", 8)).count() shouldBe 0
+    // constant column: span collapses → every row in cell 0 on that dim
+    val const = Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0)).toDF("a", "b")
+    val cz = const.select(
+      ZOrder.zvalNormalized(const, "a", "b", 4).as("z")).as[Long].collect()
+    all(cz) should be >= 0L
+    cz.distinct.length should be > 1 // b still discriminates
+    // nulls map to the low cell; negatives/fractions normalize fine
+    val mixed = Seq((Some(-10.5), 0.25), (None, 0.75), (Some(10.5), 0.5))
+      .toDF("a", "b")
+    val mz = mixed.select(
+      ZOrder.zvalNormalized(mixed, "a", "b", 6).as("z")).as[Long].collect()
+    mz.foreach { z => z should be >= 0L; z should be < (1L << 12) }
+  }
+
   test("compact(zorderBy): the rewritten store's files cover compact 2-D " +
        "rectangles — range scans skip files a hash-salted compaction " +
        "must all read") {
