@@ -121,6 +121,14 @@ object FileTopic {
   // the reference's 5-way side-output fan-out (BaseLogApp writes five
   // Kafka topics; a crash between its producer sends exposes batch N
   // in some topics and N−1 in others — this closes that hole).
+  //
+  // Real-broker mapping: on Kafka the same all-five-or-none contract
+  // is the transactional producer — one transaction spanning the five
+  // topics' sends, read_committed consumers seeing it atomically
+  // (public Kafka EOS semantics). The staged-segments + marker
+  // protocol is that transaction's file analogue: staging = sends
+  // inside the txn, the marker = the commit record, flips+recovery =
+  // the LSO advancing past the commit.
 
   /** Executor-side: stage one hidden segment for (`batchId`,
     * `part`) in `dir`. Same streamed write-to-temp + atomic-rename
