@@ -329,6 +329,49 @@ class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture
     FileTopic.replay(s, dir).count() shouldBe nBatches.toLong
   }
 
+  test("S4 HTTP log endpoint: POSTed lines land in the topic and flow " +
+       "through the split pipeline; a retried POST is at-least-once") {
+    val s = spark
+    import s.implicits._
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val topic = Files.createTempDirectory("http_topic").toString
+    val srv = graft.streaming.HttpLogEndpoint.start(topic)
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val client = HttpClient.newHttpClient()
+      def post(body: String) = client.send(
+        HttpRequest.newBuilder(java.net.URI.create(s"$base/applog"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // liveness (the reference's `test` controller)
+      client.send(
+        HttpRequest.newBuilder(java.net.URI.create(s"$base/ping")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body() shouldBe "pong"
+      val batch =
+        """{"mid":"m1","page_id":"home","ts":1000}""" + "\n" +
+        """not json"""
+      post(batch).statusCode() shouldBe 200
+      // a client that lost the ack retries the whole POST:
+      // at-least-once into the log, same as a producer resend
+      post(batch).statusCode() shouldBe 200
+      post("""{"mid":"m2","start":"cold","ts":1500}""").statusCode() shouldBe 200
+      FileTopic.replay(s, topic).count() shouldBe 5
+      // the normal pipeline consumes the endpoint-fed topic
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("mid", StringType), StructField("page_id", StringType),
+        StructField("last_page_id", StringType), StructField("ts", LongType),
+        StructField("err", StringType), StructField("start", StringType),
+        StructField("displays", ArrayType(StructType(Seq(
+          StructField("pos", IntegerType), StructField("item", StringType)))))))
+      val st = graft.streaming.Jobs.baseLogSplit(
+        FileTopic.replay(s, topic), schema)
+      st.dirty.count() shouldBe 2   // the duplicated non-json line
+      st.page.count() shouldBe 2    // m1 twice (at-least-once)
+      st.start.count() shouldBe 1
+    } finally srv.stop(0)
+  }
+
   test("a malformed record in the log is diverted, not poisonous (P2 over transport)") {
     val s = spark
     import s.implicits._
