@@ -329,6 +329,42 @@ class StreamingTransportSpec extends AnyFunSuite with Matchers with SparkFixture
     FileTopic.replay(s, dir).count() shouldBe nBatches.toLong
   }
 
+  test("startBaseLogSplitAtomic: a mid-stream restart (same checkpoint) " +
+       "converges — replayed batches dedupe, later batches continue") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val logSchema = StructType(Seq(
+      StructField("mid", StringType), StructField("page_id", StringType),
+      StructField("last_page_id", StringType), StructField("ts", LongType),
+      StructField("err", StringType), StructField("start", StringType),
+      StructField("displays", ArrayType(StructType(Seq(
+        StructField("pos", IntegerType), StructField("item", StringType)))))))
+    val in = Files.createTempDirectory("fanout_rs_in").toString
+    val base = Files.createTempDirectory("fanout_rs_out").toString
+    val chk = Files.createTempDirectory("fanout_rs_chk").toString
+    def page(m: String, ts: Long) =
+      s"""{"mid":"$m","page_id":"home","ts":$ts}"""
+    // two segments; maxFilesPerTrigger=1 → one micro-batch per segment
+    FileTopic.produce(in, Seq(page("m1", 1000L)))
+    FileTopic.produce(in, Seq(page("m2", 2000L)))
+    def start() = graft.streaming.Jobs.startBaseLogSplitAtomic(
+      FileTopic.stream(s, in, maxFilesPerTrigger = Some(1)),
+      logSchema, base, chk)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    FileTopic.replay(s, s"$base/page").count() shouldBe 2
+    // down between epochs; a third segment arrives, then restart on the
+    // SAME checkpoint — the query resumes past the committed batches
+    FileTopic.produce(in, Seq(page("m3", 3000L)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = FileTopic.replay(s, s"$base/page")
+      .selectExpr("from_json(value, 'mid STRING, ts LONG') AS r")
+      .selectExpr("r.mid").as[String].collect().sorted
+    got shouldBe Array("m1", "m2", "m3") // no loss, no duplication
+  }
+
   test("S4 HTTP log endpoint: POSTed lines land in the topic and flow " +
        "through the split pipeline; a retried POST is at-least-once") {
     val s = spark
