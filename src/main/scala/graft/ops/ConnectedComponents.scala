@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star
+  * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * O(log n)-round counterpart to min-label propagation (x28), which
+  * needs O(graph diameter) rounds and carries the full adjacency list
+  * through every one of them.
+  *
+  * Why a second algorithm for the same answer: near-dup graphs at
+  * corpus scale are mostly tiny cliques, where propagation wins — but
+  * one boilerplate template shared by a crawl slice can chain tens of
+  * thousands of documents into a path-shaped component whose diameter,
+  * not the corpus size, becomes the round count. Star contraction
+  * halves the effective height per round pair regardless of shape
+  * (provably O(log² n), empirically ~log n), and each round SHRINKS
+  * the edge set it carries (every rewrite points an edge at a
+  * component-local minimum, and duplicates collapse in the per-round
+  * dedup), so late rounds touch a fraction of the input instead of
+  * re-joining all of it. Both operations are one keyed aggregation +
+  * one keyed join per round — the same shuffle shape as propagation,
+  * just fewer rounds on deep graphs.
+  *
+  * Contract: input is an undirected edge list (any orientation, self
+  * loops ignored); output is one row per distinct endpoint,
+  * `(id, rep)` with `rep` = the component's minimum node id — byte-
+  * identical to what [[graft.queries.Extensions]] x28's propagation
+  * emits, which is exactly what a dedup pass wants (the canonical
+  * keeper id per duplicate cluster).
+  *
+  * Determinism: min() everywhere — no hashing, no randomness; the
+  * fixpoint (disjoint stars centered at component minima) is unique,
+  * so replays and speculative tasks cannot change the answer.
+  */
+object ConnectedComponents {
+
+  /** Large-star: for every node u (as the center of its symmetrized
+    * neighborhood), connect each STRICTLY LARGER neighbor to
+    * m = min(N(u) ∪ {u}). Emitted edges always run strictly downhill
+    * (v > u ≥ m), so the output is a directed big→small edge set. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star: input edges run big→small (`a > b`, large-star's
+    * postcondition). For every large endpoint a, connect each member
+    * of {its smaller neighbors} ∪ {a} except the minimum itself to
+    * m = min(smaller neighbors). Output again runs big→small. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val members = e.select(col("a"), col("b"))
+      .union(e.select(col("a"), col("a").as("b")))
+    members.join(m, "a").filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** (row count, Σ(a+b)) — the convergence witness. Both operations
+    * only ever LOWER an edge's small end or drop duplicates, so the
+    * pair strictly decreases lexicographically until the edge set is
+    * unchanged; equal witness ⇒ fixpoint, no edge-set diff job. */
+  private def witness(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(sum(col("a") + col("b")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Run alternating rounds to the unique fixpoint and return
+    * `(id, rep)` labels. `maxRounds` is a loud failsafe, not a quality
+    * knob — contraction provably converges in O(log² n) rounds, so
+    * hitting the cap means a broken invariant, and silently returning
+    * a half-contracted forest would be WRONG labels. */
+  def starContraction(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    // drop self loops, orient big→small once so round 1 can start on
+    // small-star's precondition without a wasted symmetrize.
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round's frame SEVERAL times (large-star self-unions,
+    // small-star self-joins), so an uncut lineage grows exponentially
+    // and Catalyst's canonicalization OOMs the driver around round 8 —
+    // checkpointing makes every round a leaf scan of the cached
+    // blocks. Local (executor-block) checkpoint suffices because the
+    // algorithm is deterministic: on executor loss the job fails and a
+    // retry recomputes the same fixpoint; a long-lived production run
+    // that can't afford the restart would set a reliable
+    // spark.checkpoint.dir and swap in Dataset.checkpoint — same
+    // truncation, durable blocks.
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = witness(e)
+    var rounds = 0
+    var done = prev._1 == 0L
+    while (!done && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = witness(next)
+      e.unpersist()
+      e = next
+      done = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    lastRounds.set(rounds)
+    if (!done)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $rounds rounds")
+    // fixpoint = disjoint stars: leaves carry their center, centers
+    // label themselves. Persist + force BEFORE releasing the fixpoint
+    // cache — labels are lazy, and dropping `e` first would send every
+    // later consumer back through the whole iterative lineage. The
+    // returned frame is persisted (MEMORY_AND_DISK, matching the query
+    // layer's cache level so its wrapper persist is a no-op on the
+    // same frame); callers that materialize elsewhere may unpersist.
+    val labels = e.select(col("a").as("id"), col("b").as("rep"))
+      .union(e.select(col("b").as("id"), col("b").as("rep")).distinct())
+      .persist()
+    labels.count()
+    e.unpersist()
+    labels
+  }
+
+  /** Rounds taken by the LAST `starContraction` on this thread — a test
+    * hook (same pattern as DimStore's listing counter), not an API. */
+  val lastRounds = new ThreadLocal[Int] { override def initialValue(): Int = -1 }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product quantization for nearest-neighbor search (Jégou, Douze,
+  * Schmid, TPAMI 2011): split a d-dim vector into `m` subspaces, learn
+  * a `k`-centroid codebook per subspace, and store each vector as its
+  * per-subspace nearest-centroid indexes — m·log₂k bits instead of 4d
+  * bytes. Search is asymmetric distance computation (ADC): the query
+  * stays un-quantized, its distances to every codebook centroid become
+  * an m×k lookup table, and scoring a stored vector costs m table
+  * lookups + adds.
+  *
+  * Scale shape: the trained model is m·k·(d/m) doubles — kilobytes —
+  * broadcast as column literals; training touches each vector once per
+  * Lloyd round with an (m·k·d/m)-row shuffle; encoding is one narrow
+  * map; an ADC scan reads the codes table (for d=64 floats at k=256,
+  * 32× smaller than the raw vectors), which is what makes exhaustive
+  * re-rank over 100 TB of embeddings feasible. Compose IVF bucketing
+  * ([[graft.queries.Extensions]] x12) in front for the full IVFADC
+  * system. Everything stays inside whole-stage codegen: distances are
+  * `aggregate`/`zip_with` folds, code assignment is
+  * `array_position(d, array_min(d))`, ADC is `element_at` on a literal
+  * array — no UDFs.
+  *
+  * Determinism (the x18/x72 contract): centroid updates are exact
+  * DECIMAL(18,8) sums cast to double, distance folds are the same
+  * left-to-right (x−y)² everywhere (executor fold and driver LUT), and
+  * nearest-centroid ties break to the LOWEST index (`array_position`
+  * returns the first minimum), so training, encoding and scoring are
+  * bit-reproducible across runs, retries, and engines.
+  */
+object ProductQuantizer {
+
+  /** A trained model: `codebooks(m)(k)` is the k-th centroid of
+    * subspace m, each of length `dim / m`. */
+  final case class PqModel(dim: Int, m: Int, k: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    def subDim: Int = dim / m
+    def codeCols: Seq[String] = (0 until m).map(i => s"pq_code$i")
+  }
+
+  private val SumDec = DecimalType(18, 8)
+
+  /** L2² of `v`'s m-th slice against a centroid literal — the shared
+    * left-fold formulation. */
+  private def dist2(v: Column, mi: Int, subDim: Int, c: Array[Double]): Column =
+    aggregate(zip_with(slice(v, mi * subDim + 1, subDim), typedlit(c.toSeq),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** 0-based index of the nearest centroid (first minimum on ties). */
+  private def nearest(v: Column, mi: Int, subDim: Int,
+                      cb: Array[Array[Double]]): Column = {
+    val d = array(cb.map(c => dist2(v, mi, subDim, c)): _*)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Train per-subspace codebooks by `rounds` Lloyd iterations, seeded
+    * from the `k` lowest-`idCol` rows' subvectors (deterministic, no
+    * RNG — k-means|| seeding would add quality but break the
+    * cross-engine reproducibility the oracle gate needs; callers with
+    * a real cluster can pre-shuffle ids). `vCol` must be
+    * `array<double>` of length `dim`. Driver state per round is one
+    * m·k·subDim-row aggregate — never vectors. An emptied cluster
+    * keeps its previous centroid. */
+  def train(df: DataFrame, idCol: String, vCol: String, dim: Int, m: Int,
+            k: Int, rounds: Int): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val seedRows = df.orderBy(col(idCol)).limit(k)
+      .select(col(vCol)).collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == k, s"need ≥ $k rows to seed $k centroids")
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+      Array.tabulate(k)(ki => java.util.Arrays.copyOfRange(
+        seedRows(ki), mi * subDim, (mi + 1) * subDim)))
+    for (_ <- 0 until rounds) {
+      val assigned = df.select(col(vCol).as("__v") +: (0 until m).map(mi =>
+        nearest(col(vCol), mi, subDim, cbs(mi)).as(s"__c$mi")): _*)
+      val stats = (0 until m).map(mi =>
+          assigned.select(lit(mi).as("m"), col(s"__c$mi").as("cluster"),
+            posexplode(slice(col("__v"), mi * subDim + 1, subDim))))
+        .reduce(_ unionByName _)
+        .groupBy(col("m"), col("cluster"), col("pos"))
+        .agg(sum(col("col").cast(SumDec)).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      cbs = Array.tabulate(m) { mi =>
+        val byCluster = stats.filter(_.getInt(0) == mi).groupBy(_.getInt(1))
+          .map { case (c, rs) =>
+            c -> rs.sortBy(_.getInt(2)).map(r =>
+              r.getDecimal(3).doubleValue() / r.getLong(4))
+          }
+        Array.tabulate(k)(ki => byCluster.getOrElse(ki, cbs(mi)(ki)))
+      }
+    }
+    PqModel(dim, m, k, cbs)
+  }
+
+  /** Append `pq_code0..pq_code{m-1}` int columns — the stored index. */
+  def encode(df: DataFrame, vCol: String, model: PqModel): DataFrame =
+    df.select(df.columns.map(col) ++ (0 until model.m).map(mi =>
+      nearest(col(vCol), mi, model.subDim, model.codebooks(mi))
+        .as(s"pq_code$mi")): _*)
+
+  /** ADC L2² column for one raw query vector over the code columns —
+    * the per-query lookup table is computed on the driver with the
+    * same sequential fold as [[dist2]] and shipped as literals. */
+  def adcDistance(q: Array[Double], model: PqModel): Column =
+    (0 until model.m).map { mi =>
+      val lut = model.codebooks(mi).map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < model.subDim) {
+          val d = q(mi * model.subDim + i) - c(i)
+          s += d * d
+          i += 1
+        }
+        s
+      }
+      element_at(typedlit(lut.toSeq), col(s"pq_code$mi") + 1)
+    }.reduce(_ + _)
+}

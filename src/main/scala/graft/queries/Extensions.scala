@@ -1384,6 +1384,27 @@ object Extensions {
   // rounds suffice and the driver only ever sees one SUM per round
   // (monotone convergence witness), never the data. The oracle computes
   // the same fixpoint as a recursive transitive closure.
+  /** Connected-components oracle over the near-dup pair graph —
+    * recursive transitive closure to the per-node component minimum.
+    * Shared verbatim by x28 (min-label propagation) and x73 (large-
+    * star/small-star contraction): one fixpoint, two algorithms, so a
+    * green row on both pins the implementations to each other. */
+  private lazy val CcOracleSql: String = s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      )
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src
+    """
+
   val x28 = Q(
     "x28_dedup_clusters",
     (s, dir) => persisted(s, "x28_labels", dir) {
@@ -1443,21 +1464,7 @@ object Extensions {
       // the wrapper cache a second copy on top of this one)
       labels
     }.select(col("id").as("doc_id"), col("lbl").as("cluster_rep")),
-    Some(s"""
-      WITH RECURSIVE $NeardupPairsSqlCtes,
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION
-        SELECT doc_b, doc_a FROM pairs
-      ),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      )
-      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
-      FROM reach GROUP BY src
-    """))
+    Some(CcOracleSql))
 
   // ---------------------------------------------------------------------
   // x29 — source-weighted data mixing: the domain-reweighting pass a
@@ -3695,11 +3702,171 @@ object Extensions {
       ORDER BY event_type
     """))
 
+  // ---------------------------------------------------------------------
+  // x72 — product-quantization ANN (Jégou/Douze/Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): the
+  // memory-bandwidth scale path of the ANN family. The 64-dim vector is
+  // cut into M=4 subspaces of 16 dims; each subspace gets its own K=4
+  // codebook (seeded from the 4 lowest vec_ids' subvectors + one Lloyd
+  // refinement — x18's exact-decimal centroid contract, so both engines
+  // iterate to bit-identical codebooks), and every vector is ENCODED as
+  // its per-subspace nearest-centroid indexes: 4 × 2 bits = one byte
+  // replaces 256 bytes of floats. Search is asymmetric distance
+  // computation (ADC): the query stays un-quantized, its 16 distances
+  // to every codebook centroid become a broadcast lookup table (M·K
+  // doubles — driver-side literals, the same tiny-state pattern as
+  // x18), and scanning a candidate costs M table adds instead of 64
+  // multiply-accumulates. At 100 TB this is what makes exhaustive
+  // re-rank feasible: the codes table is 64× smaller than the vectors,
+  // the scan is one narrow map over it, and the codebook training
+  // touches each vector once per Lloyd round with a 256-row shuffle —
+  // IVF bucketing (x12) composes in front of it for the full IVFADC
+  // system. The train/encode/ADC machinery is the parametric
+  // [[graft.ops.ProductQuantizer]]; this query runs it at the
+  // oracle-tractable shape (M=4, K=4 — 2-bit codes unroll to readable
+  // SQL), and PqAnnSpec measures recall at a production shape (m=8,
+  // k=16) through the same code path. Determinism: codebooks via
+  // DECIMAL(18,8) sums; every distance is the same left-fold (x-y)² on
+  // both sides; nearest-centroid ties break to the lowest index in
+  // both engines; ranks order by the ROUNDED ppm (ties by vec_id) so a
+  // last-ulp double can't flip an order the oracle disagrees with.
+  private val PqM = 4
+  private val PqK = 4
+  private val PqD = 16
+
+  val x72 = Q(
+    "x72_pq_ann",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      // oracle-tractable shape: K=4 unrolls to readable SQL; the op is
+      // parametric and PqAnnSpec measures recall at a production shape
+      // (m=8, k=16) the same code path serves
+      val model = graft.ops.ProductQuantizer.train(
+        e, "vec_id", "v", dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
+      val codes = graft.ops.ProductQuantizer.encode(e, "v", model).drop("v")
+      val queryRows = e.filter($"vec_id" <= 2).orderBy($"vec_id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val perQuery = queryRows.map { case (qi, q) =>
+        codes.filter($"vec_id" =!= qi)
+          .select(lit(qi).as("query_id"), $"vec_id",
+            concat((0 until PqM).map(m =>
+              col(s"pq_code$m").cast("string")): _*).as("pq_code"),
+            round(lit(1e6) * graft.ops.ProductQuantizer.adcDistance(q, model))
+              .cast("long").as("adc_ppm"))
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy($"query_id").orderBy($"adc_ppm".asc, $"vec_id")
+      perQuery.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(PqOracleSql))
+
+  /** x72's oracle: the unrolled seed-assign → decimal-mean refine →
+    * encode → ADC chain, one CTE block per subspace (x18's
+    * KmAssign2SqlCtes pattern at PQ shape). */
+  private lazy val PqOracleSql: String = {
+    def off(m: Int) = m * PqD
+    // distance of v's subspace m to seed k's matching subvector
+    def dSeed(m: Int, k: Int) =
+      s"list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+      s"(v[${off(m)} + i] - k.s$k[${off(m)} + i]) * (v[${off(m)} + i] - k.s$k[${off(m)} + i])))"
+    def pick = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                       WHEN d2 <= d3 THEN 2 ELSE 3 END"""
+    val perSub = (0 until PqM).map { m =>
+      s"""a$m AS (
+        SELECT vec_id, v, $pick AS c
+        FROM (SELECT vec_id, v,
+              ${(0 until PqK).map(k => s"${dSeed(m, k)} AS d$k").mkString(",\n              ")}
+              FROM e, seeds k)),
+      m$m AS (
+        SELECT c AS cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS cc
+        FROM (SELECT c, unnest(v[${off(m) + 1}:${off(m) + PqD}]) AS x,
+                     unnest(range(1, ${PqD + 1})) AS pos FROM a$m)
+        GROUP BY c, pos),
+      cl$m AS (SELECT cluster, list(cc ORDER BY pos) AS cc FROM m$m GROUP BY cluster),
+      r$m AS (SELECT ${(0 until PqK).map(k =>
+          s"COALESCE((SELECT cc FROM cl$m WHERE cluster = $k), " +
+          s"(SELECT v[${off(m) + 1}:${off(m) + PqD}] FROM e WHERE vec_id = $k)) AS r$k")
+          .mkString(", ")})"""
+    }.mkString(",\n      ")
+    // distance of v's subspace m to refined centroid k (16-long list)
+    def dRef(m: Int, k: Int) =
+      s"list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+      s"(v[${off(m)} + i] - t$m.r$k[i]) * (v[${off(m)} + i] - t$m.r$k[i])))"
+    val codeCols = (0 until PqM).map { m =>
+      s"""CASE WHEN d${m}0 <= d${m}1 AND d${m}0 <= d${m}2 AND d${m}0 <= d${m}3 THEN 0
+               WHEN d${m}1 <= d${m}2 AND d${m}1 <= d${m}3 THEN 1
+               WHEN d${m}2 <= d${m}3 THEN 2 ELSE 3 END AS code$m"""
+    }.mkString(",\n          ")
+    val refDists = (for (m <- 0 until PqM; k <- 0 until PqK)
+      yield s"${dRef(m, k)} AS d$m$k").mkString(",\n              ")
+    def adcTerm(m: Int) =
+      s"""(CASE c.code$m ${(0 until PqK).map(k =>
+          s"WHEN $k THEN list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+          s"(q.qv[${off(m)} + i] - t$m.r$k[i]) * (q.qv[${off(m)} + i] - t$m.r$k[i])))")
+          .mkString(" ")} END)"""
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (SELECT ${(0 until PqK).map(k =>
+        s"(SELECT v FROM e WHERE vec_id = $k) AS s$k").mkString(", ")}),
+      $perSub,
+      codes AS (
+        SELECT vec_id,
+          $codeCols
+        FROM (SELECT vec_id,
+              $refDists
+              FROM e, r0 t0, r1 t1, r2 t2, r3 t3)),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          (c.code0::VARCHAR || c.code1::VARCHAR || c.code2::VARCHAR || c.code3::VARCHAR) AS pq_code,
+          CAST(round(1e6 * (${(0 until PqM).map(adcTerm).mkString(" + ")})) AS BIGINT) AS adc_ppm
+        FROM codes c, qs q, r0 t0, r1 t1, r2 t2, r3 t3
+        WHERE c.vec_id <> q.query_id)
+      SELECT query_id, vec_id, pq_code, adc_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_ppm, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
+  }
+
+  // ---------------------------------------------------------------------
+  // x73 — dedup clusters by large-star/small-star contraction: the SAME
+  // answer as x28 (per-doc component-minimum keeper label over the
+  // near-dup pair graph) through the O(log n)-round algorithm
+  // ([[graft.ops.ConnectedComponents]] — Kiveris et al., SoCC 2014)
+  // instead of O(diameter) min-label propagation. A boilerplate
+  // template chaining 10⁵ crawl documents into a path makes diameter
+  // the round count for x28; contraction's round count is insensitive
+  // to component shape, and its edge set SHRINKS as it converges, so
+  // late rounds re-shuffle a fraction of the input. Grading both
+  // against the same oracle pins the two implementations to each other
+  // — the cross-check that catches an algorithm bug in either.
+  // (StarContractionSpec additionally pins the log-round behavior on a
+  // deep synthetic chain, where propagation needs 25+ rounds.)
+  val x73 = Q(
+    "x73_cc_star_contraction",
+    (s, dir) => {
+      import s.implicits._
+      val edges = neardupPairs(s, dir)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      persisted(s, "x73_labels", dir) {
+        graft.ops.ConnectedComponents.starContraction(edges)
+      }.select($"id".as("doc_id"), $"rep".as("cluster_rep"))
+    },
+    Some(CcOracleSql))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71)
+    x71, x72, x73)
 }

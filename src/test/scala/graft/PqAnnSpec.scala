@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.ProductQuantizer
+
+/** Pins [[ProductQuantizer]] beyond x72's oracle row: the oracle grades
+  * the unrolled M=4/K=4 shape for cross-engine exactness; these tests
+  * exercise the SAME code path at a production shape and assert the
+  * properties that make PQ useful — reconstruction beats no
+  * reconstruction, ADC ranks correlate with true ranks, and recall@10
+  * at (m=8, k=16) clears a measured floor on the real fixture. */
+class PqAnnSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val e = {
+    val s = spark
+    import s.implicits._
+    graft.core.Tables.load(s, sf0001, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .persist()
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  test("codes are within range and deterministic across two encodes") {
+    val model = ProductQuantizer.train(e, "vec_id", "v", 64, m = 4, k = 4, rounds = 1)
+    val c1 = ProductQuantizer.encode(e, "v", model)
+    val codes = c1.select("pq_code0", "pq_code1", "pq_code2", "pq_code3").collect()
+    all(codes.flatMap(r => (0 until 4).map(r.getInt))) should (be >= 0 and be < 4)
+    val c2 = ProductQuantizer.encode(e, "v", model)
+      .select("vec_id", "pq_code0").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    c1.select("vec_id", "pq_code0").collect()
+      .foreach(r => c2(r.getLong(0)) shouldBe r.getInt(1))
+  }
+
+  test("one Lloyd round does not increase total quantization error") {
+    val m0 = ProductQuantizer.train(e, "vec_id", "v", 64, m = 8, k = 16, rounds = 0)
+    val m1 = ProductQuantizer.train(e, "vec_id", "v", 64, m = 8, k = 16, rounds = 1)
+    def sqErr(model: ProductQuantizer.PqModel): Double = {
+      val rows = ProductQuantizer.encode(e, "v", model).collect()
+      rows.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (0 until model.m).map { mi =>
+          val c = model.codebooks(mi)(r.getInt(2 + mi))
+          var s = 0.0; var i = 0
+          while (i < model.subDim) { val d = v(mi * model.subDim + i) - c(i); s += d * d; i += 1 }
+          s
+        }.sum
+      }.sum
+    }
+    sqErr(m1) should be <= sqErr(m0)
+  }
+
+  test("recall@10 at (m=8, k=16) clears the measured floor; ADC orders sanely") {
+    val s = spark
+    import s.implicits._
+    val model = ProductQuantizer.train(e, "vec_id", "v", 64, m = 8, k = 16, rounds = 2)
+    val codes = ProductQuantizer.encode(e, "v", model)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val recalls = (0L to 4L).map { qi =>
+      val q = vecs(qi)
+      val exact = vecs.toSeq.filter(_._1 != qi)
+        .sortBy { case (id, v) => (l2(q, v), id) }.take(10).map(_._1).toSet
+      val approx = codes.filter($"vec_id" =!= qi)
+        .withColumn("adc", ProductQuantizer.adcDistance(q, model))
+        .orderBy($"adc".asc, $"vec_id").limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & approx).size
+    }
+    info(s"recall@10 per query: ${recalls.mkString(", ")} (mean ${recalls.sum / 5.0})")
+    // measured 1,4,1,6,3 (mean 3.0) on the fixture — random-uniform
+    // embeddings are vector quantization's worst case (no cluster
+    // structure for the codebook to exploit); chance recall is
+    // 10·10/499 ≈ 0.2. The floor pins "ranks by genuine proximity"
+    // (10× above chance), deliberately below the deterministic
+    // measurement so a legitimate seeding change doesn't flip it.
+    (recalls.sum / 5.0) should be >= 2.0
+  }
+}
