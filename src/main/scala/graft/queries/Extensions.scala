@@ -3862,11 +3862,50 @@ object Extensions {
     },
     Some(CcOracleSql))
 
+  // ---------------------------------------------------------------------
+  // x74 — INCREMENTAL cluster maintenance: the label-side counterpart
+  // of x37's incremental pair detection. Continuous dedup cannot
+  // re-cluster the full corpus per ingest batch; instead the deduped
+  // history is carried as its STAR EDGES — one (doc, cluster_rep) edge
+  // per non-representative doc, a frame no larger than the label table
+  // itself and far smaller than history's pair set — and each batch
+  // contributes only its incremental pairs (batch↔history and
+  // batch↔batch, x37's split: doc_id % 10 = 0 is the arriving batch).
+  // Star contraction over (history stars ∪ incremental pairs) then
+  // re-converges in rounds bounded by the NEW structure's depth, since
+  // history components are already height-1. The graded invariant is
+  // the one that makes the pattern safe to operate: the incremental
+  // result must be BYTE-IDENTICAL to a full-graph recompute — same
+  // oracle as x28 and x73, so propagation, one-shot contraction, and
+  // incremental contraction are three routes pinned to one fixpoint
+  // (star edges preserve exactly history's connectivity, incremental
+  // pairs are exactly the pairs touching the batch, and component
+  // minima are unchanged because star edges keep original node ids).
+  val x74 = Q(
+    "x74_cc_incremental",
+    (s, dir) => {
+      import s.implicits._
+      persisted(s, "x74_labels", dir) {
+        val p = neardupPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
+        // history = deduped offline once; batch = the arriving tenth
+        val hist = p.filter($"a" % 10 =!= 0 && $"b" % 10 =!= 0)
+        val incr = p.filter($"a" % 10 === 0 || $"b" % 10 === 0)
+        val histLabels = graft.ops.ConnectedComponents.starContraction(hist)
+        val histStars = histLabels.filter($"id" =!= $"rep")
+          .select($"id".as("a"), $"rep".as("b"))
+        val out = graft.ops.ConnectedComponents.starContraction(
+          histStars.unionByName(incr))
+        histLabels.unpersist()
+        out
+      }.select($"id".as("doc_id"), $"rep".as("cluster_rep"))
+    },
+    Some(CcOracleSql))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73)
+    x71, x72, x73, x74)
 }

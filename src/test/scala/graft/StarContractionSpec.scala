@@ -79,13 +79,13 @@ class StarContractionSpec extends AnyFunSuite with Matchers with SparkFixture {
     labelsOf(Seq((9L, 4L))) shouldBe Map(9L -> 4L, 4L -> 4L)
   }
 
-  test("agrees with x28's propagation labels on the near-dup fixture") {
+  test("x28 propagation, x73 contraction, x74 incremental agree on the fixture") {
     val s = spark
     val byName = graft.queries.Registry.byName
-    val prop = byName("x28_dedup_clusters").run(s, sf0001)
+    def labels(q: String) = byName(q).run(s, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val star = byName("x73_cc_star_contraction").run(s, sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    star shouldBe prop
+    val prop = labels("x28_dedup_clusters")
+    labels("x73_cc_star_contraction") shouldBe prop
+    labels("x74_cc_incremental") shouldBe prop
   }
 }
