@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ConnectedComponents, DimStore}
+
+/** Continuous dedup CLUSTER maintenance — the label side of streaming
+  * near-dup detection, closing the pipeline
+  * [[StreamingNearDup]] (pairs at ingest) → components → keeper labels
+  * that the batch side covers with x02 → x73/x74.
+  *
+  * Design (the [[QuantileStore]] house pattern — journal at write
+  * time, compute at read time): each micro-batch's candidate edges are
+  * UPSERTED into a versioned [[DimStore]] edge table keyed by the
+  * normalized pair (`"a:b"`, a > b) with the batchId as the LWW
+  * version. Nothing is merged or recomputed at write time, so the
+  * write path is O(new edges) — and foreachBatch's at-least-once
+  * re-delivery is absorbed structurally: a replayed batch overwrites
+  * its own rows with identical content (edge identity IS the pk), so
+  * the journal after a replay is byte-equal to the journal before it.
+  * Labels come from [[ConnectedComponents.starContraction]] over the
+  * journal at read time — the same O(log n)-round fixpoint the batch
+  * queries grade against the DuckDB oracle, so streamed labels agree
+  * with a batch recompute BY CONSTRUCTION of the shared operator
+  * (StreamingClustersSpec pins it end-to-end).
+  *
+  * Scale shape: the journal holds one row per DISTINCT near-dup pair
+  * ever observed — the same cardinality the batch pipeline's verified
+  * pair table materializes (capped upstream by
+  * [[graft.ops.Blocking]]'s per-block pair caps), not per event and
+  * not per re-delivery. The read-side contraction is priced per
+  * CONSULTATION, not per batch; a consumer that needs labels each
+  * batch would instead fold [[labels]]' output back into the journal
+  * as star edges (x74's history-compaction move — connectivity
+  * preserved, O(nodes) rows) via a maintenance rewrite once the table
+  * layer grows row deletion; until then the journal is append-shaped
+  * and bounded by distinct-pair cardinality.
+  */
+object StreamingClusters {
+
+  /** foreachBatch hook for a [[DupCandidate]] stream
+    * (`keeperId`, `dupId`, `band`): journal the batch's distinct
+    * normalized edges, replay-idempotently. Empty batches commit
+    * nothing (no version churn from quiet micro-batches). */
+  def updateBatch(store: String)(batch: DataFrame, batchId: Long): Unit = {
+    val edges = batch.select(
+        greatest(col("keeperId"), col("dupId")).as("a"),
+        least(col("keeperId"), col("dupId")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("pk", concat_ws(":", col("a"), col("b")))
+      .withColumn("ver", lit(batchId))
+    if (!edges.isEmpty)
+      DimStore.upsert(batch.sparkSession, store, edges, "pk", "ver")
+  }
+
+  /** Current (id, rep) keeper labels from the journal — component
+    * minima, identical semantics to x28/x73/x74. Returns a PERSISTED
+    * frame (contraction materializes its fixpoint); callers that are
+    * done with it may unpersist. Empty store → empty labels. */
+  def labels(spark: SparkSession, store: String): DataFrame =
+    DimStore.readIfExists(spark, store) match {
+      case Some(df) =>
+        ConnectedComponents.starContraction(df.select(col("a"), col("b")))
+      case None =>
+        spark.range(0).select(col("id"), col("id").as("rep"))
+    }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.{StreamingClusters, StreamingNearDup}
+
+/** Top-level for the encoder, like SketchEv. */
+case class ClusterDoc(doc_id: Long, text: String)
+
+/** End-to-end streaming dedup clustering: docs → [[StreamingNearDup]]
+  * candidates → [[StreamingClusters]] edge journal → labels-on-read.
+  * Pins the three contracts the design claims: streamed labels equal a
+  * batch recompute over the same corpus, clusters MERGE when a later
+  * batch bridges them, and at-least-once re-delivery of a batch leaves
+  * labels unchanged. */
+class StreamingClustersSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private val base = Seq.tabulate(40)(i => s"tok${i % 13} word$i").mkString(" ")
+  /** Exact-shingle duplicates of `base` band-collide in every band. */
+  private def doc(id: Long, text: String) = ClusterDoc(id, text)
+  private def unrelated(id: Long) =
+    ClusterDoc(id, Seq.tabulate(30)(j => s"u${id}t$j distinct$id$j").mkString(" "))
+
+  private def labelMap(store: String): Map[Long, Long] = {
+    val l = StreamingClusters.labels(spark, store)
+    val m = l.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l.unpersist()
+    m
+  }
+
+  test("stream → journal → labels equals batch recompute; merge and replay hold") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = Files.createTempDirectory("clu-store").toString + "/edges"
+    val chk = Files.createTempDirectory("clu-chk").toString
+
+    // batch 1: {0,1} dup pair, {7} unrelated. batch 2: {2} dups base →
+    // joins 0/1's bucket; {8,9} a separate near-dup pair on disjoint
+    // vocabulary (MinHash lowercases, so a case-variant would NOT be a
+    // separate cluster).
+    val other = Seq.tabulate(40)(i => s"zed${i % 11} item$i").mkString(" ")
+    val b1 = Seq(doc(0, base), doc(1, base + " tail"), unrelated(7))
+    val b2 = Seq(doc(2, base + " tail two"), doc(8, other),
+      doc(9, other + " extra"))
+
+    val mem = MemoryStream[ClusterDoc]
+    val q = StreamingNearDup(mem.toDF()).toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch(StreamingClusters.updateBatch(store) _)
+      .start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val after1 = labelMap(store)
+      // 0 and 1 share every MinHash band (near-identical text) → one
+      // cluster keeping the min id; 7 collides with nobody
+      after1.getOrElse(1L, -1L) shouldBe 0L
+      after1.keySet should not contain 7L
+
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = labelMap(store)
+    // doc 2 bridges into {0,1}; {8,9} form their own cluster
+    streamed.getOrElse(2L, -1L) shouldBe 0L
+    streamed.getOrElse(9L, -1L) shouldBe 8L
+
+    // batch recompute over the same corpus through the same detector
+    // (batch mode = empty initial state) must give the same components
+    val all = (b1 ++ b2).toDF()
+    val batchLabels = {
+      val edges = StreamingNearDup(all).toDF()
+        .select($"keeperId".as("a"), $"dupId".as("b"))
+      val l = graft.ops.ConnectedComponents.starContraction(edges)
+      val m = l.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      l.unpersist()
+      m
+    }
+    streamed shouldBe batchLabels
+
+    // at-least-once re-delivery: re-apply batch 2's candidates under
+    // the same batchId — the journal overwrites itself, labels frozen
+    val replay = StreamingNearDup(b2.toDF()).toDF()
+    StreamingClusters.updateBatch(store)(replay, batchId = 1L)
+    labelMap(store) shouldBe streamed
+  }
+
+  test("empty store and empty batches") {
+    val store = Files.createTempDirectory("clu-empty").toString + "/edges"
+    labelMap(store) shouldBe Map.empty
+    val s = spark
+    import s.implicits._
+    // an all-unique batch journals nothing (no version churn)
+    val quiet = StreamingNearDup(Seq(unrelated(100), unrelated(101)).toDF()).toDF()
+    StreamingClusters.updateBatch(store)(quiet, batchId = 0L)
+    labelMap(store) shouldBe Map.empty
+  }
+}
