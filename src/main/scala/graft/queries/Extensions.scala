@@ -3763,11 +3763,18 @@ object Extensions {
     },
     Some(PqOracleSql))
 
-  /** x72's oracle: the unrolled seed-assign → decimal-mean refine →
-    * encode → ADC chain, one CTE block per subspace (x18's
-    * KmAssign2SqlCtes pattern at PQ shape). */
-  private lazy val PqOracleSql: String = {
-    def off(m: Int) = m * PqD
+  private def pqOff(m: Int) = m * PqD
+
+  /** PQ oracle CTE builder — the unrolled seed-assign → decimal-mean
+    * refine → encode chain (x18's KmAssign2SqlCtes pattern at PQ
+    * shape) over `src`, a CTE exposing `(vec_id, $vcol)` with `$vcol`
+    * a 64-dim DOUBLE list. Emits `${p}e`, `${p}seeds`,
+    * `${p}a/m/cl/r$m`, and `${p}codes(vec_id, code0..3)`; the caller
+    * writes its own scoring tail referencing `${p}codes` and
+    * `${p}r$m`. Shared by x72 (raw vectors) and x75 (IVF residuals —
+    * the codebooks train on whatever `src` holds). */
+  private def pqSqlCtes(p: String, src: String, vcol: String): String = {
+    def off = pqOff _
     // distance of v's subspace m to seed k's matching subvector
     def dSeed(m: Int, k: Int) =
       s"list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
@@ -3776,21 +3783,21 @@ object Extensions {
                        WHEN d1 <= d2 AND d1 <= d3 THEN 1
                        WHEN d2 <= d3 THEN 2 ELSE 3 END"""
     val perSub = (0 until PqM).map { m =>
-      s"""a$m AS (
+      s"""${p}a$m AS (
         SELECT vec_id, v, $pick AS c
         FROM (SELECT vec_id, v,
               ${(0 until PqK).map(k => s"${dSeed(m, k)} AS d$k").mkString(",\n              ")}
-              FROM e, seeds k)),
-      m$m AS (
+              FROM ${p}e, ${p}seeds k)),
+      ${p}m$m AS (
         SELECT c AS cluster, pos,
           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS cc
         FROM (SELECT c, unnest(v[${off(m) + 1}:${off(m) + PqD}]) AS x,
-                     unnest(range(1, ${PqD + 1})) AS pos FROM a$m)
+                     unnest(range(1, ${PqD + 1})) AS pos FROM ${p}a$m)
         GROUP BY c, pos),
-      cl$m AS (SELECT cluster, list(cc ORDER BY pos) AS cc FROM m$m GROUP BY cluster),
-      r$m AS (SELECT ${(0 until PqK).map(k =>
-          s"COALESCE((SELECT cc FROM cl$m WHERE cluster = $k), " +
-          s"(SELECT v[${off(m) + 1}:${off(m) + PqD}] FROM e WHERE vec_id = $k)) AS r$k")
+      ${p}cl$m AS (SELECT cluster, list(cc ORDER BY pos) AS cc FROM ${p}m$m GROUP BY cluster),
+      ${p}r$m AS (SELECT ${(0 until PqK).map(k =>
+          s"COALESCE((SELECT cc FROM ${p}cl$m WHERE cluster = $k), " +
+          s"(SELECT v[${off(m) + 1}:${off(m) + PqD}] FROM ${p}e WHERE vec_id = $k)) AS r$k")
           .mkString(", ")})"""
     }.mkString(",\n      ")
     // distance of v's subspace m to refined centroid k (16-long list)
@@ -3804,6 +3811,21 @@ object Extensions {
     }.mkString(",\n          ")
     val refDists = (for (m <- 0 until PqM; k <- 0 until PqK)
       yield s"${dRef(m, k)} AS d$m$k").mkString(",\n              ")
+    s"""${p}e AS (SELECT vec_id, $vcol AS v FROM $src),
+      ${p}seeds AS (SELECT ${(0 until PqK).map(k =>
+        s"(SELECT v FROM ${p}e WHERE vec_id = $k) AS s$k").mkString(", ")}),
+      $perSub,
+      ${p}codes AS (
+        SELECT vec_id,
+          $codeCols
+        FROM (SELECT vec_id,
+              $refDists
+              FROM ${p}e, ${p}r0 t0, ${p}r1 t1, ${p}r2 t2, ${p}r3 t3))"""
+  }
+
+  /** x72's oracle: the builder chain over the raw vectors + ADC tail. */
+  private lazy val PqOracleSql: String = {
+    def off = pqOff _
     def adcTerm(m: Int) =
       s"""(CASE c.code$m ${(0 until PqK).map(k =>
           s"WHEN $k THEN list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
@@ -3811,21 +3833,13 @@ object Extensions {
           .mkString(" ")} END)"""
     s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      seeds AS (SELECT ${(0 until PqK).map(k =>
-        s"(SELECT v FROM e WHERE vec_id = $k) AS s$k").mkString(", ")}),
-      $perSub,
-      codes AS (
-        SELECT vec_id,
-          $codeCols
-        FROM (SELECT vec_id,
-              $refDists
-              FROM e, r0 t0, r1 t1, r2 t2, r3 t3)),
+      ${pqSqlCtes("pq", "e", "v")},
       qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
       scored AS (
         SELECT q.query_id, c.vec_id,
           (c.code0::VARCHAR || c.code1::VARCHAR || c.code2::VARCHAR || c.code3::VARCHAR) AS pq_code,
           CAST(round(1e6 * (${(0 until PqM).map(adcTerm).mkString(" + ")})) AS BIGINT) AS adc_ppm
-        FROM codes c, qs q, r0 t0, r1 t1, r2 t2, r3 t3
+        FROM pqcodes c, qs q, pqr0 t0, pqr1 t1, pqr2 t2, pqr3 t3
         WHERE c.vec_id <> q.query_id)
       SELECT query_id, vec_id, pq_code, adc_ppm, rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3885,21 +3899,149 @@ object Extensions {
     "x74_cc_incremental",
     (s, dir) => {
       import s.implicits._
+      // the history label table is what a continuous pipeline already
+      // HOLDS when a batch arrives — staged once per dataset version
+      // (the x28_labels precedent), so the query prices exactly the
+      // incremental work: history star edges + the batch's pairs, one
+      // contraction. The inner persisted() registers the build's
+      // cached fixpoint with the session cache so the bench's
+      // clearPersistedIntermediates releases it.
+      val histPath = graft.ops.Staging.ensure("x74_hist_labels", dir,
+        Seq("documents")) {
+        persisted(s, "x74_hist_labels_build", dir) {
+          graft.ops.ConnectedComponents.starContraction(
+            neardupPairs(s, dir)
+              .filter($"doc_a" % 10 =!= 0 && $"doc_b" % 10 =!= 0)
+              .select($"doc_a".as("a"), $"doc_b".as("b")))
+        }
+      }
       persisted(s, "x74_labels", dir) {
-        val p = neardupPairs(s, dir).select($"doc_a".as("a"), $"doc_b".as("b"))
-        // history = deduped offline once; batch = the arriving tenth
-        val hist = p.filter($"a" % 10 =!= 0 && $"b" % 10 =!= 0)
-        val incr = p.filter($"a" % 10 === 0 || $"b" % 10 === 0)
-        val histLabels = graft.ops.ConnectedComponents.starContraction(hist)
-        val histStars = histLabels.filter($"id" =!= $"rep")
+        // batch = the arriving tenth (x37's split)
+        val incr = neardupPairs(s, dir)
+          .filter($"doc_a" % 10 === 0 || $"doc_b" % 10 === 0)
+          .select($"doc_a".as("a"), $"doc_b".as("b"))
+        val histStars = s.read.parquet(histPath)
+          .filter($"id" =!= $"rep")
           .select($"id".as("a"), $"rep".as("b"))
-        val out = graft.ops.ConnectedComponents.starContraction(
+        graft.ops.ConnectedComponents.starContraction(
           histStars.unionByName(incr))
-        histLabels.unpersist()
-        out
       }.select($"id".as("doc_id"), $"rep".as("cluster_rep"))
     },
     Some(CcOracleSql))
+
+  // ---------------------------------------------------------------------
+  // x75 — IVFADC: the full published retrieval system (Jégou/Douze/
+  // Schmid, TPAMI 2011 §IV) the ANN family builds toward — IVF coarse
+  // quantization (x12's inverted lists: SAME fixed centroids, SAME
+  // cosine assignment) in front of product quantization of the
+  // RESIDUAL v − c(list) (x72's parametric machinery, codebooks
+  // trained on residuals), scored by per-(query, probed-list) ADC:
+  // the query is residualized against each probed list's centroid
+  // before the lookup-table scan. Residuals are the paper's point —
+  // after the coarse centroid is subtracted, per-subspace variance
+  // drops and the same K covers the remainder finer than it covers
+  // raw vectors. Scale shape: the scan reads |corpus|·probes/k_coarse
+  // rows of ONE byte of codes each; codebooks, probe table, and every
+  // per-(query,list) LUT are driver literals (M·K doubles per pair).
+  // Determinism: the x72 contract end-to-end, with the query residual
+  // computed subtract-then-fold in the same order on both engines.
+  val x75 = Q(
+    "x75_ivfadc",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+      val cents = e.filter($"vec_id".isin(IvfCentroids: _*))
+        .select($"vec_id".as("cent_id"), $"v".as("cv"))
+      def ranked(src: DataFrame, rankCol: String) = {
+        val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+        src.join(broadcast(cents))
+          .withColumn("ccos", cosine($"v", $"cv"))
+          .withColumn(rankCol, row_number().over(w))
+      }
+      val lists = ranked(e.select($"vec_id", $"v"), "crank")
+        .filter($"crank" === 1)
+        .select($"vec_id", $"cent_id".as("list_id"),
+          zip_with($"v", $"cv", (x, y) => x - y).as("rv"))
+      val model = graft.ops.ProductQuantizer.train(
+        lists.select($"vec_id", $"rv"), "vec_id", "rv",
+        dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
+      val codes = graft.ops.ProductQuantizer.encode(lists, "rv", model)
+        .drop("rv")
+      // each query's top-2 lists, with query vector and probed list's
+      // centroid collected so the LUT residualizes on the driver
+      val probeRows = ranked(e.filter($"vec_id" <= 2).select($"vec_id", $"v"), "crank")
+        .filter($"crank" <= IvfProbes)
+        .select($"vec_id", $"cent_id", $"v", $"cv")
+        .collect()
+        .map { r =>
+          val qv: Array[Double] = r.getSeq[Double](2).toArray
+          val cv: Array[Double] = r.getSeq[Double](3).toArray
+          (r.getLong(0), r.getLong(1),
+            Array.tabulate(qv.length)(i => qv(i) - cv(i)))
+        }
+      val adc = probeRows.map { case (qi, li, rq) =>
+        when($"query_id" === qi && $"list_id" === li,
+          graft.ops.ProductQuantizer.adcDistance(rq, model))
+      }.reduce(coalesce(_, _))
+      val probes = probeRows.map { case (qi, li, _) => (qi, li) }
+        .toSeq.toDF("query_id", "list_id")
+      val w = Window.partitionBy($"query_id").orderBy($"adc_ppm".asc, $"vec_id")
+      codes.join(broadcast(probes), Seq("list_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("adc_ppm", round(lit(1e6) * adc).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"list_id", $"adc_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcOracleSql))
+
+  /** x75's oracle: x12's assignment CTEs → residuals → the PQ builder
+    * chain over them → per-(query, list) residualized ADC tail. */
+  private lazy val IvfAdcOracleSql: String = {
+    def off = pqOff _
+    def adcTerm(m: Int) =
+      s"""(CASE c.code$m ${(0 until PqK).map(k =>
+          s"WHEN $k THEN list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+          s"((p.qv[${off(m)} + i] - p.cv[${off(m)} + i]) - t$m.r$k[i]) * " +
+          s"((p.qv[${off(m)} + i] - p.cv[${off(m)} + i]) - t$m.r$k[i])))")
+          .mkString(" ")} END)"""
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        WHERE vec_id IN (${IvfCentroids.mkString(", ")})
+      ), assign AS (
+        SELECT e.vec_id, e.v, c.cent_id, c.cv,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.cent_id) AS crank
+        FROM e, cents c
+      ), lists AS (
+        SELECT vec_id, cent_id AS list_id,
+          list_transform(range(1, ${PqM * PqD + 1}), i -> v[i] - cv[i]) AS rv
+        FROM assign WHERE crank = 1
+      ),
+      ${pqSqlCtes("rq", "lists", "rv")},
+      probes AS (
+        SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, cv
+        FROM assign WHERE vec_id <= 2 AND crank <= $IvfProbes
+      ),
+      scored AS (
+        SELECT p.query_id, c.vec_id, l.list_id,
+          CAST(round(1e6 * (${(0 until PqM).map(adcTerm).mkString(" + ")})) AS BIGINT) AS adc_ppm
+        FROM rqcodes c, lists l, probes p, rqr0 t0, rqr1 t1, rqr2 t2, rqr3 t3
+        WHERE l.vec_id = c.vec_id AND l.list_id = p.list_id
+          AND c.vec_id <> p.query_id)
+      SELECT query_id, vec_id, list_id, adc_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_ppm, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
+  }
 
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
@@ -3907,5 +4049,5 @@ object Extensions {
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74)
+    x71, x72, x73, x74, x75)
 }
