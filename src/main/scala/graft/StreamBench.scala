@@ -221,6 +221,25 @@ object StreamBench {
             .foreachBatch { (batch: Dataset[graft.streaming.Bounce], _: Long) =>
               batch.write.mode("append").parquet(s"$dir/bounces")
             }.start()
+        },
+        // dedup-clustering at ingest: every raw line becomes a "doc"
+        // (id = content hash, so exact repeats collapse to one node),
+        // shingled/banded by StreamingNearDup's cross-batch LSH state,
+        // and each batch's candidate edges journal into the versioned
+        // edge store (StreamingClusters: LWW by pair, labels-on-read).
+        // Page-log lines are heavily templated — near-identical JSON —
+        // so this is the adversarial collision load for the bucket
+        // state, not a friendly corpus.
+        "clusters" -> timed("clusters", pass) { (raw, dir) =>
+          val docs = raw.select(xxhash64(col("value")).as("doc_id"),
+            col("value").as("text"))
+          graft.streaming.StreamingNearDup(docs).toDF()
+            .writeStream.queryName(s"clusters_p$pass")
+            .option("checkpointLocation", s"$dir/chk")
+            .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+              graft.streaming.StreamingClusters.updateBatch(s"$dir/edges")(
+                batch.toDF(), bid)
+            }.start()
         })
 
       val p1 = runPass(1)
@@ -238,7 +257,7 @@ object StreamBench {
           num(nEvents / best.sec)},"batches":${best.batches.size},"batch_ms_p50":${
           p50(ms)},"batch_ms_max":${ms.foldLeft(0L)(math.max)}}"""
       }
-      val names = Seq("split", "split_atomic", "uv_dim", "bounce")
+      val names = Seq("split", "split_atomic", "uv_dim", "bounce", "clusters")
       val spread = names.collect {
         case n if math.max(p1(n).sec, p2(n).sec) >
             1.5 * math.min(p1(n).sec, p2(n).sec) &&

@@ -57,6 +57,29 @@ class PqAnnSpec extends AnyFunSuite with Matchers with SparkFixture {
     sqErr(m1) should be <= sqErr(m0)
   }
 
+  test("ADC of a codebook-reconstructed vector is exactly zero") {
+    val s = spark
+    import s.implicits._
+    val model = ProductQuantizer.train(e, "vec_id", "v", 64, m = 4, k = 4, rounds = 1)
+    // synthesize vectors that ARE centroid concatenations: quantizing
+    // one must reproduce its own codes, and the ADC LUT against itself
+    // must sum exact 0.0 terms — pins that the driver-side LUT fold
+    // and the executor-side assignment fold see identical doubles
+    val recon = (0 until 4).map { k =>
+      (k.toLong, (0 until 4).flatMap(mi => model.codebooks(mi)(k)).toArray.toSeq)
+    }.toDF("vec_id", "v")
+    val coded = ProductQuantizer.encode(recon, "v", model)
+    coded.collect().foreach { r =>
+      val k = r.getLong(0).toInt
+      (0 until 4).foreach(mi => r.getInt(2 + mi) shouldBe k)
+    }
+    val q = (0 until 4).flatMap(mi => model.codebooks(mi)(2)).toArray
+    val adc = coded.filter($"vec_id" === 2L)
+      .select(ProductQuantizer.adcDistance(q, model).as("d"))
+      .head().getDouble(0)
+    adc shouldBe 0.0
+  }
+
   test("recall@10 at (m=8, k=16) clears the measured floor; ADC orders sanely") {
     val s = spark
     import s.implicits._
