@@ -680,26 +680,41 @@ object Extensions {
   private val IvfCentroids = Seq(10L, 20L, 30L, 40L)
   private val IvfProbes = 2
 
+  /** IVF coarse-quantizer kit shared by x12 and x75: the 4 centroid
+    * vectors are COLLECTED once (the x18 tiny-state pattern) and come
+    * back as literals, so per-row ranking is 4 cosine folds + one
+    * 4-element sort_array — a PURE NARROW MAP with no corpus×4 join
+    * and no per-vec_id window shuffle (the original join+window
+    * formulation shuffled the whole ×4-amplified corpus just to pick
+    * each row's argmax). Structs sort DESC on (ccos, -cent_id), which
+    * reproduces the oracle's ROW_NUMBER (ccos DESC, cent_id ASC) tie
+    * semantics exactly; the ccos values are the same [[cosine]] fold,
+    * so the ordering is ulp-identical to the joined form. */
+  private def ivfCentroidRows(e: DataFrame): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.functions.col
+    e.filter(col("vec_id").isin(IvfCentroids: _*)).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("v"))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+  }
+  private def ivfRanked(centRows: Seq[(Long, Seq[Double])], vc: Column): Column =
+    sort_array(array(centRows.map { case (cid, cv) =>
+      struct(cosine(vc, typedlit(cv)).as("c"), lit(-cid).as("nid"))
+    }: _*), asc = false)
+
   val x12 = Q(
     "x12_ann_ivf",
     (s, dir) => {
       import s.implicits._
       val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
-      val cents = e.filter($"vec_id".isin(IvfCentroids: _*))
-        .select($"vec_id".as("cent_id"), $"v".as("cv"))
-      // nearest centroid per vector (rank 1 = inverted-list assignment,
-      // rank <= IvfProbes for the query's probe set)
-      def ranked(src: DataFrame, rankCol: String) = {
-        val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-        src.join(broadcast(cents))
-          .withColumn("ccos", cosine($"v", $"cv"))
-          .withColumn(rankCol, row_number().over(w))
-      }
-      val lists = ranked(e, "crank").filter($"crank" === 1)
-        .select($"vec_id", $"v", $"cent_id".as("list_id"))
-      val probes = ranked(e.filter($"vec_id" <= 2), "crank")
-        .filter($"crank" <= IvfProbes)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"cent_id".as("list_id"))
+      val centRows = ivfCentroidRows(e)
+      val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
+      val lists = assigned
+        .select($"vec_id", $"v",
+          (-element_at($"cs", 1).getField("nid")).as("list_id"))
+      val probes = assigned.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          explode(slice($"cs", 1, IvfProbes)).as("ps"))
+        .select($"query_id", $"qv", (-$"ps.nid").as("list_id"))
       val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
       lists.join(broadcast(probes), Seq("list_id"))
         .filter($"vec_id" =!= $"query_id")
@@ -3949,34 +3964,35 @@ object Extensions {
     "x75_ivfadc",
     (s, dir) => {
       import s.implicits._
-      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
-      val cents = e.filter($"vec_id".isin(IvfCentroids: _*))
-        .select($"vec_id".as("cent_id"), $"v".as("cv"))
-      def ranked(src: DataFrame, rankCol: String) = {
-        val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-        src.join(broadcast(cents))
-          .withColumn("ccos", cosine($"v", $"cv"))
-          .withColumn(rankCol, row_number().over(w))
-      }
-      val lists = ranked(e.select($"vec_id", $"v"), "crank")
-        .filter($"crank" === 1)
-        .select($"vec_id", $"cent_id".as("list_id"),
-          zip_with($"v", $"cv", (x, y) => x - y).as("rv"))
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      // map-side inverted-list assignment via the shared IVF kit (see
+      // ivfCentroidRows/ivfRanked above x12): no corpus×4 join, no
+      // window shuffle — the assignment leg is a pure narrow map
+      val centRows = ivfCentroidRows(e)
+      val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
+        .withColumn("list_id", -element_at($"cs", 1).getField("nid"))
+      val lists = assigned.select($"vec_id", $"list_id",
+        centRows.map { case (cid, cv) =>
+          when($"list_id" === cid, zip_with($"v", typedlit(cv), (x, y) => x - y))
+        }.reduce(coalesce(_, _)).as("rv"))
       val model = graft.ops.ProductQuantizer.train(
         lists.select($"vec_id", $"rv"), "vec_id", "rv",
         dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
       val codes = graft.ops.ProductQuantizer.encode(lists, "rv", model)
         .drop("rv")
-      // each query's top-2 lists, with query vector and probed list's
-      // centroid collected so the LUT residualizes on the driver
-      val probeRows = ranked(e.filter($"vec_id" <= 2).select($"vec_id", $"v"), "crank")
-        .filter($"crank" <= IvfProbes)
-        .select($"vec_id", $"cent_id", $"v", $"cv")
+      // each query's top-2 lists through the SAME expression path (so
+      // ordering is ulp-identical), then residualized on the driver
+      val centMap = centRows.toMap
+      val probeRows = assigned.filter($"vec_id" <= 2)
+        .select($"vec_id", $"v", explode(slice($"cs", 1, IvfProbes)).as("ps"))
+        .select($"vec_id", $"v", (-$"ps.nid").as("list_id"))
         .collect()
         .map { r =>
-          val qv: Array[Double] = r.getSeq[Double](2).toArray
-          val cv: Array[Double] = r.getSeq[Double](3).toArray
-          (r.getLong(0), r.getLong(1),
+          val qv: Array[Double] = r.getSeq[Double](1).toArray
+          val li = r.getLong(2)
+          val cv = centMap(li)
+          (r.getLong(0), li,
             Array.tabulate(qv.length)(i => qv(i) - cv(i)))
         }
       val adc = probeRows.map { case (qi, li, rq) =>

@@ -89,9 +89,10 @@ object CcProbe {
       (comps, rounds, true)
     }
 
-    def run(shape: String, n: Long, edges: DataFrame): Unit = {
+    def run(shape: String, n: Long, edges: DataFrame,
+            algos: Seq[String] = Seq("star", "prop")): Unit = {
       val eCount = edges.count()
-      for (algo <- Seq("star", "prop")) {
+      for (algo <- algos) {
         val t0 = System.nanoTime()
         val (comps, rounds, converged) =
           if (algo == "star") star(edges) else propagate(edges, propCap)
@@ -104,6 +105,12 @@ object CcProbe {
     run("chain", 4096, chain(4096))
     run("rand", 100000, rand(100000, 80000))
     run("rand", 1000000, rand(1000000, 800000))
+    // `big` arg: the ×100 star-only point (propagation at this scale
+    // would spend its 64-round cap on ~hour-long join churn — the
+    // probe's table already shows it DNFs two orders of magnitude
+    // earlier)
+    if (args.contains("big"))
+      run("rand", 10000000, rand(10000000L, 8000000L), Seq("star"))
     spark.stop()
   }
 }

@@ -174,6 +174,24 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x12/x75: IVF list assignment is a pure narrow map — no corpus " +
+       "window, no corpus-side shuffle before candidate scoring") {
+    for (q <- Seq(Extensions.x12, Extensions.x75)) {
+      val p = plan(q)
+      withClue(s"${q.name} plan:\n$p\n") {
+        // the ×4-amplified join + per-vec_id row_number the original
+        // formulation paid is gone: every Window left is the per-QUERY
+        // top-k cut (3 partitions), and the only shuffles are that
+        // cut's — centroids/codebooks/probes all arrive as literals or
+        // broadcasts
+        p should not include "SortMergeJoin"
+        p should not include "CartesianProduct"
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+        exchanges should be <= 1
+      }
+    }
+  }
+
   test("w16: window heavy-hitters ride one keyed sketch aggregation") {
     val p = plan(graft.queries.Warehouse.w16)
     p should include("ObjectHashAggregate")
