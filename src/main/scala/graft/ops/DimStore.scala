@@ -889,6 +889,46 @@ object DimStore {
     }
   }
 
+  /** Full-content REWRITE as one optimistic commit: replace the
+    * current snapshot with `transform(snapshot)` — the table layer's
+    * row-deletion and shrink primitive (DELETE, retention pruning,
+    * and journal compaction are all "rewrite with a smaller frame";
+    * [[upsert]] can only ever add or overwrite rows). Keeps the
+    * fan-out and re-buckets the new content by `pk`. The transform is
+    * RE-APPLIED per attempt against the freshly-resolved base, so
+    * losing the commit race to a concurrent upsert recomputes over
+    * the merged snapshot — a rewrite can never silently drop a racing
+    * commit's rows. History stays time-travelable until vacuumed,
+    * same as [[compact]]/[[rebucket]]; same loser-retries protocol.
+    * The transform must preserve the table's column schema. */
+  def rewrite(spark: SparkSession, path: String, pk: String)
+             (transform: DataFrame => DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, fs, path)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val base = latest(path).getOrElse(throw new IllegalStateException(
+        s"rewrite needs a versioned table at $path; commit an upsert first"))
+      val df = readSnapshot(spark, path, base).getOrElse(
+        throw new IllegalStateException(s"nothing to rewrite at $path"))
+      val replaced = transform(df)
+        .withColumn(BucketCol, bucketOf(pk, base.buckets))
+      val gen = writeGen(replaced, path, base.version + 1)
+      val next = Manifest(base.version + 1, base.buckets,
+        bucketDirsOf(path, gen).map(_ -> gen).toMap)
+      if (tryCommit(path, next)) {
+        syncView(spark, path)
+        done = true
+      } else {
+        store(path).deleteTree(s"${gensDir(path)}/$gen")
+        attempt += 1
+        if (attempt > 50) throw new java.util.ConcurrentModificationException(
+          s"lost the rewrite commit race $attempt times at $path")
+      }
+    }
+  }
+
   /** Small-file compaction: rewrite the current version toward
     * `targetFileBytes` files as a NEW commit via the same optimistic
     * protocol — historical versions stay time-travelable until

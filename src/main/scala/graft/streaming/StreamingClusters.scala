@@ -30,12 +30,10 @@ import graft.ops.{ConnectedComponents, DimStore}
   * pair table materializes (capped upstream by
   * [[graft.ops.Blocking]]'s per-block pair caps), not per event and
   * not per re-delivery. The read-side contraction is priced per
-  * CONSULTATION, not per batch; a consumer that needs labels each
-  * batch would instead fold [[labels]]' output back into the journal
-  * as star edges (x74's history-compaction move — connectivity
-  * preserved, O(nodes) rows) via a maintenance rewrite once the table
-  * layer grows row deletion; until then the journal is append-shaped
-  * and bounded by distinct-pair cardinality.
+  * CONSULTATION, not per batch, and [[compactJournal]] periodically
+  * folds the labels back in as star edges (x74's history-compaction
+  * move), bounding the journal at O(clustered docs) regardless of how
+  * many redundant pairs the detector has emitted.
   */
 object StreamingClusters {
 
@@ -66,4 +64,29 @@ object StreamingClusters {
       case None =>
         spark.range(0).select(col("id"), col("id").as("rep"))
     }
+
+  /** Journal COMPACTION: replace the stored edge set with the star
+    * edges of its own components ([[graft.ops.DimStore.rewrite]] — one
+    * optimistic commit, re-derived per attempt so a racing
+    * `updateBatch` is never dropped). Connectivity-preserving, so
+    * [[labels]] before and after agree exactly, while the journal
+    * shrinks from O(observed pairs) to O(clustered docs). A batch
+    * replayed from BEFORE the compaction re-journals edges the stars
+    * already absorb — redundant rows, never wrong labels (adding
+    * absorbed edges cannot change components). Star rows carry
+    * `ver = -1`: any later journaled edge that collides on the same
+    * pair pk wins the LWW merge with identical (a, b) content.
+    * Periodic maintenance, like vacuum/compact. */
+  def compactJournal(spark: SparkSession, store: String): Unit = {
+    if (DimStore.readIfExists(spark, store).isEmpty) return // nothing journaled yet
+    val built = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try DimStore.rewrite(spark, store, "pk") { df =>
+      val l = ConnectedComponents.starContraction(df.select(col("a"), col("b")))
+      built += l
+      l.filter(col("id") =!= col("rep"))
+        .select(col("id").as("a"), col("rep").as("b"))
+        .withColumn("pk", concat_ws(":", col("a"), col("b")))
+        .withColumn("ver", lit(-1L))
+    } finally built.foreach(f => try f.unpersist() catch { case _: Throwable => () })
+  }
 }

@@ -91,8 +91,41 @@ class StreamingClustersSpec extends AnyFunSuite with Matchers with SparkFixture 
     labelMap(store) shouldBe streamed
   }
 
+  test("journal compaction: labels preserved, rows shrink, replay and " +
+       "later merges still correct") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("clu-compact").toString + "/edges"
+    def cands(pairs: (Long, Long)*) =
+      pairs.toDF("keeperId", "dupId")
+    // chain {0,1,2} with a redundant closing edge, plus island {5,6}
+    StreamingClusters.updateBatch(store)(
+      cands((0L, 1L), (1L, 2L), (0L, 2L), (5L, 6L)).toDF(), 0L)
+    val before = labelMap(store)
+    before shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L)
+    val rowsBefore = graft.ops.DimStore.read(s, store).count()
+
+    StreamingClusters.compactJournal(s, store)
+    labelMap(store) shouldBe before
+    val rowsAfter = graft.ops.DimStore.read(s, store).count()
+    // 4 observed pairs collapse to 3 star edges (one per non-rep doc)
+    rowsAfter shouldBe 3L
+    rowsAfter should be < rowsBefore
+
+    // a batch replayed from BEFORE the compaction re-journals absorbed
+    // edges: redundant rows, identical labels
+    StreamingClusters.updateBatch(store)(cands((1L, 2L)).toDF(), 0L)
+    labelMap(store) shouldBe before
+
+    // and a LATER batch still merges clusters across the compaction
+    StreamingClusters.updateBatch(store)(cands((2L, 5L)).toDF(), 1L)
+    labelMap(store).values.toSet shouldBe Set(0L)
+  }
+
   test("empty store and empty batches") {
     val store = Files.createTempDirectory("clu-empty").toString + "/edges"
+    labelMap(store) shouldBe Map.empty
+    StreamingClusters.compactJournal(spark, store) // no journal: no-op
     labelMap(store) shouldBe Map.empty
     val s = spark
     import s.implicits._
