@@ -374,10 +374,17 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
       DimStore.history(path) shouldBe (1L to 16L)
       DimStore.read(s, path).count() shouldBe 15
       DimStore.read(s, path, asOf = 14L).count() shouldBe 15
+      // full-content rewrite (the DELETE/shrink primitive) rides it
+      // too: retention-prune the worker rows, keep the named ones;
+      // the pruned snapshot is one more time-travelable version
+      DimStore.rewrite(s, path, "id")(df => df.filter($"id" < 100))
+      DimStore.history(path) shouldBe (1L to 17L)
+      DimStore.read(s, path).count() shouldBe 3
+      DimStore.read(s, path, asOf = 16L).count() shouldBe 15
       // vacuum: manifests retire, unreferenced generations delete
       DimStore.vacuum(s, path, keepLast = 2, graceMillis = 0L) should be > 0
-      DimStore.history(path) shouldBe Seq(15L, 16L)
-      DimStore.read(s, path).count() shouldBe 15
+      DimStore.history(path) shouldBe Seq(16L, 17L)
+      DimStore.read(s, path).count() shouldBe 3
       an[IllegalArgumentException] should be thrownBy
         DimStore.read(s, path, asOf = 1L).collect()
       // the root projection (name-based readers) equals the manifest
