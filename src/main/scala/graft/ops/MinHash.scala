@@ -41,12 +41,15 @@ object MinHash {
     * md5 per distinct shingle, no hex round-trip) — bit parity with
     * [[TrigramExpr]]'s interpreted chain is pinned by MinHashSigSpec. */
   def shingleHashes(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge
+    val carried = carry.map(col)
     docs
-      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
-      .select(col("doc_id"), GraftPlanBridge.col(graft.functions.ShingleHashes(
-        GraftPlanBridge.expr(col("toks")))).as("hs"))
+      .select(col(idCol).as("doc_id") +:
+        split(lower(col(textCol)), " ").as("toks") +: carried: _*)
+      .select(col("doc_id") +: GraftPlanBridge.col(graft.functions.ShingleHashes(
+        GraftPlanBridge.expr(col("toks")))).as("hs") +: carried: _*)
       .filter(size(col("hs")) > 0)
   }
 
@@ -54,21 +57,25 @@ object MinHash {
     * (doc_id, band, k1, k2), one row per band. The K minima come from
     * ONE pass over the hash array ([[graft.functions.MinHashSig]])
     * instead of K array_min(transform(...)) walks. */
-  def bands(hs: DataFrame): DataFrame = {
+  def bands(hs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge
-    val sig = hs.select(col("doc_id"), GraftPlanBridge.col(
+    val carried = carry.map(col)
+    val sig = hs.select(col("doc_id") +: GraftPlanBridge.col(
       graft.functions.MinHashSig(GraftPlanBridge.expr(col("hs")), Seeds))
-      .as("sig"))
-    sig.select(col("doc_id"), explode(array(
+      .as("sig") +: carried: _*)
+    sig.select(col("doc_id") +: explode(array(
       (0 until B).map(b => struct(lit(b).as("band"),
         col("sig").getItem(2 * b).as("k1"),
-        col("sig").getItem(2 * b + 1).as("k2"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.k1").as("k1"), col("bb.k2").as("k2"))
+        col("sig").getItem(2 * b + 1).as("k2"))): _*)).as("bb") +: carried: _*)
+      .select(col("doc_id") +: col("bb.band").as("band") +:
+        col("bb.k1").as("k1") +: col("bb.k2").as("k2") +: carried: _*)
   }
 
-  /** docs → band-key rows in one call (the streaming entry point). */
+  /** docs → band-key rows in one call (the streaming entry point).
+    * `carry` names extra columns to pass through untouched (e.g. an
+    * event-time column for TTL'd streaming state). */
   def bandRows(docs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame =
-    bands(shingleHashes(docs, idCol, textCol))
+               textCol: String = "text",
+               carry: Seq[String] = Nil): DataFrame =
+    bands(shingleHashes(docs, idCol, textCol, carry), carry)
 }

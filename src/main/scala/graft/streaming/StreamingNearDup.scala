@@ -17,6 +17,14 @@ final case class DupCandidate(keeperId: Long, dupId: Long, band: Int)
   * cannot get a Spark encoder. */
 final case class BandKey(band: Int, k1: Long, k2: Long)
 
+/** A band row carrying its event time — [[StreamingNearDup.withTtl]]'s
+  * input shape. */
+final case class DocBandT(doc_id: Long, band: Int, k1: Long, k2: Long,
+                          eventTime: java.sql.Timestamp)
+
+/** TTL'd bucket state: the keeper + when the bucket last saw traffic. */
+final case class BucketAnchor(anchor: Long, lastSeenMs: Long)
+
 /** Continuous MinHash+LSH near-dup detection — the streaming form of
   * the batch x02 pipeline, for dedup-at-ingest: every incoming doc is
   * shingled/minhashed/banded by the SAME [[graft.ops.MinHash]] map the
@@ -28,10 +36,11 @@ final case class BandKey(band: Int, k1: Long, k2: Long)
   * Scale shape: band generation is a narrow map (zero shuffle); the
   * state lookup shuffles on the band key exactly like the batch band
   * equi-join, and state is ONE long per occupied bucket — proportional
-  * to corpus signature diversity, not event volume. Production would
-  * bound it with a state TTL (reingest-window semantics) and verify
-  * candidates with the exact-Jaccard join against the doc store; both
-  * are downstream of the detection this operator owns. Reference
+  * to corpus signature diversity, not event volume — and [[withTtl]]
+  * bounds it further to the LIVE reingest window via event-time state
+  * expiry. Production would verify candidates with the exact-Jaccard
+  * join against the doc store, downstream of the detection this
+  * operator owns. Reference
   * analogue: the keyed ValueState dedup shape of
   * DwdTrafficUniqueVisitorDetail.java:57-80, keyed by LSH bucket
   * instead of device id.
@@ -62,5 +71,57 @@ object StreamingNearDup {
       .as[DocBand]
       .groupByKey(r => BandKey(r.band, r.k1, r.k2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+
+  private def processTtl(ttlMs: Long)(
+      key: BandKey, rows: Iterator[DocBandT],
+      state: GroupState[BucketAnchor]): Iterator[DupCandidate] = {
+    if (state.hasTimedOut) {
+      // reingest window closed: forget the anchor — the next occupant
+      // of this bucket starts a fresh window as its keeper
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val out = Seq.newBuilder[DupCandidate]
+    var st = state.getOption.getOrElse(BucketAnchor(-1L, Long.MinValue))
+    sorted.foreach { r =>
+      if (st.anchor < 0) st = BucketAnchor(r.doc_id, st.lastSeenMs)
+      else if (r.doc_id != st.anchor)
+        out += DupCandidate(st.anchor, r.doc_id, key.band)
+      if (r.eventTime.getTime > st.lastSeenMs)
+        st = st.copy(lastSeenMs = r.eventTime.getTime)
+    }
+    if (st.anchor >= 0) {
+      state.update(st)
+      // expire when the WATERMARK passes lastSeen + ttl; clamp above
+      // the current watermark (setting a timeout at-or-before it is
+      // an error when a straggler arrives inside an already-past
+      // window)
+      state.setTimeoutTimestamp(
+        math.max(st.lastSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+    }
+    out.result().iterator
+  }
+
+  /** TTL'd variant — the reingest-window semantics the production
+    * deployment wants: a bucket's keeper is forgotten once the
+    * WATERMARK passes its last sighting + `ttl`, so state stays
+    * proportional to the signature diversity of the live window
+    * instead of the corpus's full history, and a document re-ingested
+    * after the window re-anchors as a fresh keeper instead of being
+    * flagged against a years-old one. `docs` must carry an event-time
+    * column named `eventTime` WITH a watermark already assigned
+    * (`withWatermark("eventTime", …)`) — the same contract as
+    * [[BounceDetector]]'s timers; event-time timeout keeps expiry
+    * deterministic under replay (a processing-time TTL would re-expire
+    * differently on every recovery). */
+  def withTtl(docs: DataFrame, ttl: java.time.Duration): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    MinHash.bandRows(docs, carry = Seq("eventTime"))
+      .as[DocBandT]
+      .groupByKey(r => BandKey(r.band, r.k1, r.k2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(processTtl(ttl.toMillis))
   }
 }

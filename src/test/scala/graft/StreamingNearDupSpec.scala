@@ -10,6 +10,9 @@ import graft.streaming.StreamingNearDup
 /** Top-level for the Spark encoder. */
 case class NdDoc(doc_id: Long, text: String)
 
+/** Timed variant for the TTL tests. */
+case class NdDocT(doc_id: Long, text: String, eventTime: java.sql.Timestamp)
+
 /** Continuous near-dup detection: the streaming detector must agree
   * with the batch x02 band semantics (same MinHash module), keep-first
   * across micro-batches, and emit nothing for singleton buckets. */
@@ -76,5 +79,44 @@ class StreamingNearDupSpec extends AnyFunSuite with Matchers with SparkFixture {
     val got = StreamingNearDup(corpus).collect()
       .map(c => (c.keeperId, c.dupId)).toSet
     got shouldBe Set((0L, 1L), (0L, 2L))
+  }
+
+  test("withTtl: anchors expire with the watermark and re-ingest re-anchors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // offset from epoch: a row at exactly the initial watermark (0)
+    // would be dropped as late before it ever reaches state
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    val mem = MemoryStream[NdDocT]
+    val docs = mem.toDF().withWatermark("eventTime", "0 seconds")
+    val q = StreamingNearDup.withTtl(docs, java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("ndttl_out")
+      .outputMode("append").start()
+    try {
+      // inside the window: doc 1 flags against anchor 0
+      mem.addData(NdDocT(0, base, ts(0)))
+      q.processAllAvailable()
+      mem.addData(NdDocT(1, base, ts(5)))
+      q.processAllAvailable()
+      // unrelated traffic drives the watermark far past lastSeen+ttl
+      // (5min + 10min << 60min) → the bucket's anchor times out
+      mem.addData(NdDocT(50, unrelated(50), ts(60)))
+      q.processAllAvailable()
+      mem.addData(NdDocT(51, unrelated(51), ts(61)))
+      q.processAllAvailable()
+      // re-ingest after the window: doc 2 must NOT flag against the
+      // expired anchor — it becomes the bucket's fresh keeper...
+      mem.addData(NdDocT(2, base, ts(62)))
+      q.processAllAvailable()
+      // ...and doc 3 then flags against doc 2, not doc 0
+      mem.addData(NdDocT(3, base, ts(63)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = s.table("ndttl_out").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    pairs shouldBe Set((0L, 1L), (2L, 3L))
   }
 }
