@@ -96,6 +96,40 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     for (t <- 1 to 4; i <- 1 to 3) got(t * 100L + i) shouldBe s"w$t-$i"
   }
 
+  test("rewrite racing concurrent upserts: no committed row is ever " +
+       "dropped (the transform re-derives from the merged base on retry)") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_rewrite_race")
+    DimStore.upsert(s, path,
+      Seq((0L, "seed", 0L)).toDF("id", "name", "ver"), "id", "ver",
+      nBuckets = 4)
+    val upserters = (1 to 3).map { t =>
+      new Thread(() => {
+        (1 to 4).foreach { i =>
+          DimStore.upsert(s, path,
+            Seq((t * 100L + i, s"w$t-$i", i.toLong)).toDF("id", "name", "ver"),
+            "id", "ver")
+        }
+      })
+    }
+    // identity-content rewrites interleaved with the upserts: each is a
+    // full-snapshot replacement commit, so a stale base that raced a
+    // concurrent upsert would DROP that upsert's row if the transform
+    // were not re-applied per attempt
+    val rewriter = new Thread(() => {
+      (1 to 3).foreach(_ => DimStore.rewrite(s, path, "id")(df => df))
+    })
+    (upserters :+ rewriter).foreach(_.start())
+    (upserters :+ rewriter).foreach(_.join())
+    // 1 seed + 12 upserts + 3 rewrites = 16 gapless commits
+    DimStore.history(path) shouldBe (1L to 16L)
+    val got = DimStore.read(s, path).select("id", "name")
+      .as[(Long, String)].collect().toMap
+    got.size shouldBe 13
+    for (t <- 1 to 3; i <- 1 to 4) got(t * 100L + i) shouldBe s"w$t-$i"
+  }
+
   test("vacuum retires old versions and their unreferenced generations; " +
        "retained versions keep reading") {
     val s = spark
