@@ -4059,11 +4059,89 @@ object Extensions {
     """
   }
 
+  // ---------------------------------------------------------------------
+  // x76 — UniMax language budgeting (Chung et al., "UniMax: Fairer and
+  // More Effective Language Sampling for Large-Scale Multilingual
+  // Pretraining", ICLR 2023): allocate a total training budget across
+  // languages by greedy ascending scan — each language gets
+  // min(cap·its_corpus, floor(remaining budget / languages left)), so
+  // small languages are fully used up to the epoch cap and the surplus
+  // flows to larger ones — the principled alternative to x29's fixed
+  // weights and x20's fixed rates (temperature sampling's known
+  // failure: over-epoching tail languages). Budget unit is CHARACTERS
+  // (the fixture's n_chars — byte-ish, no tokenizer-semantics risk);
+  // budget = 60% of the corpus, cap = 2 epochs. Shape: one tiny keyed
+  // aggregate (|languages| rows) feeds a driver-side integer fold (the
+  // x18 tiny-state pattern — the sequential dependence is inherent to
+  // the greedy scan, and |languages| is dozens at 100 TB, never
+  // corpus-sized); the oracle replays the same fold as a recursive CTE
+  // stepping the ascending order. All integer arithmetic (floor
+  // division on positive longs) — engine-exact; only the final
+  // epochs_ppm touches a double, in the usual round-ppm form.
+  val x76 = Q(
+    "x76_unimax_budget",
+    (s, dir) => {
+      import s.implicits._
+      val EpochCap = 2L
+      val counts = docs(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val total = counts.map(_._3).sum
+      val budget = total * 3L / 5L
+      var rem = budget
+      var left = counts.length.toLong
+      val alloc = counts.sortBy { case (lang, _, c) => (c, lang) }.map {
+        case (lang, nd, c) =>
+          val quota = math.min(c * EpochCap, rem / left)
+          rem -= quota
+          left -= 1
+          (lang, nd, c, quota)
+      }
+      alloc.toSeq.toDF("lang", "n_docs", "n_chars", "budget_chars")
+        .withColumn("epochs_ppm",
+          round(lit(1e6) * $"budget_chars" / $"n_chars").cast("long"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH RECURSIVE counts AS (
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
+      ),
+      ordered AS (
+        SELECT lang, n_docs, n_chars,
+          ROW_NUMBER() OVER (ORDER BY n_chars, lang) AS rn,
+          COUNT(*) OVER () AS k,
+          (SELECT CAST(SUM(n_chars) AS BIGINT) * 3 // 5 FROM counts) AS budget
+        FROM counts
+      ),
+      alloc(rn, lang, n_docs, n_chars, quota, rem, lft) AS (
+        SELECT rn, lang, n_docs, n_chars,
+          LEAST(n_chars * 2, budget // k),
+          budget - LEAST(n_chars * 2, budget // k),
+          k - 1
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, o.lang, o.n_docs, o.n_chars,
+          LEAST(o.n_chars * 2, a.rem // a.lft),
+          a.rem - LEAST(o.n_chars * 2, a.rem // a.lft),
+          a.lft - 1
+        FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+      )
+      SELECT lang, n_docs, n_chars,
+        CAST(quota AS BIGINT) AS budget_chars,
+        CAST(round(1e6 * quota / n_chars) AS BIGINT) AS epochs_ppm
+      FROM alloc
+      ORDER BY lang
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74, x75)
+    x71, x72, x73, x74, x75, x76)
 }
