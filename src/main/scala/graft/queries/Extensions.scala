@@ -4137,11 +4137,96 @@ object Extensions {
       ORDER BY lang
     """))
 
+  // ---------------------------------------------------------------------
+  // x77 — LEAKAGE-FREE train/val/test split: x21's deterministic hash
+  // split keyed on the dedup CLUSTER REPRESENTATIVE instead of the doc
+  // id, so a near-dup family can never straddle train and eval — the
+  // classic eval-inflation bug (test documents whose near-copies sit
+  // in train) eliminated structurally rather than audited after the
+  // fact. Unclustered docs key on their own id (same hash, same
+  // 80/10/10 bands as x21, so the two splits agree wherever leakage
+  // isn't at stake). The straddle count — near-dup pairs whose
+  // endpoints landed in different splits — is CARRIED IN THE GRADED
+  // OUTPUT and must be zero: any drift between the cluster labels and
+  // the split assignment turns the invariant's violation into a red
+  // correctness row, not a silent quality regression. Shape: the
+  // staged label table (tiny: clustered docs only) broadcast-joins
+  // onto the corpus scan; assignment stays a narrow map; the audit
+  // join runs on the (small) pair table.
+  val x77 = Q(
+    "x77_leakage_free_split",
+    (s, dir) => {
+      import s.implicits._
+      val labels = stagedClusters(s, dir)
+      val d = docs(s, dir)
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce($"cluster_rep", $"doc_id"))
+        .withColumn("b",
+          pmod(pmod($"split_key", lit(1000000007L)) * 1103515245L + 12345L,
+            lit(100)))
+        .withColumn("split",
+          when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test"))
+      val sp = d.select($"doc_id", $"split")
+      val leak = neardupPairs(s, dir).select($"doc_a", $"doc_b")
+        .join(sp.select($"doc_id".as("doc_a"), $"split".as("sa")), Seq("doc_a"))
+        .join(sp.select($"doc_id".as("doc_b"), $"split".as("sb")), Seq("doc_b"))
+        .agg(coalesce(sum(when($"sa" =!= $"sb", 1L).otherwise(0L)), lit(0L))
+          .as("n_leaked_pairs"))
+      d.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"cluster_rep".isNotNull, 1L).otherwise(0L))
+            .as("n_clustered_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"))
+        .crossJoin(broadcast(leak))
+        .orderBy($"split")
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      labels AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        FROM reach GROUP BY src
+      ),
+      sp AS (
+        SELECT doc_id, cluster_rep, n_chars,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT d.doc_id, l.cluster_rep, d.n_chars,
+            ((COALESCE(l.cluster_rep, d.doc_id) % 1000000007)
+              * 1103515245 + 12345) % 100 AS b
+          FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+      ),
+      leak AS (
+        SELECT CAST(COALESCE(SUM(
+            CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS n_leaked_pairs
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.doc_a
+        JOIN sp b ON b.doc_id = p.doc_b
+      )
+      SELECT split, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN cluster_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clustered_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT n_leaked_pairs FROM leak) AS n_leaked_pairs
+      FROM sp GROUP BY split ORDER BY split
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74, x75, x76)
+    x71, x72, x73, x74, x75, x76, x77)
 }
