@@ -80,6 +80,58 @@ class PqAnnSpec extends AnyFunSuite with Matchers with SparkFixture {
     adc shouldBe 0.0
   }
 
+  test("property fuzz: random corpora and shapes — codes in range, " +
+       "ADC self-distance zero, Lloyd error monotone") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val (m, k) = Seq((2, 4), (4, 8), (8, 4))(trial - 1)
+      val n = 60 + trial * 20
+      val rows = Seq.tabulate(n)(i =>
+        (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+      val df = rows.toDF("vec_id", "v")
+      withClue(s"trial $trial (m=$m, k=$k, n=$n): ") {
+        val m0 = ProductQuantizer.train(df, "vec_id", "v", 64, m, k, rounds = 0)
+        val m1 = ProductQuantizer.train(df, "vec_id", "v", 64, m, k, rounds = 1)
+        val coded = ProductQuantizer.encode(df, "v", m1).collect()
+        coded.foreach { r =>
+          (0 until m).foreach { mi =>
+            val c = r.getInt(2 + mi)
+            c should (be >= 0 and be < k)
+          }
+        }
+        // ADC of every codebook-reconstructed vector is exactly 0
+        val recon = (0 until k).map(ki =>
+          (ki.toLong, (0 until m).flatMap(mi => m1.codebooks(mi)(ki)).toSeq))
+          .toDF("vec_id", "v")
+        val rc = ProductQuantizer.encode(recon, "v", m1)
+        (0 until k).foreach { ki =>
+          val q = (0 until m).flatMap(mi => m1.codebooks(mi)(ki)).toArray
+          val d = rc.filter($"vec_id" === ki.toLong)
+            .select(ProductQuantizer.adcDistance(q, m1).as("d"))
+            .head().getDouble(0)
+          d shouldBe 0.0
+        }
+        // one Lloyd round never increases total quantization error
+        def sqErr(model: ProductQuantizer.PqModel): Double =
+          ProductQuantizer.encode(df, "v", model).collect().map { r =>
+            val v = r.getSeq[Double](1).toArray
+            (0 until model.m).map { mi =>
+              val c = model.codebooks(mi)(r.getInt(2 + mi))
+              var sum = 0.0
+              var i = 0
+              while (i < model.subDim) {
+                val dd = v(mi * model.subDim + i) - c(i); sum += dd * dd; i += 1
+              }
+              sum
+            }.sum
+          }.sum
+        sqErr(m1) should be <= sqErr(m0)
+      }
+    }
+  }
+
   test("recall@10 at (m=8, k=16) clears the measured floor; ADC orders sanely") {
     val s = spark
     import s.implicits._
