@@ -53,12 +53,20 @@ object StreamingNearDup {
     // "first doc in the bucket" is stable under replay
     val sorted = rows.toSeq.sortBy(_.doc_id)
     val out = Seq.newBuilder[DupCandidate]
-    var anchor = state.getOption.getOrElse(-1L)
+    // explicit presence, never a sign sentinel: doc ids are arbitrary
+    // Longs (content-hash ids are ~half negative), so an "anchor < 0
+    // means unset" encoding would silently re-anchor every negative-id
+    // bucket and never persist its state
+    var anchor: Option[Long] = state.getOption
     sorted.foreach { r =>
-      if (anchor < 0) anchor = r.doc_id
-      else if (r.doc_id != anchor) out += DupCandidate(anchor, r.doc_id, key.band)
+      anchor match {
+        case None =>
+          anchor = Some(r.doc_id)
+        case Some(a) =>
+          if (r.doc_id != a) out += DupCandidate(a, r.doc_id, key.band)
+      }
     }
-    if (anchor >= 0) state.update(anchor)
+    anchor.foreach(state.update)
     out.result().iterator
   }
 
@@ -84,22 +92,28 @@ object StreamingNearDup {
     }
     val sorted = rows.toSeq.sortBy(_.doc_id)
     val out = Seq.newBuilder[DupCandidate]
-    var st = state.getOption.getOrElse(BucketAnchor(-1L, Long.MinValue))
+    // same explicit-presence rule as [[process]]: the Option carries
+    // "bucket occupied", so negative (content-hash) anchors round-trip
+    var st: Option[BucketAnchor] = state.getOption
     sorted.foreach { r =>
-      if (st.anchor < 0) st = BucketAnchor(r.doc_id, st.lastSeenMs)
-      else if (r.doc_id != st.anchor)
-        out += DupCandidate(st.anchor, r.doc_id, key.band)
-      if (r.eventTime.getTime > st.lastSeenMs)
-        st = st.copy(lastSeenMs = r.eventTime.getTime)
+      st match {
+        case None =>
+          st = Some(BucketAnchor(r.doc_id, r.eventTime.getTime))
+        case Some(a) =>
+          if (r.doc_id != a.anchor)
+            out += DupCandidate(a.anchor, r.doc_id, key.band)
+          if (r.eventTime.getTime > a.lastSeenMs)
+            st = Some(a.copy(lastSeenMs = r.eventTime.getTime))
+      }
     }
-    if (st.anchor >= 0) {
-      state.update(st)
+    st.foreach { a =>
+      state.update(a)
       // expire when the WATERMARK passes lastSeen + ttl; clamp above
       // the current watermark (setting a timeout at-or-before it is
       // an error when a straggler arrives inside an already-past
       // window)
       state.setTimeoutTimestamp(
-        math.max(st.lastSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+        math.max(a.lastSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
     }
     out.result().iterator
   }

@@ -81,6 +81,60 @@ class StreamingNearDupSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe Set((0L, 1L), (0L, 2L))
   }
 
+  test("negative doc ids (content-hash ids) anchor and persist like any " +
+       "other — no sign-sentinel blindness") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // the StreamBench `clusters` topology keys docs by xxhash64(text),
+    // which is signed — ~half the corpus gets a negative id. A sign
+    // sentinel for "bucket empty" made those docs invisible to dedup
+    // (re-anchored every row, never persisted state); this pins the fix
+    val mem = MemoryStream[NdDoc]
+    val q = StreamingNearDup(mem.toDF()).writeStream
+      .format("memory").queryName("nd_neg_out").outputMode("append").start()
+    try {
+      // batch 1: a negative-id future keeper, alone in its buckets
+      mem.addData(NdDoc(-50, base), NdDoc(7, unrelated(7)))
+      q.processAllAvailable()
+      s.table("nd_neg_out").collect() shouldBe empty
+      // batch 2: a negative-id copy — must flag against the PERSISTED
+      // negative anchor from batch 1, not silently re-anchor
+      mem.addData(NdDoc(-10, base))
+      q.processAllAvailable()
+      // batch 3: a positive-id copy — same anchor
+      mem.addData(NdDoc(3, base))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = s.table("nd_neg_out").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    pairs shouldBe Set((-50L, -10L), (-50L, 3L))
+  }
+
+  test("withTtl: negative anchors persist across batches too") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    val mem = MemoryStream[NdDocT]
+    val docs = mem.toDF().withWatermark("eventTime", "0 seconds")
+    val q = StreamingNearDup.withTtl(docs, java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("ndttl_neg_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(NdDocT(-9, base, ts(0)))
+      q.processAllAvailable()
+      mem.addData(NdDocT(-4, base, ts(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    s.table("ndttl_neg_out").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toSet shouldBe Set((-9L, -4L))
+  }
+
   test("withTtl: anchors expire with the watermark and re-ingest re-anchors") {
     val s = spark
     import s.implicits._
