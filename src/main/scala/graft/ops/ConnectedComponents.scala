@@ -64,13 +64,22 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** (row count, Σ(a+b)) — the convergence witness. Both operations
-    * only ever LOWER an edge's small end or drop duplicates, so the
-    * pair strictly decreases lexicographically until the edge set is
-    * unchanged; equal witness ⇒ fixpoint, no edge-set diff job. */
-  private def witness(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), coalesce(sum(col("a") + col("b")), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+  /** (row count, Σ(a+b), Σ(a xor b)) — the convergence witness. Both
+    * operations only ever LOWER an edge's small end or drop
+    * duplicates, so for ids that don't overflow the sum the pair
+    * (count, Σ) strictly decreases lexicographically until the edge
+    * set is unchanged. Hash-range node ids (xxhash64 feeds this via
+    * StreamingClusters) DO wrap Σ(a+b), which degrades the argument
+    * to a checksum — so the loop treats an equal witness as a
+    * CANDIDATE fixpoint and confirms it with one real set-difference
+    * job before terminating (see [[starContraction]]); the xor sum
+    * here just makes spurious candidates astronomically rarer, so the
+    * confirm job effectively runs once. */
+  private def witness(e: DataFrame): (Long, Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(col("a") + col("b")), lit(0L)),
+      coalesce(sum(col("a").bitwiseXOR(col("b"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Run alternating rounds to the unique fixpoint and return
@@ -103,9 +112,14 @@ object ConnectedComponents {
     while (!done && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val cur = witness(next)
+      // equal witness nominates a fixpoint; confirm with a real
+      // set-difference before terminating (both frames are distinct()
+      // with equal counts, so one-directional exceptAll suffices) —
+      // under id-sum wraparound the checksum alone can't prove
+      // equality, and a spurious match would return WRONG labels
+      done = cur == prev && next.exceptAll(e).isEmpty
       e.unpersist()
       e = next
-      done = cur == prev
       prev = cur
       rounds += 1
     }
