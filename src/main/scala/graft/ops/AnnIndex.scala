@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained IVFADC index (Jégou/Douze/
+  * Schmid, TPAMI 2011 §IV) over a versioned [[DimStore]] table — the
+  * retrieval family's DIM-layer: train the coarse quantizer + product-
+  * quantization codebooks ONCE per dataset version, materialize every
+  * vector's (inverted list, PQ codes) row into a committed table, and
+  * MAINTAIN it per ingest batch by encoding only the new/changed
+  * vectors with the frozen model — the same keyed-store-maintained-
+  * once, served-many pattern as the reference's dim sink
+  * (gmall-realtime/.../app/func/DimSinkFunction.java:13-33) and this
+  * repo's incremental cluster labels (x74). Without it, every query
+  * batch re-trains and re-encodes the corpus — the one cost a 100 TB
+  * embedding store cannot pay per invocation.
+  *
+  * Layout under `path` (both tables ride the full commit-log
+  * protocol — optimistic commits, snapshot reads, time travel,
+  * vacuum):
+  *  - `codes/` — one row per vector: (vec_id, list_id,
+  *    pq_code0..m-1), pk `vec_id`, LWW by the caller's batch version;
+  *    for d=64 floats this is ~32× smaller than the raw vectors.
+  *  - `model/` — the FROZEN model as rows: coarse centroids
+  *    (kind='cent') and PQ codebook centroids (kind='pq'), written at
+  *    [[build]] and never rewritten by [[append]]. Parquet doubles
+  *    round-trip exactly, so a model read back scores bit-identically
+  *    to the one trained. Freezing is what makes maintenance sound:
+  *    codes encoded in different batches remain comparable under one
+  *    LUT. Re-training (drift) is a REBUILD — a new [[build]] commit,
+  *    exactly like a dim-table full rewrite.
+  *
+  * Determinism: assignment/encode/scoring reuse
+  * [[ProductQuantizer]]'s exact-decimal/left-fold contract, and the
+  * coarse ranking is the same cosine fold + struct-sort formulation
+  * as the query kit (x12/x75), so an index built here answers
+  * byte-identically to the self-contained x75 pipeline (pinned by
+  * AnnIndexSpec and the shared x78/x75 oracle).
+  */
+object AnnIndex {
+
+  /** The frozen model: coarse centroids (id → vector) + PQ codebooks. */
+  final case class Model(centroids: Seq[(Long, Seq[Double])],
+                         pq: ProductQuantizer.PqModel)
+
+  private def codesPath(path: String) = s"$path/codes"
+  private def modelPath(path: String) = s"$path/model"
+
+  /** Left-to-right cosine fold — identical formulation to the query
+    * layer's, so coarse assignment is ulp-identical everywhere. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na  = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb  = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / when(na * nb > 0, na * nb)
+  }
+
+  /** Centroids ranked per row as a sorted struct array — cosine DESC,
+    * centroid id ASC on ties (struct sort on (ccos, -id) DESC): a pure
+    * narrow map, no corpus×centroids join. */
+  private def ranked(cents: Seq[(Long, Seq[Double])], v: Column): Column =
+    sort_array(array(cents.map { case (cid, cv) =>
+      struct(cosine(v, typedlit(cv)).as("c"), lit(-cid).as("nid"))
+    }: _*), asc = false)
+
+  /** Residual v − c(assigned list), branch-free per centroid. */
+  private def residual(cents: Seq[(Long, Seq[Double])], listId: Column,
+                       v: Column): Column =
+    cents.map { case (cid, cv) =>
+      when(listId === cid, zip_with(v, typedlit(cv), (x, y) => x - y))
+    }.reduce(coalesce(_, _))
+
+  /** (vec_id, list_id, pq_code0..m-1) for `df` under the FROZEN
+    * model — a pure narrow map (assignment + residual + encode fused
+    * in one projection chain), shared verbatim by [[build]],
+    * [[append]], and the full-re-encode spec oracle. */
+  def encodeWith(df: DataFrame, idCol: String, vCol: String,
+                 model: Model): DataFrame = {
+    val assigned = df
+      .withColumn("__cs", ranked(model.centroids, col(vCol)))
+      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+    val withRv = assigned
+      .withColumn("__rv", residual(model.centroids, col("list_id"), col(vCol)))
+    ProductQuantizer.encode(withRv, "__rv", model.pq)
+      .select(col(idCol).as("vec_id") +: col("list_id") +:
+        model.pq.codeCols.map(col): _*)
+  }
+
+  /** Train + materialize version 1: coarse centroids are the corpus
+    * rows with the given ids (production swaps in a k-means output —
+    * the freeze/maintain contract is identical), PQ codebooks train on
+    * the residuals via [[ProductQuantizer.train]]'s exact-decimal
+    * Lloyd. Writes the model table first, then the full codes table —
+    * a crash in between leaves a model with an empty codes table,
+    * which the next build attempt (staging re-publish) replaces
+    * whole. */
+  def build(spark: SparkSession, path: String, corpus: DataFrame,
+            idCol: String, vCol: String, centroidIds: Seq[Long],
+            dim: Int, m: Int, k: Int, rounds: Int,
+            nBuckets: Int = 16): Model = {
+    import spark.implicits._
+    val cents = corpus.filter(col(idCol).isin(centroidIds: _*))
+      .orderBy(col(idCol)).select(col(idCol), col(vCol))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.size == centroidIds.size,
+      s"coarse centroid ids ${centroidIds.diff(cents.map(_._1))} missing from corpus")
+    val assigned = corpus
+      .withColumn("__cs", ranked(cents, col(vCol)))
+      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+    val lists = assigned.select(col(idCol), col("list_id"),
+      residual(cents, col("list_id"), col(vCol)).as("__rv"))
+    val pq = ProductQuantizer.train(lists, idCol, "__rv", dim, m, k, rounds)
+    val model = Model(cents, pq)
+    val modelRows =
+      cents.map { case (cid, cv) => ("c" + cid, "cent", cid, 0L, cv) } ++
+      (for (mi <- 0 until m; ki <- 0 until k) yield
+        (s"p$mi-$ki", "pq", mi.toLong, ki.toLong,
+          pq.codebooks(mi)(ki).toSeq)) ++
+      Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)))
+    DimStore.upsert(spark, modelPath(path),
+      modelRows.toDF("key", "kind", "i1", "i2", "vals")
+        .withColumn("__batch_ver", lit(1L)),
+      pk = "key", versionCol = "__batch_ver", nBuckets = 4)
+    DimStore.upsert(spark, codesPath(path),
+      encodeWith(corpus, idCol, vCol, model)
+        .withColumn("__batch_ver", lit(1L)),
+      pk = "vec_id", versionCol = "__batch_ver", nBuckets = nBuckets)
+    model
+  }
+
+  /** Incremental maintenance: encode ONLY this batch under the frozen
+    * model and merge it into the codes table — one optimistic commit
+    * rewriting O(touched buckets), not a corpus re-encode. LWW by
+    * `ver`: a re-ingested vector with a newer version replaces its
+    * row; the model tables are untouched. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+             idCol: String, vCol: String, ver: Long): Unit = {
+    val model = readModel(spark, path)
+    DimStore.upsert(spark, codesPath(path),
+      encodeWith(batch, idCol, vCol, model)
+        .withColumn("__batch_ver", lit(ver)),
+      pk = "vec_id", versionCol = "__batch_ver")
+  }
+
+  /** The frozen model, reconstructed bit-exactly from the model
+    * table (one bounded collect: |centroids| + m·k rows). */
+  def readModel(spark: SparkSession, path: String): Model = {
+    val rows = DimStore.read(spark, modelPath(path))
+      .select("key", "kind", "i1", "i2", "vals").collect()
+    val shape = rows.find(_.getString(1) == "shape")
+      .getOrElse(throw new IllegalStateException(
+        s"ANN index at $path has no shape row — not a built index"))
+    val dim = shape.getLong(2).toInt
+    val m = shape.getLong(3).toInt
+    val k = shape.getSeq[Double](4).head.toInt
+    val cents = rows.filter(_.getString(1) == "cent")
+      .map(r => r.getLong(2) -> r.getSeq[Double](4))
+      .sortBy(_._1).toSeq
+    val byMk = rows.filter(_.getString(1) == "pq")
+      .map(r => (r.getLong(2).toInt, r.getLong(3).toInt) ->
+        r.getSeq[Double](4).toArray).toMap
+    val cbs = Array.tabulate(m)(mi => Array.tabulate(k)(ki => byMk((mi, ki))))
+    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs))
+  }
+
+  /** The staged codes snapshot: (vec_id, list_id, pq_code0..m-1). */
+  def codes(spark: SparkSession, path: String): DataFrame = {
+    val df = DimStore.read(spark, codesPath(path))
+    df.select(df.columns.filterNot(_ == "__batch_ver").map(col): _*)
+  }
+
+  /** Probe frame for a bounded query set: each query's top-`nProbes`
+    * lists (ranked through the SAME expression path as assignment, so
+    * ordering is ulp-identical), residualized against each probed
+    * centroid, carrying the residual's m×k ADC LUT — ready to
+    * broadcast against [[codes]] for a single-scan batch ADC. The
+    * collect is |queries|·nProbes rows; callers own keeping the query
+    * batch driver-bounded (the same contract as every LUT-shipping
+    * ANN query in the engine). */
+  def queryProbes(queries: DataFrame, idCol: String, vCol: String,
+                  model: Model, nProbes: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val centMap = model.centroids.toMap
+    val rows = queries
+      .withColumn("__cs", ranked(model.centroids, col(vCol)))
+      .select(col(idCol), col(vCol),
+        explode(slice(col("__cs"), 1, nProbes)).as("__ps"))
+      .select(col(idCol), col(vCol), (-col("__ps.nid")).as("list_id"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val li = r.getLong(2)
+        val cv = centMap(li)
+        val rq = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+        (r.getLong(0), li, ProductQuantizer.adcLutRows(rq, model.pq))
+      }
+    rows.toSeq.toDF("query_id", "list_id", "__lut")
+  }
+
+  /** Batch ADC top-k against the staged codes: ONE scan of the codes
+    * table joined with the broadcast probe frame, ranked per query by
+    * (adc_ppm asc, vec_id) — the x75 scoring tail served from the
+    * index instead of a per-invocation re-encode. */
+  def adcTopK(spark: SparkSession, path: String, probes: DataFrame,
+              model: Model, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").asc, col("vec_id"))
+    codes(spark, path)
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_ppm", round(lit(1e6) *
+        ProductQuantizer.adcDistanceFromLut(col("__lut"), model.pq))
+        .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("list_id"),
+        col("adc_ppm"), col("rank"))
+  }
+}

@@ -76,15 +76,7 @@ object ProductQuantizer {
       Array.tabulate(k)(ki => java.util.Arrays.copyOfRange(
         seedRows(ki), mi * subDim, (mi + 1) * subDim)))
     for (_ <- 0 until rounds) {
-      val assigned = df.select(col(vCol).as("__v") +: (0 until m).map(mi =>
-        nearest(col(vCol), mi, subDim, cbs(mi)).as(s"__c$mi")): _*)
-      val stats = (0 until m).map(mi =>
-          assigned.select(lit(mi).as("m"), col(s"__c$mi").as("cluster"),
-            posexplode(slice(col("__v"), mi * subDim + 1, subDim))))
-        .reduce(_ unionByName _)
-        .groupBy(col("m"), col("cluster"), col("pos"))
-        .agg(sum(col("col").cast(SumDec)).as("sx"), count(lit(1)).as("n"))
-        .collect()
+      val stats = lloydStats(df, vCol, m, subDim, cbs).collect()
       cbs = Array.tabulate(m) { mi =>
         val byCluster = stats.filter(_.getInt(0) == mi).groupBy(_.getInt(1))
           .map { case (c, rs) =>
@@ -97,18 +89,47 @@ object ProductQuantizer {
     PqModel(dim, m, k, cbs)
   }
 
+  /** One Lloyd round's sufficient statistics — (m, cluster, pos) →
+    * (Σx as DECIMAL, n) — from a SINGLE scan of the corpus: a union of
+    * m per-subspace `slice`+`posexplode` branches re-reads (and
+    * re-shuffles) the corpus m times after column pruning, so instead
+    * the FULL vector is exploded once and `(flat position div subDim,
+    * flat position mod subDim)` recovers (subspace, offset)
+    * arithmetically. The decimal sums see the same value multiset per
+    * group as the branched form, so the resulting centroids are
+    * byte-identical (exact decimal addition, no rounding inside the
+    * scale). Package-visible so the plan shape — one scan, no Union —
+    * stays test-pinned. */
+  private[graft] def lloydStats(df: DataFrame, vCol: String, m: Int,
+                                subDim: Int,
+                                cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val assigned = df.select(col(vCol).as("__v") +: (0 until m).map(mi =>
+      nearest(col(vCol), mi, subDim, cbs(mi)).as(s"__c$mi")): _*)
+    val sub = (col("__p") / subDim).cast("int")
+    assigned
+      .select(array((0 until m).map(mi => col(s"__c$mi")): _*).as("__cs"),
+        posexplode(col("__v")).as(Seq("__p", "__x")))
+      .select(sub.as("m"), element_at(col("__cs"), sub + 1).as("cluster"),
+        pmod(col("__p"), lit(subDim)).as("pos"), col("__x"))
+      .groupBy(col("m"), col("cluster"), col("pos"))
+      .agg(sum(col("__x").cast(SumDec)).as("sx"), count(lit(1)).as("n"))
+  }
+
   /** Append `pq_code0..pq_code{m-1}` int columns — the stored index. */
   def encode(df: DataFrame, vCol: String, model: PqModel): DataFrame =
     df.select(df.columns.map(col) ++ (0 until model.m).map(mi =>
       nearest(col(vCol), mi, model.subDim, model.codebooks(mi))
         .as(s"pq_code$mi")): _*)
 
-  /** ADC L2² column for one raw query vector over the code columns —
-    * the per-query lookup table is computed on the driver with the
-    * same sequential fold as [[dist2]] and shipped as literals. */
-  def adcDistance(q: Array[Double], model: PqModel): Column =
+  /** The m×k ADC lookup table for one query as plain data —
+    * `luts(mi)(ki)` is the L2² of q's mi-th subvector to codebook
+    * centroid (mi, ki), computed with the same sequential fold as
+    * [[dist2]]. Feeds both the literal form ([[adcDistance]]) and the
+    * broadcast-frame form ([[adcDistanceFromLut]]), so the two score
+    * identically to the last ulp. */
+  def adcLutRows(q: Array[Double], model: PqModel): Seq[Seq[Double]] =
     (0 until model.m).map { mi =>
-      val lut = model.codebooks(mi).map { c =>
+      model.codebooks(mi).toSeq.map { c =>
         var s = 0.0
         var i = 0
         while (i < model.subDim) {
@@ -118,6 +139,29 @@ object ProductQuantizer {
         }
         s
       }
-      element_at(typedlit(lut.toSeq), col(s"pq_code$mi") + 1)
-    }.reduce(_ + _)
+    }
+
+  /** ADC L2² column for one raw query vector over the code columns —
+    * the per-query lookup table is computed on the driver and shipped
+    * as literals. Right for ONE query; for a batch of queries use
+    * [[adcDistanceFromLut]] with a broadcast LUT frame, or the plan
+    * grows (and the code table is re-scanned) per query. */
+  def adcDistance(q: Array[Double], model: PqModel): Column = {
+    val luts = adcLutRows(q, model)
+    (0 until model.m).map(mi =>
+      element_at(typedlit(luts(mi)), col(s"pq_code$mi") + 1)).reduce(_ + _)
+  }
+
+  /** ADC L2² from a LUT COLUMN (`array<array<double>>`, m×k — one
+    * [[adcLutRows]] value per query row, joined/broadcast next to the
+    * codes): the batch-query scoring shape. ONE scan of the code table
+    * serves any number of queries — each scored row does m
+    * `element_at` lookups into its joined LUT — and driver plan size
+    * stays O(1) in |queries| instead of one unrolled branch per
+    * query. Summation order (mi ascending) matches [[adcDistance]],
+    * so the two forms are bit-identical. */
+  def adcDistanceFromLut(lut: Column, model: PqModel): Column =
+    (0 until model.m).map(mi =>
+      element_at(element_at(lut, mi + 1), col(s"pq_code$mi") + 1))
+      .reduce(_ + _)
 }

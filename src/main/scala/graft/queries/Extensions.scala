@@ -3763,14 +3763,23 @@ object Extensions {
       val codes = graft.ops.ProductQuantizer.encode(e, "v", model).drop("v")
       val queryRows = e.filter($"vec_id" <= 2).orderBy($"vec_id")
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      val perQuery = queryRows.map { case (qi, q) =>
-        codes.filter($"vec_id" =!= qi)
-          .select(lit(qi).as("query_id"), $"vec_id",
-            concat((0 until PqM).map(m =>
-              col(s"pq_code$m").cast("string")): _*).as("pq_code"),
-            round(lit(1e6) * graft.ops.ProductQuantizer.adcDistance(q, model))
-              .cast("long").as("adc_ppm"))
-      }.reduce(_ unionByName _)
+      // batch-query scoring shape: ONE scan of the code table whatever
+      // |queries| is — each query ships its m×k ADC LUT in a broadcast
+      // frame and every scanned code row scores against its joined LUT
+      // with m element_at adds (a per-query unionByName of literal-LUT
+      // branches would re-scan the codes and grow the driver plan per
+      // query)
+      val qdf = queryRows.toSeq.map { case (qi, q) =>
+        (qi, graft.ops.ProductQuantizer.adcLutRows(q, model))
+      }.toDF("query_id", "__lut")
+      val perQuery = codes.crossJoin(broadcast(qdf))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          concat((0 until PqM).map(m =>
+            col(s"pq_code$m").cast("string")): _*).as("pq_code"),
+          round(lit(1e6) *
+              graft.ops.ProductQuantizer.adcDistanceFromLut($"__lut", model))
+            .cast("long").as("adc_ppm"))
       val w = Window.partitionBy($"query_id").orderBy($"adc_ppm".asc, $"vec_id")
       perQuery.withColumn("rank", row_number().over(w))
         .filter($"rank" <= 10)
@@ -3812,7 +3821,7 @@ object Extensions {
       ${p}cl$m AS (SELECT cluster, list(cc ORDER BY pos) AS cc FROM ${p}m$m GROUP BY cluster),
       ${p}r$m AS (SELECT ${(0 until PqK).map(k =>
           s"COALESCE((SELECT cc FROM ${p}cl$m WHERE cluster = $k), " +
-          s"(SELECT v[${off(m) + 1}:${off(m) + PqD}] FROM ${p}e WHERE vec_id = $k)) AS r$k")
+          s"(SELECT v[${off(m) + 1}:${off(m) + PqD}] FROM ${p}sr WHERE rn = ${k + 1})) AS r$k")
           .mkString(", ")})"""
     }.mkString(",\n      ")
     // distance of v's subspace m to refined centroid k (16-long list)
@@ -3827,8 +3836,9 @@ object Extensions {
     val refDists = (for (m <- 0 until PqM; k <- 0 until PqK)
       yield s"${dRef(m, k)} AS d$m$k").mkString(",\n              ")
     s"""${p}e AS (SELECT vec_id, $vcol AS v FROM $src),
+      ${p}sr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM ${p}e),
       ${p}seeds AS (SELECT ${(0 until PqK).map(k =>
-        s"(SELECT v FROM ${p}e WHERE vec_id = $k) AS s$k").mkString(", ")}),
+        s"(SELECT v FROM ${p}sr WHERE rn = ${k + 1}) AS s$k").mkString(", ")}),
       $perSub,
       ${p}codes AS (
         SELECT vec_id,
@@ -3960,51 +3970,69 @@ object Extensions {
   // per-(query,list) LUT are driver literals (M·K doubles per pair).
   // Determinism: the x72 contract end-to-end, with the query residual
   // computed subtract-then-fold in the same order on both engines.
+  /** Shared x75/x79 pipeline up to the ADC-scored candidate frame:
+    * IVF assignment (narrow map), residual PQ train/encode, and the
+    * broadcast probe-LUT scan. Returns (e, scored) where `scored`
+    * carries (query_id, vec_id, list_id, adc_ppm) for every candidate
+    * in a probed list. */
+  private def ivfadcScored(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // map-side inverted-list assignment via the shared IVF kit (see
+    // ivfCentroidRows/ivfRanked above x12): no corpus×4 join, no
+    // window shuffle — the assignment leg is a pure narrow map
+    val centRows = ivfCentroidRows(e)
+    val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
+      .withColumn("list_id", -element_at($"cs", 1).getField("nid"))
+    val lists = assigned.select($"vec_id", $"list_id",
+      centRows.map { case (cid, cv) =>
+        when($"list_id" === cid, zip_with($"v", typedlit(cv), (x, y) => x - y))
+      }.reduce(coalesce(_, _)).as("rv"))
+    val model = graft.ops.ProductQuantizer.train(
+      lists.select($"vec_id", $"rv"), "vec_id", "rv",
+      dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
+    val codes = graft.ops.ProductQuantizer.encode(lists, "rv", model)
+      .drop("rv")
+    // each query's top-2 lists through the SAME expression path (so
+    // ordering is ulp-identical), then residualized on the driver
+    val centMap = centRows.toMap
+    val probeRows = assigned.filter($"vec_id" <= 2)
+      .select($"vec_id", $"v", explode(slice($"cs", 1, IvfProbes)).as("ps"))
+      .select($"vec_id", $"v", (-$"ps.nid").as("list_id"))
+      .collect()
+      .map { r =>
+        val qv: Array[Double] = r.getSeq[Double](1).toArray
+        val li = r.getLong(2)
+        val cv = centMap(li)
+        (r.getLong(0), li,
+          Array.tabulate(qv.length)(i => qv(i) - cv(i)))
+      }
+    // each (query, probed list) pair carries its residual's m×k ADC
+    // LUT in the broadcast probe frame — ONE scan of the code table
+    // whatever the probe count, no per-pair when/coalesce chain
+    // growing the driver plan
+    val probes = probeRows.toSeq.map { case (qi, li, rq) =>
+      (qi, li, graft.ops.ProductQuantizer.adcLutRows(rq, model))
+    }.toDF("query_id", "list_id", "__lut")
+    val scored = codes
+      .join(broadcast(probes), Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc_ppm", round(lit(1e6) *
+        graft.ops.ProductQuantizer.adcDistanceFromLut($"__lut", model))
+        .cast("long"))
+      .select($"query_id", $"vec_id", $"list_id", $"adc_ppm")
+    (e, scored)
+  }
+
   val x75 = Q(
     "x75_ivfadc",
     (s, dir) => {
       import s.implicits._
-      val e = emb(s, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      // map-side inverted-list assignment via the shared IVF kit (see
-      // ivfCentroidRows/ivfRanked above x12): no corpus×4 join, no
-      // window shuffle — the assignment leg is a pure narrow map
-      val centRows = ivfCentroidRows(e)
-      val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
-        .withColumn("list_id", -element_at($"cs", 1).getField("nid"))
-      val lists = assigned.select($"vec_id", $"list_id",
-        centRows.map { case (cid, cv) =>
-          when($"list_id" === cid, zip_with($"v", typedlit(cv), (x, y) => x - y))
-        }.reduce(coalesce(_, _)).as("rv"))
-      val model = graft.ops.ProductQuantizer.train(
-        lists.select($"vec_id", $"rv"), "vec_id", "rv",
-        dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
-      val codes = graft.ops.ProductQuantizer.encode(lists, "rv", model)
-        .drop("rv")
-      // each query's top-2 lists through the SAME expression path (so
-      // ordering is ulp-identical), then residualized on the driver
-      val centMap = centRows.toMap
-      val probeRows = assigned.filter($"vec_id" <= 2)
-        .select($"vec_id", $"v", explode(slice($"cs", 1, IvfProbes)).as("ps"))
-        .select($"vec_id", $"v", (-$"ps.nid").as("list_id"))
-        .collect()
-        .map { r =>
-          val qv: Array[Double] = r.getSeq[Double](1).toArray
-          val li = r.getLong(2)
-          val cv = centMap(li)
-          (r.getLong(0), li,
-            Array.tabulate(qv.length)(i => qv(i) - cv(i)))
-        }
-      val adc = probeRows.map { case (qi, li, rq) =>
-        when($"query_id" === qi && $"list_id" === li,
-          graft.ops.ProductQuantizer.adcDistance(rq, model))
-      }.reduce(coalesce(_, _))
-      val probes = probeRows.map { case (qi, li, _) => (qi, li) }
-        .toSeq.toDF("query_id", "list_id")
+      val (_, scored) = ivfadcScored(s, dir)
       val w = Window.partitionBy($"query_id").orderBy($"adc_ppm".asc, $"vec_id")
-      codes.join(broadcast(probes), Seq("list_id"))
-        .filter($"vec_id" =!= $"query_id")
-        .withColumn("adc_ppm", round(lit(1e6) * adc).cast("long"))
+      scored
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 10)
         .select($"query_id", $"vec_id", $"list_id", $"adc_ppm", $"rank")
@@ -4012,9 +4040,10 @@ object Extensions {
     },
     Some(IvfAdcOracleSql))
 
-  /** x75's oracle: x12's assignment CTEs → residuals → the PQ builder
-    * chain over them → per-(query, list) residualized ADC tail. */
-  private lazy val IvfAdcOracleSql: String = {
+  /** Shared x75/x79 oracle CTE chain through `scored` — x12's
+    * assignment CTEs → residuals → the PQ builder chain over them →
+    * per-(query, list) residualized ADC scoring. */
+  private lazy val ivfAdcScoredSqlCtes: String = {
     def off = pqOff _
     def adcTerm(m: Int) =
       s"""(CASE c.code$m ${(0 until PqK).map(k =>
@@ -4022,8 +4051,7 @@ object Extensions {
           s"((p.qv[${off(m)} + i] - p.cv[${off(m)} + i]) - t$m.r$k[i]) * " +
           s"((p.qv[${off(m)} + i] - p.cv[${off(m)} + i]) - t$m.r$k[i])))")
           .mkString(" ")} END)"""
-    s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cents AS (
         SELECT vec_id AS cent_id, v AS cv FROM e
         WHERE vec_id IN (${IvfCentroids.mkString(", ")})
@@ -4049,7 +4077,13 @@ object Extensions {
           CAST(round(1e6 * (${(0 until PqM).map(adcTerm).mkString(" + ")})) AS BIGINT) AS adc_ppm
         FROM rqcodes c, lists l, probes p, rqr0 t0, rqr1 t1, rqr2 t2, rqr3 t3
         WHERE l.vec_id = c.vec_id AND l.list_id = p.list_id
-          AND c.vec_id <> p.query_id)
+          AND c.vec_id <> p.query_id)"""
+  }
+
+  /** x75's oracle: the shared scored chain + top-10 ADC rank tail. */
+  private lazy val IvfAdcOracleSql: String =
+    s"""
+      WITH $ivfAdcScoredSqlCtes
       SELECT query_id, vec_id, list_id, adc_ppm, rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY adc_ppm, vec_id) AS rank
@@ -4057,7 +4091,106 @@ object Extensions {
       WHERE rank <= 10
       ORDER BY query_id, rank
     """
-  }
+
+  // ---------------------------------------------------------------------
+  // x78 — IVFADC answered from the PERSISTED index: the same retrieval
+  // system as x75, but the expensive half (coarse assignment, residual
+  // PQ training, corpus encode) is materialized ONCE per dataset
+  // version into a versioned commit-log table ([[graft.ops.AnnIndex]]
+  // under Staging's fingerprinted publication) and every query batch
+  // pays only a probe-LUT broadcast + one scan of the (≈32× smaller)
+  // codes table. This is the operating shape a 100 TB embedding store
+  // requires — x75 deliberately remains the self-contained pipeline
+  // (it IS the training/encode price, and its oracle grades that
+  // machinery); x78 grades that the staged index answers
+  // byte-identically (same oracle), and AnnIndexSpec pins incremental
+  // maintenance (per-batch append == full re-encode) on top.
+  val x78 = Q(
+    "x78_ivfadc_staged",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val idxPath = graft.ops.Staging.ensurePath(
+          "ann_index", dir, Seq("embeddings")) { p =>
+        graft.ops.AnnIndex.build(s, p.toString, e, "vec_id", "v",
+          centroidIds = IvfCentroids, dim = PqM * PqD, m = PqM, k = PqK,
+          rounds = 1)
+        ()
+      }
+      val model = graft.ops.AnnIndex.readModel(s, idxPath)
+      val probes = graft.ops.AnnIndex.queryProbes(
+        e.filter($"vec_id" <= 2), "vec_id", "v", model, IvfProbes)
+      graft.ops.AnnIndex.adcTopK(s, idxPath, probes, model, 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcOracleSql))
+
+  // ---------------------------------------------------------------------
+  // x79 — IVFADC + exact re-rank (the paper's standard "refine" stage):
+  // ADC quantization error makes the top of the candidate list noisy —
+  // on a structure-free corpus VQ recall@10 is the family's weak face —
+  // so take the ADC top-R shortlist per query and re-rank it by EXACT
+  // cosine against the raw vectors. Cost shape: R exact distances per
+  // query (the corpus scan is filtered by a broadcast of the R·Q-row
+  // shortlist), never a corpus re-rank — the published recipe for
+  // buying back recall at a fixed small exact-compute budget.
+  // PqAnnSpec measures recall@10 strictly above plain IVFADC's on the
+  // fixture.
+  private val RefineR = 30
+
+  val x79 = Q(
+    "x79_ivfadc_refine",
+    (s, dir) => {
+      import s.implicits._
+      val (e, scored) = ivfadcScored(s, dir)
+      val wAdc = Window.partitionBy($"query_id")
+        .orderBy($"adc_ppm".asc, $"vec_id")
+      val shortlist = scored
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter($"adc_rank" <= RefineR)
+        .select($"query_id", $"vec_id", $"adc_ppm")
+      val qvs = e.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val wCos = Window.partitionBy($"query_id")
+        .orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(qvs), Seq("query_id"))
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"adc_ppm", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcRefineOracleSql))
+
+  /** x79's oracle: the shared scored chain + shortlist + exact-cosine
+    * re-rank tail. */
+  private lazy val IvfAdcRefineOracleSql: String =
+    s"""
+      WITH $ivfAdcScoredSqlCtes,
+      shortlist AS (
+        SELECT query_id, vec_id, adc_ppm FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_ppm, vec_id) AS adc_rank
+          FROM scored)
+        WHERE adc_rank <= $RefineR),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      refined AS (
+        SELECT s.query_id, s.vec_id, s.adc_ppm,
+          CAST(round(1e6 * (list_dot_product(v.v, q.qv) /
+            (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.qv, q.qv)))))
+            AS BIGINT) AS cos_ppm
+        FROM shortlist s
+        JOIN e v ON v.vec_id = s.vec_id
+        JOIN qs q ON q.query_id = s.query_id)
+      SELECT query_id, vec_id, adc_ppm, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM refined)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
 
   // ---------------------------------------------------------------------
   // x76 — UniMax language budgeting (Chung et al., "UniMax: Fairer and
@@ -4228,5 +4361,5 @@ object Extensions {
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74, x75, x76, x77)
+    x71, x72, x73, x74, x75, x76, x77, x78, x79)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.AnnIndex
+
+/** The persisted ANN index: built once, maintained incrementally,
+  * answering identically to the self-contained per-invocation
+  * pipeline. */
+class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private val Cents = Seq(10L, 20L, 30L, 40L)
+
+  private lazy val e = {
+    val s = spark
+    import s.implicits._
+    graft.core.Tables.load(s, sf0001, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .persist()
+  }
+
+  private def codeRows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map { r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")
+    }.toSet
+
+  test("staged index (x78) answers byte-identically to the " +
+       "self-contained x75 pipeline") {
+    graft.queries.Extensions.clearPersistedIntermediates()
+    val direct = graft.queries.Extensions.x75.run(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val staged = graft.queries.Extensions.x78.run(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    staged shouldBe direct
+    direct should not be empty
+  }
+
+  test("incremental append == full re-encode under the frozen model; " +
+       "a re-ingested vector LWW-replaces its row") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_idx").toString + "/idx"
+    // build on a prefix (must contain the coarse centroid ids), then
+    // maintain with two later batches
+    val base = e.filter($"vec_id" < 300)
+    val b1 = e.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    val b2 = e.filter($"vec_id" >= 400)
+    val model = AnnIndex.build(s, path, base, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    AnnIndex.append(s, path, b1, "vec_id", "v", ver = 2L)
+    AnnIndex.append(s, path, b2, "vec_id", "v", ver = 3L)
+    // staged rows == one-shot encode of the FULL corpus with the same
+    // frozen model: per-batch maintenance loses nothing and encodes
+    // nothing differently
+    codeRows(AnnIndex.codes(s, path)) shouldBe
+      codeRows(AnnIndex.encodeWith(e, "vec_id", "v", model))
+    // the frozen model round-trips bit-exactly through the store
+    val m2 = AnnIndex.readModel(s, path)
+    m2.centroids shouldBe model.centroids
+    m2.pq.codebooks.flatten.flatten.toSeq shouldBe
+      model.pq.codebooks.flatten.flatten.toSeq
+    // re-ingest vec 5 with changed content at a newer version: its
+    // row is re-encoded and replaces the old one (LWW), everything
+    // else untouched
+    val updated = e.filter($"vec_id" === 5L)
+      .select($"vec_id", reverse($"v").as("v"))
+    AnnIndex.append(s, path, updated, "vec_id", "v", ver = 4L)
+    val after = AnnIndex.codes(s, path)
+    codeRows(after.filter($"vec_id" === 5L)) shouldBe
+      codeRows(AnnIndex.encodeWith(updated, "vec_id", "v", model))
+    codeRows(after.filter($"vec_id" =!= 5L)) shouldBe
+      codeRows(AnnIndex.encodeWith(e.filter($"vec_id" =!= 5L),
+        "vec_id", "v", model))
+  }
+
+  test("maintenance is O(touched buckets): a one-vector append's commit " +
+       "generation holds one bucket dir, not the table fan-out") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_idx_g").toString + "/idx"
+    AnnIndex.build(s, path, e, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1,
+      nBuckets = 16)
+    AnnIndex.append(s, path, e.filter($"vec_id" === 7L), "vec_id", "v",
+      ver = 2L)
+    val gens = java.nio.file.Paths.get(path, "codes", "_gens")
+    val v2gens = {
+      val l = Files.list(gens)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(f"g${2L}%020d")).toVector
+      } finally l.close()
+    }
+    v2gens.size shouldBe 1
+    val buckets = {
+      val l = Files.list(gens.resolve(v2gens.head))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("__bucket="))
+      } finally l.close()
+    }
+    buckets shouldBe 1
+  }
+}

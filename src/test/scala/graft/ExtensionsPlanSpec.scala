@@ -192,6 +192,20 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("x72/x75/x78: batch-query ADC is ONE scan of the code side joined " +
+       "against a broadcast query-LUT frame — scan count O(1) in |queries|") {
+    for (q <- Seq(Extensions.x72, Extensions.x75, Extensions.x78)) {
+      val p = plan(q)
+      withClue(s"${q.name} plan:\n$p\n") {
+        // the per-query unionByName unrolling re-scanned the codes per
+        // query and grew the driver plan with |queries|; the LUT-join
+        // form reads the corpus-derived side exactly once
+        "FileScan parquet".r.findAllIn(p).size shouldBe 1
+        p should not include "Union"
+      }
+    }
+  }
+
   test("w16: window heavy-hitters ride one keyed sketch aggregation") {
     val p = plan(graft.queries.Warehouse.w16)
     p should include("ObjectHashAggregate")

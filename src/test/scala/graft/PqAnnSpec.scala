@@ -132,6 +132,51 @@ class PqAnnSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("Lloyd-round stats build from ONE corpus scan — no per-subspace " +
+       "union branches") {
+    val m0 = ProductQuantizer.train(e, "vec_id", "v", 64, m = 8, k = 16, rounds = 0)
+    val exec = ProductQuantizer.lloydStats(e, "v", 8, 8, m0.codebooks)
+      .queryExecution.executedPlan
+    // the branched formulation planned a Union of m slice+posexplode
+    // legs — m scans and m× read amplification per training round
+    exec.toString should not include "Union"
+    withClue(s"plan:\n$exec\n") {
+      exec.collectLeaves().size shouldBe 1
+    }
+  }
+
+  test("exact re-rank (x79) recall@10 strictly beats plain IVFADC (x75) " +
+       "on the fixture") {
+    val s = spark
+    import s.implicits._
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (0L to 2L).map { qi =>
+      qi -> vecs.toSeq.filter(_._1 != qi)
+        .sortBy { case (id, v) => (-cos(vecs(qi), v), id) }
+        .take(10).map(_._1).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Int =
+      (0L to 2L).map { qi =>
+        val got = rows.filter(_.getLong(0) == qi).map(_.getLong(1)).toSet
+        (exact(qi) & got).size
+      }.sum
+    graft.queries.Extensions.clearPersistedIntermediates()
+    val r75 = recallOf(graft.queries.Extensions.x75.run(s, sf0001)
+      .select("query_id", "vec_id").collect())
+    val r79 = recallOf(graft.queries.Extensions.x79.run(s, sf0001)
+      .select("query_id", "vec_id").collect())
+    info(s"recall@10 over 3 queries: ivfadc $r75/30, +refine $r79/30")
+    // refine re-orders the ADC shortlist by exact cosine, so on a
+    // fixture where ADC ordering is noisy it must recover strictly
+    // more of the true top-10 (bounded above by probe coverage)
+    r79 should be > r75
+  }
+
   test("recall@10 at (m=8, k=16) clears the measured floor; ADC orders sanely") {
     val s = spark
     import s.implicits._
