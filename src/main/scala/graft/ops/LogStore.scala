@@ -28,10 +28,18 @@ import org.apache.hadoop.fs.permission.FsPermission
   *    atomically — the exact pattern of Delta's `HDFSLogStore`. On
   *    filesystems whose no-overwrite rename is check-then-act (the
   *    local fs), an in-JVM lock per target serializes claimants, the
-  *    same single-JVM contract as Delta's `LocalLogStore`. Raw S3
-  *    (no atomic rename-if-absent at all) needs a coordination
-  *    service, exactly as Delta's S3 LogStore does — out of scope
-  *    here, but it would slot in behind this trait.
+  *    same single-JVM contract as Delta's `LocalLogStore`.
+  *  - [[ExternalLogStore]] (S3-class object storage — no atomic
+  *    rename-if-absent at all): the claim is a CONDITIONAL PUT into an
+  *    external [[CommitCoordinator]] (DynamoDB in Delta's published
+  *    S3-multi-cluster recipe; pluggable here), with the object store
+  *    itself only ever asked for what it actually has — atomic
+  *    whole-object overwrite PUTs. The coordinator entry is the commit
+  *    point; readers complete any claimed-but-unmaterialized write
+  *    they encounter, so a committer crash between claim and target
+  *    PUT can never lose or hide a committed version. Routed per table
+  *    path via [[DimStore.routeLogViaExternal]] (a real deployment
+  *    would key on the `s3:` scheme plus a configured coordinator).
   *
   * `FileContext` rather than `FileSystem` for the metadata ops: the
   * local `FileSystem` is checksummed (every write grows a `.crc`
@@ -308,4 +316,242 @@ private[graft] object HadoopLogStore extends LogStore {
         false, true, conf))
       throw new java.io.IOException(s"copy $src -> $dst failed")
   }
+}
+
+/** The external coordination seam an object-store commit log needs —
+  * the role DynamoDB plays in Delta's published S3 multi-cluster
+  * LogStore: ONE atomic conditional-insert primitive plus lookups.
+  * Implementations must make [[putIfAbsent]] linearizable across every
+  * concurrent committer they claim to support. */
+private[graft] trait CommitCoordinator {
+  /** Atomic conditional insert: record key → value iff key is absent.
+    * Returns false when another claimant's entry already exists. */
+  def putIfAbsent(key: String, value: String): Boolean
+  def get(key: String): Option[String]
+  /** Every (key, value) whose key starts with `prefix`. */
+  def list(prefix: String): Seq[(String, String)]
+  def update(key: String, value: String): Unit
+  def remove(key: String): Unit
+}
+
+/** In-process coordinator: linearizable for any number of threads in
+  * one JVM — the unit-test stand-in for the external service. */
+private[graft] final class InMemoryCommitCoordinator extends CommitCoordinator {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def putIfAbsent(key: String, value: String): Boolean =
+    m.putIfAbsent(key, value) == null
+  def get(key: String): Option[String] = Option(m.get(key))
+  def list(prefix: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    m.entrySet().asScala.filter(_.getKey.startsWith(prefix))
+      .map(e => (e.getKey, e.getValue)).toVector
+  }
+  def update(key: String, value: String): Unit = { m.put(key, value); () }
+  def remove(key: String): Unit = { m.remove(key); () }
+}
+
+/** File-backed coordinator: one file per key (name = sha-256 of the
+  * key, key stored inside), conditional insert via the posix
+  * hard-link claim — linearizable across PROCESSES on one box, the
+  * cross-process stand-in for DynamoDB in this sandbox. O(entries)
+  * listings are fine at commit-log cardinality. */
+private[graft] final class FileCommitCoordinator(root: String) extends CommitCoordinator {
+  private def keyFile(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    root + "/" + md.digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+  private def entries: Seq[(String, String)] =
+    PosixLogStore.list(root).flatMap { n =>
+      try {
+        val body = PosixLogStore.readString(s"$root/$n")
+        val i = body.indexOf('\n')
+        if (i < 0) None else Some((body.substring(0, i), body.substring(i + 1)))
+      } catch { case _: java.io.IOException => None }
+    }
+  def putIfAbsent(key: String, value: String): Boolean =
+    PosixLogStore.createIfAbsent(keyFile(key), s"$key\n$value")
+  def get(key: String): Option[String] =
+    try {
+      val body = PosixLogStore.readString(keyFile(key))
+      Some(body.substring(body.indexOf('\n') + 1))
+    } catch { case _: java.io.IOException => None }
+  def list(prefix: String): Seq[(String, String)] =
+    entries.filter(_._1.startsWith(prefix))
+  def update(key: String, value: String): Unit =
+    PosixLogStore.writeAtomic(keyFile(key), s"$key\n$value")
+  def remove(key: String): Unit = PosixLogStore.delete(keyFile(key))
+}
+
+/** Simulated S3-class object store: atomic whole-object overwrite PUT,
+  * GET, LIST, DELETE — and NOTHING else. [[createIfAbsent]] throws
+  * (S3 has no atomic create-if-absent; that is the entire reason
+  * [[ExternalLogStore]] exists), and [[rename]] is what an object
+  * store's "rename" actually is: copy then delete, NOT atomic. Local-
+  * fs-backed so the object-store route is exercisable in tests; using
+  * posix primitives internally to IMPLEMENT an atomic PUT is fair —
+  * S3 gives that guarantee natively. */
+private[graft] object ObjectStoreSim extends LogStore {
+  def exists(p: String): Boolean = PosixLogStore.exists(p)
+  def isDir(p: String): Boolean = PosixLogStore.isDir(p)
+  def mkdirs(p: String): Unit = PosixLogStore.mkdirs(p)
+  def list(p: String): Seq[String] = PosixLogStore.list(p)
+  def readString(p: String): String = PosixLogStore.readString(p)
+  def writeAtomic(p: String, body: String): Unit =
+    PosixLogStore.writeAtomic(p, body)
+  def createIfAbsent(p: String, body: String): Boolean =
+    throw new UnsupportedOperationException(
+      "object store has no atomic create-if-absent — commit through " +
+      "ExternalLogStore's coordinator claim")
+  def delete(p: String): Unit = PosixLogStore.delete(p)
+  def deleteTree(p: String): Unit = PosixLogStore.deleteTree(p)
+  def rename(src: String, dst: String): Unit = {
+    // copy-then-delete, the only "rename" an object store has. Safe
+    // for the data path (generation dirs become visible only via the
+    // manifest commit); never used for the commit claim.
+    if (exists(dst))
+      throw new java.io.IOException(s"rename target exists: $dst")
+    val from = Paths.get(new HPath(src).toUri.getPath match {
+      case null => src; case q => q })
+    val to = Paths.get(new HPath(dst).toUri.getPath match {
+      case null => dst; case q => q })
+    if (Files.isDirectory(from)) {
+      val w = Files.walk(from)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toVector.foreach { f =>
+          val t = to.resolve(from.relativize(f).toString)
+          if (Files.isDirectory(f)) Files.createDirectories(t)
+          else {
+            Files.createDirectories(t.getParent)
+            Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      } finally w.close()
+    } else {
+      Files.createDirectories(to.getParent)
+      Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    }
+    PosixLogStore.deleteTree(src)
+  }
+  def identity(p: String): AnyRef = PosixLogStore.identity(p)
+  def treeBytes(p: String): Long = PosixLogStore.treeBytes(p)
+  /** Object stores have no hard links — a clone is a real copy. */
+  def cloneTree(src: String, dst: String): Unit = {
+    val from = Paths.get(new HPath(src).toUri.getPath match {
+      case null => src; case q => q })
+    val to = Paths.get(new HPath(dst).toUri.getPath match {
+      case null => dst; case q => q })
+    val w = Files.walk(from)
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.toVector.foreach { f =>
+        val t = to.resolve(from.relativize(f).toString)
+        if (Files.isDirectory(f)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally w.close()
+  }
+}
+
+/** Delta's published external-LogStore pattern (the
+  * `BaseExternalLogStore`/`S3DynamoDBLogStore` recipe) over a raw
+  * object store: the commit claim is a conditional put into the
+  * [[CommitCoordinator]], and the object store is only ever asked for
+  * atomic overwrite PUTs.
+  *
+  * Commit protocol for [[createIfAbsent]]:
+  *  1. PUT the body at a temp object next to the target.
+  *  2. Conditional-insert (target → pending:temp) into the
+  *     coordinator. THIS is the commit point: exactly one of N
+  *     concurrent claimants wins, losers delete their temp and report
+  *     a lost race.
+  *  3. PUT the body at the target, mark the entry complete, delete
+  *     the temp.
+  * A crash between 2 and 3 leaves a committed-but-unmaterialized
+  * version; every read-side operation first COMPLETES any pending
+  * entry it touches (copy temp → target, mark complete), so the
+  * committed version is never lost and never invisible — the
+  * listing-consistency rule of Delta's S3 recipe. Entries live as
+  * long as their target (removed on manifest delete/vacuum); a real
+  * DynamoDB deployment would add TTL expiry for completed entries. */
+private[graft] final class ExternalLogStore(
+    base: LogStore, coord: CommitCoordinator) extends LogStore {
+  private val Complete = "complete"
+
+  private def parentOf(p: String): String = {
+    val i = p.lastIndexOf('/')
+    require(i > 0, s"no parent: $p")
+    p.substring(0, i)
+  }
+  private def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Complete a claimed-but-unmaterialized commit in place. */
+  private def recoverEntry(p: String): Unit = coord.get(p).foreach { v =>
+    if (v != Complete) {
+      val tmp = v.stripPrefix("pending:")
+      if (!base.exists(p)) {
+        if (!base.exists(tmp))
+          throw new java.io.IOException(
+            s"commit $p claimed but neither target nor temp $tmp exists")
+        base.writeAtomic(p, base.readString(tmp))
+      }
+      coord.update(p, Complete)
+      if (base.exists(tmp)) base.delete(tmp)
+    }
+  }
+
+  /** Steps 1–2 only — the "crashed after the commit point" state, for
+    * crash-window tests. Returns whether the claim won. */
+  private[graft] def claimOnly(p: String, body: String): Boolean = {
+    val tmp = s"${parentOf(p)}/.commit-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    base.writeAtomic(tmp, body)
+    if (coord.putIfAbsent(p, s"pending:$tmp")) true
+    else { base.delete(tmp); false }
+  }
+
+  def createIfAbsent(p: String, body: String): Boolean =
+    if (claimOnly(p, body)) {
+      // we won: materialize the target and retire the temp. The
+      // write-through-temp detour (rather than PUTting the target
+      // directly after the claim) keeps one invariant: the coordinator
+      // never references a body that isn't durably stored somewhere.
+      recoverEntry(p)
+      true
+    } else {
+      // lost the race — make sure the winner's version is visible
+      // before reporting it (the winner may have crashed mid-publish)
+      recoverEntry(p)
+      false
+    }
+
+  def exists(p: String): Boolean = { recoverEntry(p); base.exists(p) }
+  def isDir(p: String): Boolean = base.isDir(p)
+  def mkdirs(p: String): Unit = base.mkdirs(p)
+
+  /** Listing = object-store listing ∪ coordinator entries under the
+    * directory (completed in passing) — an object-store LIST alone may
+    * miss a claimed-but-unmaterialized commit. */
+  def list(p: String): Seq[String] = {
+    val pend = coord.list(p + "/")
+      .filter { case (k, _) => !nameOf(k).isEmpty && parentOf(k) == p }
+    pend.foreach { case (k, _) => recoverEntry(k) }
+    (base.list(p) ++ pend.map { case (k, _) => nameOf(k) }).distinct
+  }
+
+  def readString(p: String): String = { recoverEntry(p); base.readString(p) }
+  def writeAtomic(p: String, body: String): Unit = base.writeAtomic(p, body)
+  def delete(p: String): Unit = { base.delete(p); coord.remove(p) }
+  def deleteTree(p: String): Unit = {
+    base.deleteTree(p)
+    coord.list(p + "/").foreach { case (k, _) => coord.remove(k) }
+    coord.remove(p)
+  }
+  def rename(src: String, dst: String): Unit = base.rename(src, dst)
+  def identity(p: String): AnyRef = { recoverEntry(p); base.identity(p) }
+  def treeBytes(p: String): Long = base.treeBytes(p)
+  def cloneTree(src: String, dst: String): Unit = base.cloneTree(src, dst)
 }

@@ -467,6 +467,113 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally DimStore.unrouteLogViaHadoop(root)
   }
 
+  test("LogStore seam, object-store route: the commit/race/compact/vacuum/" +
+       "time-travel matrix holds through ExternalLogStore — coordinator-" +
+       "claimed commits over raw overwrite-PUT storage") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("vs_ext").toString
+    val path = root + "/dim"
+    // file-backed coordinator (the cross-process DynamoDB stand-in)
+    // over the object-store simulator, which REFUSES create-if-absent
+    // and has only copy+delete "rename" — nothing in the protocol may
+    // lean on a primitive S3 doesn't have
+    val coord = new graft.ops.FileCommitCoordinator(
+      Files.createTempDirectory("vs_ext_coord").toString)
+    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+    DimStore.routeLogViaExternal(root, ext)
+    try {
+      DimStore.upsert(s, path,
+        Seq((1L, "alice", 10L), (2L, "bob", 10L)).toDF("id", "name", "ver"),
+        "id", "ver", nBuckets = 4)
+      DimStore.upsert(s, path,
+        Seq((1L, "alice2", 20L), (3L, "carol", 20L)).toDF("id", "name", "ver"),
+        "id", "ver")
+      DimStore.history(path) shouldBe Seq(1L, 2L)
+      DimStore.read(s, path).select("id", "name").as[(Long, String)]
+        .collect().sorted shouldBe
+        Seq((1L, "alice2"), (2L, "bob"), (3L, "carol"))
+      DimStore.read(s, path, asOf = 1L).select("id", "name").as[(Long, String)]
+        .collect().sorted shouldBe Seq((1L, "alice"), (2L, "bob"))
+      // concurrent committers: the coordinator's conditional put must
+      // admit exactly one winner per version, losers retry
+      val threads = (1 to 4).map { t =>
+        new Thread(() => {
+          (1 to 3).foreach { i =>
+            DimStore.upsert(s, path,
+              Seq((t * 100L + i, s"w$t-$i", i.toLong)).toDF("id", "name", "ver"),
+              "id", "ver")
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      DimStore.history(path) shouldBe (1L to 14L)
+      val got = DimStore.read(s, path).select("id", "name")
+        .as[(Long, String)].collect().toMap
+      got.size shouldBe 15
+      for (t <- 1 to 4; i <- 1 to 3) got(t * 100L + i) shouldBe s"w$t-$i"
+      // maintenance commits ride the same protocol
+      DimStore.compact(s, path)
+      DimStore.rebucket(s, path, "id", newBuckets = 8)
+      DimStore.rewrite(s, path, "id")(df => df.filter($"id" < 100))
+      DimStore.history(path) shouldBe (1L to 17L)
+      DimStore.read(s, path).count() shouldBe 3
+      DimStore.read(s, path, asOf = 16L).count() shouldBe 15
+      DimStore.vacuum(s, path, keepLast = 2, graceMillis = 0L) should be > 0
+      DimStore.history(path) shouldBe Seq(16L, 17L)
+      DimStore.read(s, path).count() shouldBe 3
+      an[IllegalArgumentException] should be thrownBy
+        DimStore.read(s, path, asOf = 1L).collect()
+      // root projection equals the snapshot (object-store clone = copy)
+      s.read.parquet(path).select("id", "name").as[(Long, String)]
+        .collect().toSet shouldBe
+        DimStore.read(s, path).select("id", "name").as[(Long, String)]
+          .collect().toSet
+    } finally DimStore.unrouteLogViaExternal(root)
+  }
+
+  test("ExternalLogStore crash window: a commit claimed in the coordinator " +
+       "but never materialized is completed by ANY later reader — the " +
+       "committed version can neither be lost nor stay invisible") {
+    val dir = Files.createTempDirectory("ext_crash").toString
+    val coord = new graft.ops.InMemoryCommitCoordinator
+    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+    graft.ops.ObjectStoreSim.mkdirs(dir)
+    // normal write-read roundtrip
+    ext.createIfAbsent(s"$dir/a", "body-a") shouldBe true
+    ext.readString(s"$dir/a") shouldBe "body-a"
+    ext.createIfAbsent(s"$dir/a", "other") shouldBe false
+    ext.readString(s"$dir/a") shouldBe "body-a"
+    // crash after the commit point (claim recorded, target never PUT):
+    // the object store alone shows nothing...
+    ext.claimOnly(s"$dir/b", "body-b") shouldBe true
+    graft.ops.ObjectStoreSim.exists(s"$dir/b") shouldBe false
+    // ...but a fresh reader sharing the coordinator sees AND completes
+    // it through every read-side surface
+    val reader = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+    reader.list(dir) should contain("b")
+    reader.readString(s"$dir/b") shouldBe "body-b"
+    graft.ops.ObjectStoreSim.exists(s"$dir/b") shouldBe true
+    // a racing claimant of the same path loses to the crashed winner
+    // and the winner's body survives
+    reader.createIfAbsent(s"$dir/b", "usurper") shouldBe false
+    reader.readString(s"$dir/b") shouldBe "body-b"
+    // N concurrent claimants of one fresh path: exactly one wins
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val ts = (1 to 8).map { t =>
+      new Thread(() => {
+        if (ext.createIfAbsent(s"$dir/c", s"t$t")) { wins.incrementAndGet(); () }
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    wins.get() shouldBe 1
+    // the raw object store refuses the primitive it doesn't have
+    an[UnsupportedOperationException] should be thrownBy
+      graft.ops.ObjectStoreSim.createIfAbsent(s"$dir/z", "x")
+  }
+
   test("rebucket: fan-out evolution as a commit — reads agree before and " +
        "after, time travel crosses the boundary, later upserts are " +
        "O(touched) at the NEW fan-out, shrink removes orphan root dirs") {
