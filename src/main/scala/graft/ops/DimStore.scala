@@ -1038,4 +1038,80 @@ object DimStore {
         nFiles
     }
   }
+
+  /** What [[maintain]] measured and decided. `avgBucketBytes` IS the
+    * expected physical write cost of a one-pk upsert (the merge
+    * rewrites each touched bucket whole) — the write-amplification
+    * number the policy exists to bound. */
+  final case class Maintenance(
+      version: Long, buckets: Int, tableBytes: Long, avgBucketBytes: Long,
+      dataFiles: Long, maxFilesPerBucketSeen: Int,
+      rebucketTo: Option[Int], compactRecommended: Boolean,
+      applied: Seq[String])
+
+  /** Auto-maintenance policy: measure the table from its manifest —
+    * O(buckets) metadata, no data read — then recommend-or-run the
+    * maintenance commit the measurements call for (the RebucketProbe
+    * math productized):
+    *
+    *  - REBUCKET when the per-bucket byte load has drifted ≥2× from
+    *    `targetBucketBytes` in either direction: a table grown past
+    *    its creation fan-out pays O(table/buckets) physical write per
+    *    one-pk upsert (measured ×7.75 recovery on an 8→64 rebucket in
+    *    SCALEPROBE), and a table shrunk far below it fragments scans
+    *    across near-empty buckets. The target fan-out is the next
+    *    power of two covering tableBytes / targetBucketBytes, capped
+    *    at `maxBuckets`; the 2× hysteresis band keeps back-to-back
+    *    maintain calls from thrashing between adjacent fan-outs.
+    *  - COMPACT when any referenced bucket holds more than
+    *    `maxFilesPerBucket` data files (split debris from an earlier
+    *    size-capped compaction after rows were deleted, or a migrated
+    *    legacy layout): per-file footers and undersized scan tasks tax
+    *    every read. Skipped when a rebucket runs — the rebucket's full
+    *    rewrite already lands one file per bucket.
+    *
+    * With `apply = false` this is a pure report (run it from a
+    * monitoring job; act on the recommendation in a maintenance
+    * window). With `apply = true` the chosen action runs as one
+    * ordinary optimistic commit — concurrent upserts race it safely,
+    * history stays time-travelable, vacuum prices stay unchanged. */
+  def maintain(spark: SparkSession, path: String, pk: String,
+               targetBucketBytes: Long = 256L * 1024 * 1024,
+               targetFileBytes: Long = 128L * 1024 * 1024,
+               maxFilesPerBucket: Int = 4,
+               maxBuckets: Int = 4096,
+               apply: Boolean = true): Maintenance = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, fs, path)
+    val base = latest(path).getOrElse(throw new IllegalStateException(
+      s"maintain needs a versioned table at $path; commit an upsert first"))
+    val st = store(path)
+    val perBucket = base.gens.toSeq.map { case (b, g) =>
+      val bp = bucketPath(path, g, b)
+      (st.treeBytes(bp), st.list(bp).count(isVisible))
+    }
+    val tableBytes = perBucket.map(_._1).sum
+    val dataFiles = perBucket.map(_._2.toLong).sum
+    val maxFiles = perBucket.foldLeft(0)((a, x) => math.max(a, x._2))
+    val avg = if (base.buckets <= 0) 0L else tableBytes / base.buckets
+    val need = math.max(1L,
+      (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
+    var desired = 1
+    while (desired < need && desired < maxBuckets) desired <<= 1
+    val rebucketTo =
+      if (desired >= base.buckets.toLong * 2 || desired.toLong * 2 <= base.buckets)
+        Some(desired)
+      else None
+    val compactRec = rebucketTo.isEmpty && maxFiles > maxFilesPerBucket
+    val applied =
+      if (!apply) Nil
+      else rebucketTo match {
+        case Some(n) => rebucket(spark, path, pk, n); Seq(s"rebucket($n)")
+        case None if compactRec =>
+          compact(spark, path, targetFileBytes); Seq("compact")
+        case None => Nil
+      }
+    Maintenance(base.version, base.buckets, tableBytes, avg, dataFiles,
+      maxFiles, rebucketTo, compactRec, applied)
+  }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.DimStore
+
+/** DimStore.maintain — the measured-policy wrapper over rebucket/
+  * compact: thresholds crossed → maintenance commit; inside the band →
+  * no-op. */
+class MaintainSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  /** Bytes of the generation(s) committed at `version` — what that
+    * commit physically wrote (the RebucketProbe measurement). */
+  private def genBytes(path: String, version: Long): Long = {
+    val gd = Paths.get(path, "_gens")
+    val l = Files.list(gd)
+    try {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(f"g$version%020d"))
+        .map { g =>
+          val w = Files.walk(g)
+          try w.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(Files.size).sum
+          finally w.close()
+        }.sum
+    } finally l.close()
+  }
+
+  test("a table grown past its fan-out gets rebucketed by the policy and " +
+       "later one-pk upserts write a fraction of the bytes") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("maint_grow").toString + "/dim"
+    // ~2 MB of payload at fan-out 2: every one-pk upsert rewrites ~1 MB
+    val base = s.range(20000L).select(col("id"),
+      concat_ws("-", md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("payload"),
+      lit(1L).as("ver"))
+    DimStore.upsert(s, path, base, "id", "ver", nBuckets = 2)
+    DimStore.upsert(s, path,
+      Seq((42L, "probe", 2L)).toDF("id", "payload", "ver"), "id", "ver")
+    val narrowBytes = genBytes(path, 2L)
+
+    val m = DimStore.maintain(s, path, "id",
+      targetBucketBytes = 64L * 1024)
+    m.buckets shouldBe 2
+    m.rebucketTo shouldBe defined
+    m.rebucketTo.get should be >= 8
+    m.applied shouldBe Seq(s"rebucket(${m.rebucketTo.get})")
+    DimStore.history(path) shouldBe Seq(1L, 2L, 3L) // policy committed v3
+
+    DimStore.upsert(s, path,
+      Seq((4242L, "probe2", 3L)).toDF("id", "payload", "ver"), "id", "ver")
+    val wideBytes = genBytes(path, 4L)
+    // amplification drops ≈ fan-out ratio; assert a conservative 2×
+    wideBytes.toDouble should be < narrowBytes.toDouble / 2
+    // rows and LWW state untouched by the maintenance commit
+    DimStore.read(s, path).count() shouldBe 20000L
+    DimStore.read(s, path).filter($"id" === 42L).select("payload")
+      .as[String].head() shouldBe "probe"
+
+    // the policy is stable: immediately re-running it at the SAME
+    // target recommends nothing (hysteresis band)
+    val m2 = DimStore.maintain(s, path, "id", targetBucketBytes = 64L * 1024)
+    m2.rebucketTo shouldBe None
+    m2.compactRecommended shouldBe false
+    m2.applied shouldBe empty
+  }
+
+  test("fragmented buckets (file-split debris) trigger a policy compact; " +
+       "a healthy table is a no-op") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("maint_frag").toString + "/dim"
+    // ~512 KB at fan-out 4 ⇒ with targetBucketBytes=128 KB the desired
+    // fan-out equals the current one — no rebucket interference
+    val base = s.range(5000L).select(col("id"),
+      concat_ws("-", md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("payload"),
+      lit(1L).as("ver"))
+    DimStore.upsert(s, path, base, "id", "ver", nBuckets = 4)
+    // shatter the layout: a size-capped compaction at a tiny target
+    // splits every bucket into many small files
+    DimStore.compact(s, path, targetFileBytes = 8L * 1024)
+    val m0 = DimStore.maintain(s, path, "id",
+      targetBucketBytes = 128L * 1024, apply = false)
+    m0.maxFilesPerBucketSeen should be > 4
+    m0.rebucketTo shouldBe None
+    m0.compactRecommended shouldBe true
+    m0.applied shouldBe empty // report-only mode never commits
+
+    val m1 = DimStore.maintain(s, path, "id",
+      targetBucketBytes = 128L * 1024)
+    m1.applied shouldBe Seq("compact")
+    // healed: files per bucket back under the bound, rows intact
+    val m2 = DimStore.maintain(s, path, "id",
+      targetBucketBytes = 128L * 1024)
+    m2.maxFilesPerBucketSeen should be <= 4
+    m2.compactRecommended shouldBe false
+    m2.applied shouldBe empty
+    DimStore.read(s, path).count() shouldBe 5000L
+  }
+}
