@@ -87,30 +87,36 @@ object ConnectedComponents {
     * knob — contraction provably converges in O(log² n) rounds, so
     * hitting the cap means a broken invariant, and silently returning
     * a half-contracted forest would be WRONG labels. */
+  /** Per-round lineage truncation: each round's plan references the
+    * previous round's frame SEVERAL times (large-star self-unions,
+    * small-star self-joins), so an uncut lineage grows exponentially
+    * and Catalyst's canonicalization OOMs the driver around round 8 —
+    * checkpointing makes every round a leaf scan of stored blocks.
+    * When the session has a reliable `spark.checkpoint.dir`
+    * configured, rounds checkpoint THERE (fault-tolerant: an executor
+    * loss mid-contraction recovers from durable blocks instead of
+    * failing the job — what a multi-hour production run wants);
+    * otherwise eager executor-block localCheckpoint, which suffices
+    * because the algorithm is deterministic — on executor loss the
+    * job fails and a retry recomputes the same fixpoint. */
+  private def truncated(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   def starContraction(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
     // drop self loops, orient big→small once so round 1 can start on
-    // small-star's precondition without a wasted symmetrize.
-    // localCheckpoint (not persist): each round's plan references the
-    // previous round's frame SEVERAL times (large-star self-unions,
-    // small-star self-joins), so an uncut lineage grows exponentially
-    // and Catalyst's canonicalization OOMs the driver around round 8 —
-    // checkpointing makes every round a leaf scan of the cached
-    // blocks. Local (executor-block) checkpoint suffices because the
-    // algorithm is deterministic: on executor loss the job fails and a
-    // retry recomputes the same fixpoint; a long-lived production run
-    // that can't afford the restart would set a reliable
-    // spark.checkpoint.dir and swap in Dataset.checkpoint — same
-    // truncation, durable blocks.
-    var e = edges
+    // small-star's precondition without a wasted symmetrize; truncate
+    // per round (see [[truncated]])
+    var e = truncated(edges
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var prev = witness(e)
     var rounds = 0
     var done = prev._1 == 0L
     while (!done && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = truncated(smallStar(largeStar(e)))
       val cur = witness(next)
       // equal witness nominates a fixpoint; confirm with a real
       // set-difference before terminating (both frames are distinct()

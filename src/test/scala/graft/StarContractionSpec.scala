@@ -79,6 +79,29 @@ class StarContractionSpec extends AnyFunSuite with Matchers with SparkFixture {
     labelsOf(Seq((9L, 4L))) shouldBe Map(9L -> 4L, 4L -> 4L)
   }
 
+  test("with a reliable spark.checkpoint.dir configured, rounds checkpoint " +
+       "durably (fault-tolerant truncation) and labels are unchanged") {
+    val s = spark
+    val before = labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    s.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L))) shouldBe before
+      // the reliable path really ran: checkpoint data landed in the dir
+      val entries = {
+        val l = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.size
+        } finally l.close()
+      }
+      entries should be > 0
+    } finally {
+      // session is shared across suites: restore the eager-local path
+      s.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("x28 propagation, x73 contraction, x74 incremental agree on the fixture") {
     val s = spark
     val byName = graft.queries.Registry.byName
