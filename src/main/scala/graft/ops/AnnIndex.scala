@@ -40,9 +40,21 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** The frozen model: coarse centroids (id → vector) + PQ codebooks. */
+  /** The frozen model: coarse centroids (id → vector) + PQ codebooks,
+    * plus the build-time mean quantization error (the model-fit
+    * baseline [[append]] monitors drift against). */
   final case class Model(centroids: Seq[(Long, Seq[Double])],
-                         pq: ProductQuantizer.PqModel)
+                         pq: ProductQuantizer.PqModel,
+                         baselineErr: Double)
+
+  /** What one ingest batch's model fit looked like: its mean residual
+    * quantization error vs the build-time baseline. `rebuildRecommended`
+    * fires when the ratio exceeds the caller's drift factor — the
+    * batch is drawn from a distribution the frozen codebooks no longer
+    * cover, and the honest fix is a new [[build]] (re-train + full
+    * re-encode as a fresh version), not more appends. */
+  final case class IngestDrift(batchMeanErr: Double, baselineErr: Double,
+                               ratio: Double, rebuildRecommended: Boolean)
 
   private def codesPath(path: String) = s"$path/codes"
   private def modelPath(path: String) = s"$path/model"
@@ -111,13 +123,21 @@ object AnnIndex {
     val lists = assigned.select(col(idCol), col("list_id"),
       residual(cents, col("list_id"), col(vCol)).as("__rv"))
     val pq = ProductQuantizer.train(lists, idCol, "__rv", dim, m, k, rounds)
-    val model = Model(cents, pq)
+    // build-time model fit: corpus mean quantization error — one extra
+    // narrow pass (train already scanned the corpus `rounds` times);
+    // this is the baseline every later ingest batch's fit is judged
+    // against
+    val baseline = lists
+      .agg(avg(ProductQuantizer.quantizationError(col("__rv"), pq)))
+      .head().getDouble(0)
+    val model = Model(cents, pq, baseline)
     val modelRows =
       cents.map { case (cid, cv) => ("c" + cid, "cent", cid, 0L, cv) } ++
       (for (mi <- 0 until m; ki <- 0 until k) yield
         (s"p$mi-$ki", "pq", mi.toLong, ki.toLong,
           pq.codebooks(mi)(ki).toSeq)) ++
-      Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)))
+      Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)),
+        ("err", "stats", 0L, 0L, Seq(baseline)))
     DimStore.upsert(spark, modelPath(path),
       modelRows.toDF("key", "kind", "i1", "i2", "vals")
         .withColumn("__batch_ver", lit(1L)),
@@ -133,14 +153,40 @@ object AnnIndex {
     * model and merge it into the codes table — one optimistic commit
     * rewriting O(touched buckets), not a corpus re-encode. LWW by
     * `ver`: a re-ingested vector with a newer version replaces its
-    * row; the model tables are untouched. */
+    * row; the model tables are untouched.
+    *
+    * Returns the batch's [[IngestDrift]] — mean residual quantization
+    * error vs the build-time baseline, computed in the same pass shape
+    * as the encode. Freezing the model is what makes maintenance
+    * sound, and drift is its failure mode: when the incoming
+    * distribution walks away from what the codebooks were trained on,
+    * the errors (and therefore ADC ranking noise) grow without any
+    * query failing loudly. `driftFactor` is the ratio past which the
+    * report recommends a rebuild; the append itself ALWAYS lands
+    * (rows must not be dropped while a rebuild is pending — they are
+    * searchable at degraded precision, and the rebuild re-encodes
+    * them anyway). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-             idCol: String, vCol: String, ver: Long): Unit = {
+             idCol: String, vCol: String, ver: Long,
+             driftFactor: Double = 2.0): IngestDrift = {
     val model = readModel(spark, path)
+    val withRv = batch
+      .withColumn("__cs", ranked(model.centroids, col(vCol)))
+      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+      .withColumn("__rv", residual(model.centroids, col("list_id"), col(vCol)))
+    val stats = withRv.agg(
+      avg(ProductQuantizer.quantizationError(col("__rv"), model.pq)),
+      count(lit(1))).head()
+    val batchErr = if (stats.getLong(1) == 0L) Double.NaN else stats.getDouble(0)
     DimStore.upsert(spark, codesPath(path),
-      encodeWith(batch, idCol, vCol, model)
+      ProductQuantizer.encode(withRv, "__rv", model.pq)
+        .select(col(idCol).as("vec_id") +: col("list_id") +:
+          model.pq.codeCols.map(col): _*)
         .withColumn("__batch_ver", lit(ver)),
       pk = "vec_id", versionCol = "__batch_ver")
+    val ratio = batchErr / model.baselineErr
+    IngestDrift(batchErr, model.baselineErr, ratio,
+      rebuildRecommended = !ratio.isNaN && ratio > driftFactor)
   }
 
   /** The frozen model, reconstructed bit-exactly from the model
@@ -161,7 +207,9 @@ object AnnIndex {
       .map(r => (r.getLong(2).toInt, r.getLong(3).toInt) ->
         r.getSeq[Double](4).toArray).toMap
     val cbs = Array.tabulate(m)(mi => Array.tabulate(k)(ki => byMk((mi, ki))))
-    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs))
+    val baseline = rows.find(_.getString(1) == "stats")
+      .map(_.getSeq[Double](4).head).getOrElse(Double.NaN)
+    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs), baseline)
   }
 
   /** The staged codes snapshot: (vec_id, list_id, pq_code0..m-1). */

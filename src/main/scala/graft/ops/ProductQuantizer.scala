@@ -115,6 +115,20 @@ object ProductQuantizer {
       .agg(sum(col("__x").cast(SumDec)).as("sx"), count(lit(1)).as("n"))
   }
 
+  /** Σ over subspaces of the squared distance to the NEAREST centroid
+    * — the quantization (reconstruction) error of encoding `v` under
+    * the model, via `array_min` over the same distance array
+    * [[nearest]] ranks, so error and assignment can never disagree.
+    * The per-corpus mean of this is the model-fit statistic the
+    * freeze/maintain contract monitors: appended batches whose mean
+    * error drifts far above the build-time baseline are drawn from a
+    * distribution the frozen codebooks no longer cover. */
+  def quantizationError(v: Column, model: PqModel): Column =
+    (0 until model.m).map { mi =>
+      array_min(array(model.codebooks(mi).map(c =>
+        dist2(v, mi, model.subDim, c)): _*))
+    }.reduce(_ + _)
+
   /** Append `pq_code0..pq_code{m-1}` int columns — the stored index. */
   def encode(df: DataFrame, vCol: String, model: PqModel): DataFrame =
     df.select(df.columns.map(col) ++ (0 until model.m).map(mi =>

@@ -77,6 +77,43 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
         "vec_id", "v", model))
   }
 
+  test("ingest drift: an in-distribution batch reports fit ≈ baseline; " +
+       "an out-of-distribution batch recommends a rebuild — and still " +
+       "lands (searchable at degraded precision)") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_drift").toString + "/idx"
+    val model = AnnIndex.build(s, path, e.filter($"vec_id" < 400),
+      "vec_id", "v", centroidIds = Cents, dim = 64, m = 4, k = 4,
+      rounds = 1)
+    model.baselineErr should be > 0.0
+    // in-distribution: the held-out tail of the same fixture
+    val ok = AnnIndex.append(s, path, e.filter($"vec_id" >= 400),
+      "vec_id", "v", ver = 2L)
+    ok.rebuildRecommended shouldBe false
+    ok.ratio should be < 2.0
+    // out-of-distribution: scale the vectors 5× — residual magnitudes
+    // (and with them quantization error) blow up ~25× past anything
+    // the frozen codebooks were trained to cover
+    val shifted = e.filter($"vec_id" >= 400)
+      .select(($"vec_id" + 10000L).as("vec_id"),
+        transform($"v", x => x * 5.0).as("v"))
+    val bad = AnnIndex.append(s, path, shifted, "vec_id", "v", ver = 3L)
+    bad.rebuildRecommended shouldBe true
+    bad.ratio should be > 2.0
+    // the drifted rows are IN the index (nothing dropped while the
+    // rebuild is pending)
+    AnnIndex.codes(s, path).filter($"vec_id" >= 10000L).count() shouldBe
+      e.filter($"vec_id" >= 400).count()
+    // empty batch: no commit effect needed, NaN fit, no recommendation
+    val none = AnnIndex.append(s, path, e.filter($"vec_id" < 0),
+      "vec_id", "v", ver = 4L)
+    none.rebuildRecommended shouldBe false
+    none.batchMeanErr.isNaN shouldBe true
+    // baseline round-trips through the model table
+    AnnIndex.readModel(s, path).baselineErr shouldBe model.baselineErr
+  }
+
   test("maintenance is O(touched buckets): a one-vector append's commit " +
        "generation holds one bucket dir, not the table fan-out") {
     val s = spark

@@ -58,6 +58,7 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         AnnIndex.append(s, path, batch.toDF(), "vec_id", "v",
           ver = 2L + bid)
+        ()
       }.start()
     try {
       mem.addData(rows(60 until 90): _*)
