@@ -4355,11 +4355,53 @@ object Extensions {
       FROM sp GROUP BY split ORDER BY split
     """))
 
+  // ---------------------------------------------------------------------
+  // x80 — refine served from the PERSISTED index: x79's shortlist +
+  // exact-re-rank tail answered from the staged AnnIndex (x78's build,
+  // shared via the same Staging key — first consumer pays it once)
+  // instead of the self-contained train/encode pipeline. This is the
+  // production query path end-to-end: probe LUTs broadcast against the
+  // staged codes table (one scan), ADC top-R per query, R exact
+  // cosines against the raw vectors via a broadcast shortlist join.
+  // Same oracle as x79 — the staged route must be byte-identical.
+  val x80 = Q(
+    "x80_ivfadc_staged_refine",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val idxPath = graft.ops.Staging.ensurePath(
+          "ann_index", dir, Seq("embeddings")) { p =>
+        graft.ops.AnnIndex.build(s, p.toString, e, "vec_id", "v",
+          centroidIds = IvfCentroids, dim = PqM * PqD, m = PqM, k = PqK,
+          rounds = 1)
+        ()
+      }
+      val model = graft.ops.AnnIndex.readModel(s, idxPath)
+      val queries = e.filter($"vec_id" <= 2)
+      val probes = graft.ops.AnnIndex.queryProbes(
+        queries, "vec_id", "v", model, IvfProbes)
+      val shortlist = graft.ops.AnnIndex
+        .adcTopK(s, idxPath, probes, model, RefineR)
+        .select($"query_id", $"vec_id", $"adc_ppm")
+      val qvs = queries.select($"vec_id".as("query_id"), $"v".as("qv"))
+      val wCos = Window.partitionBy($"query_id")
+        .orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(qvs), Seq("query_id"))
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"adc_ppm", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcRefineOracleSql))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74, x75, x76, x77, x78, x79)
+    x71, x72, x73, x74, x75, x76, x77, x78, x79, x80)
 }

@@ -39,6 +39,17 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     direct should not be empty
   }
 
+  test("staged refine (x80) answers byte-identically to the " +
+       "self-contained x79 pipeline") {
+    graft.queries.Extensions.clearPersistedIntermediates()
+    val direct = graft.queries.Extensions.x79.run(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val staged = graft.queries.Extensions.x80.run(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    staged shouldBe direct
+    direct should not be empty
+  }
+
   test("incremental append == full re-encode under the frozen model; " +
        "a re-ingested vector LWW-replaces its row") {
     val s = spark
