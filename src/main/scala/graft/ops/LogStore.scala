@@ -74,6 +74,9 @@ private[graft] sealed trait LogStore {
     * replaced by a different one (delete + recreate included). Throws
     * when missing. */
   def identity(p: String): AnyRef
+  /** Last-modified epoch millis of `p`; throws when missing. Used for
+    * AGE decisions only (debris sweeping), never correctness. */
+  def modifiedMs(p: String): Long
   /** Total data bytes under `p`. */
   def treeBytes(p: String): Long
   /** Clone a directory tree (hard links where the fs supports them,
@@ -161,6 +164,8 @@ private[graft] object PosixLogStore extends LogStore {
       nio(p), classOf[java.nio.file.attribute.BasicFileAttributes])
     (attrs.size, attrs.lastModifiedTime.toMillis, attrs.fileKey)
   }
+
+  def modifiedMs(p: String): Long = Files.getLastModifiedTime(nio(p)).toMillis
 
   def treeBytes(p: String): Long = {
     val root = nio(p)
@@ -302,6 +307,9 @@ private[graft] object HadoopLogStore extends LogStore {
     (st.getLen, st.getModificationTime)
   }
 
+  def modifiedMs(p: String): Long =
+    fc(p).getFileStatus(new HPath(p)).getModificationTime
+
   /** One namenode RPC on HDFS — no client-side walk at scale. */
   def treeBytes(p: String): Long =
     try fs(p).getContentSummary(new HPath(p)).getLength
@@ -435,6 +443,7 @@ private[graft] object ObjectStoreSim extends LogStore {
     PosixLogStore.deleteTree(src)
   }
   def identity(p: String): AnyRef = PosixLogStore.identity(p)
+  def modifiedMs(p: String): Long = PosixLogStore.modifiedMs(p)
   def treeBytes(p: String): Long = PosixLogStore.treeBytes(p)
   /** Object stores have no hard links — a clone is a real copy. */
   def cloneTree(src: String, dst: String): Unit = {
@@ -478,9 +487,16 @@ private[graft] object ObjectStoreSim extends LogStore {
   * listing-consistency rule of Delta's S3 recipe. Entries live as
   * long as their target (removed on manifest delete/vacuum); a real
   * DynamoDB deployment would add TTL expiry for completed entries. */
+private[graft] object ExternalLogStore {
+  /** Age past which an unreferenced `.commit-tmp-` object is debris a
+    * listing may sweep — generous against clock skew and slow PUTs. */
+  private[graft] val TmpTtlMs: Long = 15L * 60 * 1000
+}
+
 private[graft] final class ExternalLogStore(
     base: LogStore, coord: CommitCoordinator) extends LogStore {
   private val Complete = "complete"
+  private val TmpPrefix = ".commit-tmp-"
 
   private def parentOf(p: String): String = {
     val i = p.lastIndexOf('/')
@@ -507,7 +523,7 @@ private[graft] final class ExternalLogStore(
   /** Steps 1–2 only — the "crashed after the commit point" state, for
     * crash-window tests. Returns whether the claim won. */
   private[graft] def claimOnly(p: String, body: String): Boolean = {
-    val tmp = s"${parentOf(p)}/.commit-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = s"${parentOf(p)}/$TmpPrefix${java.util.UUID.randomUUID().toString.take(8)}"
     base.writeAtomic(tmp, body)
     if (coord.putIfAbsent(p, s"pending:$tmp")) true
     else { base.delete(tmp); false }
@@ -534,12 +550,33 @@ private[graft] final class ExternalLogStore(
 
   /** Listing = object-store listing ∪ coordinator entries under the
     * directory (completed in passing) — an object-store LIST alone may
-    * miss a claimed-but-unmaterialized commit. */
+    * miss a claimed-but-unmaterialized commit. Listings also sweep
+    * temp DEBRIS: a writer that crashed between its temp PUT and the
+    * coordinator claim strands a `.commit-tmp-` object nothing
+    * references; any such object older than [[ExternalLogStore.TmpTtlMs]]
+    * and not named by a pending entry is deleted (Delta's TTL rule —
+    * the age bound is what keeps an in-flight writer's seconds-old
+    * temp safe from a concurrent lister). */
   def list(p: String): Seq[String] = {
     val pend = coord.list(p + "/")
       .filter { case (k, _) => !nameOf(k).isEmpty && parentOf(k) == p }
     pend.foreach { case (k, _) => recoverEntry(k) }
-    (base.list(p) ++ pend.map { case (k, _) => nameOf(k) }).distinct
+    val names = base.list(p)
+    val referenced = pend.map(_._2).collect {
+      case v if v != Complete => nameOf(v.stripPrefix("pending:"))
+    }.toSet
+    names.filter(_.startsWith(TmpPrefix))
+      .filterNot(referenced)
+      .foreach { n =>
+        val f = s"$p/$n"
+        try {
+          if (System.currentTimeMillis() - base.modifiedMs(f) >
+              ExternalLogStore.TmpTtlMs)
+            base.delete(f)
+        } catch { case _: java.io.IOException => () }
+      }
+    (names.filterNot(_.startsWith(TmpPrefix)) ++
+      pend.map { case (k, _) => nameOf(k) }).distinct
   }
 
   def readString(p: String): String = { recoverEntry(p); base.readString(p) }
@@ -552,6 +589,7 @@ private[graft] final class ExternalLogStore(
   }
   def rename(src: String, dst: String): Unit = base.rename(src, dst)
   def identity(p: String): AnyRef = { recoverEntry(p); base.identity(p) }
+  def modifiedMs(p: String): Long = { recoverEntry(p); base.modifiedMs(p) }
   def treeBytes(p: String): Long = base.treeBytes(p)
   def cloneTree(src: String, dst: String): Unit = base.cloneTree(src, dst)
 }

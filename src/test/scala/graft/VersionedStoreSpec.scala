@@ -572,6 +572,23 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the raw object store refuses the primitive it doesn't have
     an[UnsupportedOperationException] should be thrownBy
       graft.ops.ObjectStoreSim.createIfAbsent(s"$dir/z", "x")
+    // temp-debris sweep: a writer that crashed BEFORE its coordinator
+    // claim strands an unreferenced .commit-tmp- object. An aged one
+    // is swept by the next listing; a fresh one (possibly an in-flight
+    // writer's) survives; the pending entry's temp ('b''s, before its
+    // recovery above) was never sweepable because the entry referenced
+    // it.
+    graft.ops.ObjectStoreSim.writeAtomic(s"$dir/.commit-tmp-old", "junk")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/.commit-tmp-old"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 16L * 60 * 1000))
+    graft.ops.ObjectStoreSim.writeAtomic(s"$dir/.commit-tmp-fresh", "inflight")
+    val listed = reader.list(dir)
+    listed should not contain ".commit-tmp-old"
+    listed should not contain ".commit-tmp-fresh" // temps never listed
+    graft.ops.ObjectStoreSim.exists(s"$dir/.commit-tmp-old") shouldBe false
+    graft.ops.ObjectStoreSim.exists(s"$dir/.commit-tmp-fresh") shouldBe true
   }
 
   test("rebucket: fan-out evolution as a commit — reads agree before and " +
