@@ -59,29 +59,15 @@ object AnnIndex {
   private def codesPath(path: String) = s"$path/codes"
   private def modelPath(path: String) = s"$path/model"
 
-  /** Left-to-right cosine fold — identical formulation to the query
-    * layer's, so coarse assignment is ulp-identical everywhere. */
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na  = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb  = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / when(na * nb > 0, na * nb)
-  }
-
-  /** Centroids ranked per row as a sorted struct array — cosine DESC,
-    * centroid id ASC on ties (struct sort on (ccos, -id) DESC): a pure
-    * narrow map, no corpus×centroids join. */
+  /** Coarse assignment/ranking/residual come from the shared
+    * [[IvfKit]] — the SAME expressions the query layer (x12/x75)
+    * ranks with, single-sourced so index and query sides stay
+    * ulp-identical by construction. */
   private def ranked(cents: Seq[(Long, Seq[Double])], v: Column): Column =
-    sort_array(array(cents.map { case (cid, cv) =>
-      struct(cosine(v, typedlit(cv)).as("c"), lit(-cid).as("nid"))
-    }: _*), asc = false)
-
-  /** Residual v − c(assigned list), branch-free per centroid. */
+    IvfKit.ranked(cents, v)
   private def residual(cents: Seq[(Long, Seq[Double])], listId: Column,
                        v: Column): Column =
-    cents.map { case (cid, cv) =>
-      when(listId === cid, zip_with(v, typedlit(cv), (x, y) => x - y))
-    }.reduce(coalesce(_, _))
+    IvfKit.residual(cents, listId, v)
 
   /** (vec_id, list_id, pq_code0..m-1) for `df` under the FROZEN
     * model — a pure narrow map (assignment + residual + encode fused
@@ -99,19 +85,61 @@ object AnnIndex {
         model.pq.codeCols.map(col): _*)
   }
 
-  /** Train + materialize version 1: coarse centroids are the corpus
-    * rows with the given ids (production swaps in a k-means output —
-    * the freeze/maintain contract is identical), PQ codebooks train on
-    * the residuals via [[ProductQuantizer.train]]'s exact-decimal
-    * Lloyd. Writes the model table first, then the full codes table —
-    * a crash in between leaves a model with an empty codes table,
-    * which the next build attempt (staging re-publish) replaces
-    * whole. */
+  /** Next LWW version for a (re)build: strictly above every
+    * `__batch_ver` already committed to either table, so rebuilt rows
+    * dominate ALL earlier build/append batches — including a replayed
+    * pre-rebuild append. One bounded agg per table (max over a long
+    * column), only on the rebuild path. */
+  private def nextBuildVer(spark: SparkSession, path: String): Long = {
+    def maxVer(p: String): Long =
+      DimStore.readIfExists(spark, p) match {
+        case Some(df) if df.columns.contains("__batch_ver") =>
+          df.agg(max(col("__batch_ver"))).head() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        case _ => 0L
+      }
+    math.max(maxVer(modelPath(path)), maxVer(codesPath(path))) + 1L
+  }
+
+  /** Commit `df` as the FULL content of `tablePath`: an upsert when
+    * the table doesn't exist yet, a whole-content [[DimStore.rewrite]]
+    * when it does — a rebuild must REPLACE, not merge: upserting a new
+    * model/codes set over an old one at a tied version would LWW-mix
+    * old and new rows per key, and vectors dropped from the new corpus
+    * would linger searchable. */
+  private def commitFull(spark: SparkSession, tablePath: String,
+                         df: DataFrame, pk: String, ver: Long,
+                         nBuckets: Int): Unit = {
+    val versioned = df.withColumn("__batch_ver", lit(ver))
+    if (DimStore.currentVersion(tablePath).isDefined)
+      DimStore.rewrite(spark, tablePath, pk)(_ => versioned)
+    else
+      DimStore.upsert(spark, tablePath, versioned,
+        pk = pk, versionCol = "__batch_ver", nBuckets = nBuckets)
+  }
+
+  /** Train + materialize one index version: coarse centroids are the
+    * corpus rows with the given ids (production swaps in a k-means
+    * output — the freeze/maintain contract is identical), PQ codebooks
+    * train on the residuals via [[ProductQuantizer.train]]'s
+    * exact-decimal Lloyd. On a fresh path this commits both tables at
+    * version 1; on an EXISTING index (the drift-triggered rebuild
+    * [[append]] recommends) both tables are fully REPLACED at a
+    * version above every committed batch. Writes the model table
+    * first, then the full codes table — the two tables are separate
+    * commit logs, so a crash between the two commits leaves a
+    * new-model/old-codes mix (or, on a fresh path, a model with no
+    * codes table); the repair for either is re-running [[build]],
+    * which replaces both tables whole. [[fsck]] detects the mixed
+    * state cheaply. */
   def build(spark: SparkSession, path: String, corpus: DataFrame,
             idCol: String, vCol: String, centroidIds: Seq[Long],
             dim: Int, m: Int, k: Int, rounds: Int,
             nBuckets: Int = 16): Model = {
     import spark.implicits._
+    val buildVer = nextBuildVer(spark, path)
     val cents = corpus.filter(col(idCol).isin(centroidIds: _*))
       .orderBy(col(idCol)).select(col(idCol), col(vCol))
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
@@ -137,16 +165,44 @@ object AnnIndex {
         (s"p$mi-$ki", "pq", mi.toLong, ki.toLong,
           pq.codebooks(mi)(ki).toSeq)) ++
       Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)),
-        ("err", "stats", 0L, 0L, Seq(baseline)))
-    DimStore.upsert(spark, modelPath(path),
-      modelRows.toDF("key", "kind", "i1", "i2", "vals")
-        .withColumn("__batch_ver", lit(1L)),
-      pk = "key", versionCol = "__batch_ver", nBuckets = 4)
-    DimStore.upsert(spark, codesPath(path),
-      encodeWith(corpus, idCol, vCol, model)
-        .withColumn("__batch_ver", lit(1L)),
-      pk = "vec_id", versionCol = "__batch_ver", nBuckets = nBuckets)
+        ("err", "stats", 0L, 0L, Seq(baseline)),
+        // the build's LWW version, persisted so [[fsck]] can detect a
+        // rebuild that crashed between the two table commits
+        ("bver", "bver", buildVer, 0L, Seq.empty[Double]))
+    commitFull(spark, modelPath(path),
+      modelRows.toDF("key", "kind", "i1", "i2", "vals"),
+      pk = "key", ver = buildVer, nBuckets = 4)
+    commitFull(spark, codesPath(path),
+      encodeWith(corpus, idCol, vCol, model),
+      pk = "vec_id", ver = buildVer, nBuckets = nBuckets)
     model
+  }
+
+  /** What a consistency check of the two tables found. `staleCodes`
+    * counts code rows whose version predates the model's build —
+    * rows encoded under a PREVIOUS model that a crashed rebuild never
+    * replaced (scored under the wrong codebooks until repaired). */
+  final case class Fsck(buildVer: Long, codeRows: Long, staleCodes: Long) {
+    def consistent: Boolean = staleCodes == 0L
+  }
+
+  /** Detect the rebuild crash window: the model and codes tables are
+    * separate commit logs, so a crash between [[build]]'s two commits
+    * leaves codes encoded under the old model. One bounded agg over
+    * the codes table; repair = re-run [[build]]. */
+  def fsck(spark: SparkSession, path: String): Fsck = {
+    val bver = DimStore.read(spark, modelPath(path))
+      .filter(col("kind") === "bver")
+      .select(col("i1")).collect().headOption.map(_.getLong(0))
+      .getOrElse(1L) // pre-bver index: every build committed at 1
+    val stats = DimStore.readIfExists(spark, codesPath(path)) match {
+      case Some(df) => df.agg(count(lit(1)),
+        sum(when(col("__batch_ver") < bver, 1L).otherwise(0L))).head()
+      case None => null
+    }
+    if (stats == null) Fsck(bver, 0L, 0L)
+    else Fsck(bver, stats.getLong(0),
+      if (stats.isNullAt(1)) 0L else stats.getLong(1))
   }
 
   /** Incremental maintenance: encode ONLY this batch under the frozen
@@ -170,23 +226,29 @@ object AnnIndex {
              idCol: String, vCol: String, ver: Long,
              driftFactor: Double = 2.0): IngestDrift = {
     val model = readModel(spark, path)
+    // the ranked+residual projection is the expensive half of the
+    // batch; persist it so the drift agg and the encode feeding the
+    // upsert share ONE computation instead of running it twice
     val withRv = batch
       .withColumn("__cs", ranked(model.centroids, col(vCol)))
       .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
       .withColumn("__rv", residual(model.centroids, col("list_id"), col(vCol)))
-    val stats = withRv.agg(
-      avg(ProductQuantizer.quantizationError(col("__rv"), model.pq)),
-      count(lit(1))).head()
-    val batchErr = if (stats.getLong(1) == 0L) Double.NaN else stats.getDouble(0)
-    DimStore.upsert(spark, codesPath(path),
-      ProductQuantizer.encode(withRv, "__rv", model.pq)
-        .select(col(idCol).as("vec_id") +: col("list_id") +:
-          model.pq.codeCols.map(col): _*)
-        .withColumn("__batch_ver", lit(ver)),
-      pk = "vec_id", versionCol = "__batch_ver")
-    val ratio = batchErr / model.baselineErr
-    IngestDrift(batchErr, model.baselineErr, ratio,
-      rebuildRecommended = !ratio.isNaN && ratio > driftFactor)
+      .persist()
+    try {
+      val stats = withRv.agg(
+        avg(ProductQuantizer.quantizationError(col("__rv"), model.pq)),
+        count(lit(1))).head()
+      val batchErr = if (stats.getLong(1) == 0L) Double.NaN else stats.getDouble(0)
+      DimStore.upsert(spark, codesPath(path),
+        ProductQuantizer.encode(withRv, "__rv", model.pq)
+          .select(col(idCol).as("vec_id") +: col("list_id") +:
+            model.pq.codeCols.map(col): _*)
+          .withColumn("__batch_ver", lit(ver)),
+        pk = "vec_id", versionCol = "__batch_ver")
+      val ratio = batchErr / model.baselineErr
+      IngestDrift(batchErr, model.baselineErr, ratio,
+        rebuildRecommended = !ratio.isNaN && ratio > driftFactor)
+    } finally { withRv.unpersist(); () }
   }
 
   /** The frozen model, reconstructed bit-exactly from the model

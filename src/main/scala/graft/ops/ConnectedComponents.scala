@@ -98,17 +98,40 @@ object ConnectedComponents {
     * failing the job — what a multi-hour production run wants);
     * otherwise eager executor-block localCheckpoint, which suffices
     * because the algorithm is deterministic — on executor loss the
-    * job fails and a retry recomputes the same fixpoint. */
-  private def truncated(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    * job fails and a retry recomputes the same fixpoint.
+    *
+    * Returns the truncated frame AND a release handle that deletes
+    * the round's durable copy. Spark never cleans reliable checkpoint
+    * files on its own (only the off-by-default
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` does, on GC),
+    * so without the handle a 30-round contraction would strand ~30
+    * full edge-set copies in the checkpoint dir per invocation. The
+    * reliable route therefore checkpoints an RDD we hold (public
+    * `RDD.checkpoint`/`getCheckpointFile`), persisted around the
+    * materializing count so the checkpoint write reads cached blocks
+    * instead of recomputing the round. */
+  private def truncated(df: DataFrame): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+      rdd.count()
+      rdd.unpersist(blocking = false) // later reads hit the durable copy
+      val release = () => rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
+      }
+      (spark.createDataFrame(rdd, df.schema), release)
+    } else (df.localCheckpoint(true), () => ())
+  }
 
   def starContraction(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
     // drop self loops, orient big→small once so round 1 can start on
     // small-star's precondition without a wasted symmetrize; truncate
     // per round (see [[truncated]])
-    var e = truncated(edges
+    var (e, releaseE) = truncated(edges
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
@@ -116,7 +139,7 @@ object ConnectedComponents {
     var rounds = 0
     var done = prev._1 == 0L
     while (!done && rounds < maxRounds) {
-      val next = truncated(smallStar(largeStar(e)))
+      val (next, releaseNext) = truncated(smallStar(largeStar(e)))
       val cur = witness(next)
       // equal witness nominates a fixpoint; confirm with a real
       // set-difference before terminating (both frames are distinct()
@@ -125,7 +148,9 @@ object ConnectedComponents {
       // equality, and a spurious match would return WRONG labels
       done = cur == prev && next.exceptAll(e).isEmpty
       e.unpersist()
+      releaseE() // the superseded round's durable copy is now unreferenced
       e = next
+      releaseE = releaseNext
       prev = cur
       rounds += 1
     }
@@ -140,11 +165,21 @@ object ConnectedComponents {
     // returned frame is persisted (MEMORY_AND_DISK, matching the query
     // layer's cache level so its wrapper persist is a no-op on the
     // same frame); callers that materialize elsewhere may unpersist.
-    val labels = e.select(col("a").as("id"), col("b").as("rep"))
+    val labelsRaw = e.select(col("a").as("id"), col("b").as("rep"))
       .union(e.select(col("b").as("id"), col("b").as("rep")).distinct())
-      .persist()
+    val labels =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        // reliable route: land the labels in their OWN durable copy so
+        // the final edge round's (much larger) checkpoint can be
+        // released too. One O(nodes) checkpoint per invocation remains
+        // in the dir for the labels' lifetime — the price of a result
+        // that survives executor loss after this method returns.
+        truncated(labelsRaw)._1
+      } else labelsRaw
+    labels.persist()
     labels.count()
     e.unpersist()
+    releaseE()
     labels
   }
 

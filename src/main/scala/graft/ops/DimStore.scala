@@ -1096,10 +1096,17 @@ object DimStore {
     val avg = if (base.buckets <= 0) 0L else tableBytes / base.buckets
     val need = math.max(1L,
       (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
+    // stop doubling while the NEXT power of two still fits under the
+    // cap, so the result is the largest power of two <= maxBuckets —
+    // never past the caller's stated ceiling
     var desired = 1
-    while (desired < need && desired < maxBuckets) desired <<= 1
+    while (desired < need && (desired.toLong << 1) <= maxBuckets) desired <<= 1
     val rebucketTo =
-      if (desired >= base.buckets.toLong * 2 || desired.toLong * 2 <= base.buckets)
+      // an empty snapshot (e.g. after a rewrite that dropped every
+      // row) has nothing to lay out and rebucket would refuse it;
+      // leave the fan-out alone until content returns
+      if (tableBytes == 0L) None
+      else if (desired >= base.buckets.toLong * 2 || desired.toLong * 2 <= base.buckets)
         Some(desired)
       else None
     val compactRec = rebucketTo.isEmpty && maxFiles > maxFilesPerBucket

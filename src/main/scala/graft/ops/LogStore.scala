@@ -370,7 +370,11 @@ private[graft] final class FileCommitCoordinator(root: String) extends CommitCoo
       .map("%02x".format(_)).mkString
   }
   private def entries: Seq[(String, String)] =
-    PosixLogStore.list(root).flatMap { n =>
+    // skip dot-prefixed names: writeAtomic/createIfAbsent stage their
+    // in-flight temps as `.…` files in this same dir, and reading a
+    // half-written temp would surface a phantom (key, truncated-value)
+    // pair to a concurrent lister; real key files are sha-256 hex
+    PosixLogStore.list(root).filterNot(_.startsWith(".")).flatMap { n =>
       try {
         val body = PosixLogStore.readString(s"$root/$n")
         val i = body.indexOf('\n')
@@ -505,18 +509,38 @@ private[graft] final class ExternalLogStore(
   }
   private def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
-  /** Complete a claimed-but-unmaterialized commit in place. */
-  private def recoverEntry(p: String): Unit = coord.get(p).foreach { v =>
-    if (v != Complete) {
-      val tmp = v.stripPrefix("pending:")
+  /** Complete a claimed-but-unmaterialized commit in place. Any
+    * number of readers may race each other (and the original
+    * committer) here: a concurrent completer can materialize the
+    * target and retire the temp BETWEEN this reader's existence
+    * checks, so a missing temp is re-checked against the coordinator
+    * and target before being declared corruption — only a
+    * still-pending claim with BOTH objects absent is a real loss. */
+  private def recoverEntry(p: String): Unit = {
+    val v0 = coord.get(p)
+    if (v0.exists(_ != Complete)) {
+      val tmp = v0.get.stripPrefix("pending:")
+      var concurrentlyRemoved = false
       if (!base.exists(p)) {
-        if (!base.exists(tmp))
-          throw new java.io.IOException(
-            s"commit $p claimed but neither target nor temp $tmp exists")
-        base.writeAtomic(p, base.readString(tmp))
+        val body =
+          try { if (base.exists(tmp)) Some(base.readString(tmp)) else None }
+          catch { case _: java.io.IOException => None } // temp retired mid-read
+        body match {
+          case Some(b) => base.writeAtomic(p, b)
+          case None =>
+            val now = coord.get(p)
+            if (now.exists(_ != Complete) && !base.exists(p))
+              throw new java.io.IOException(
+                s"commit $p claimed but neither target nor temp $tmp exists")
+            // a concurrent delete() may have removed the entry outright;
+            // re-marking it Complete would resurrect a deleted version
+            concurrentlyRemoved = now.isEmpty
+        }
       }
-      coord.update(p, Complete)
-      if (base.exists(tmp)) base.delete(tmp)
+      if (!concurrentlyRemoved) {
+        coord.update(p, Complete)
+        if (base.exists(tmp)) base.delete(tmp)
+      }
     }
   }
 

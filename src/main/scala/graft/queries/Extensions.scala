@@ -389,16 +389,11 @@ object Extensions {
       ORDER BY doc_a, doc_b
     """))
 
-  /** Cosine similarity between two double-array columns, computed as a
-    * left-to-right fold so Spark and DuckDB produce identical doubles. */
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na  = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb  = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    // a zero vector has no defined cosine: NULL (and filtered/ranked
-    // last downstream) instead of an ANSI divide-by-zero error
-    dot / when(na * nb > 0, na * nb)
-  }
+  /** Cosine similarity between two double-array columns — the shared
+    * [[graft.ops.IvfKit]] formulation (left-to-right fold, NULL on
+    * zero norm), single-sourced so the persisted index and this query
+    * layer can never drift apart. */
+  private def cosine(a: Column, b: Column): Column = graft.ops.IvfKit.cosine(a, b)
 
   /** Native codegen'd cosine over RAW `array<float>` columns
     * (functions/VecCosine planted via the plan bridge — no function
@@ -697,9 +692,7 @@ object Extensions {
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
   }
   private def ivfRanked(centRows: Seq[(Long, Seq[Double])], vc: Column): Column =
-    sort_array(array(centRows.map { case (cid, cv) =>
-      struct(cosine(vc, typedlit(cv)).as("c"), lit(-cid).as("nid"))
-    }: _*), asc = false)
+    graft.ops.IvfKit.ranked(centRows, vc)
 
   val x12 = Q(
     "x12_ann_ivf",
@@ -3987,9 +3980,7 @@ object Extensions {
     val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
       .withColumn("list_id", -element_at($"cs", 1).getField("nid"))
     val lists = assigned.select($"vec_id", $"list_id",
-      centRows.map { case (cid, cv) =>
-        when($"list_id" === cid, zip_with($"v", typedlit(cv), (x, y) => x - y))
-      }.reduce(coalesce(_, _)).as("rv"))
+      graft.ops.IvfKit.residual(centRows, $"list_id", $"v").as("rv"))
     val model = graft.ops.ProductQuantizer.train(
       lists.select($"vec_id", $"rv"), "vec_id", "rv",
       dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)

@@ -155,4 +155,64 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
     buckets shouldBe 1
   }
+
+  test("a rebuild on an existing index path REPLACES both tables: no " +
+       "old/new row mixing, dropped vectors gone, and a replayed " +
+       "pre-rebuild append cannot resurrect stale rows") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_rebuild").toString + "/idx"
+    AnnIndex.build(s, path, e.filter($"vec_id" < 300), "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    AnnIndex.append(s, path,
+      e.filter($"vec_id" >= 300 && $"vec_id" < 400), "vec_id", "v",
+      ver = 2L)
+    // drift-triggered rebuild: different corpus slice (0..99 dropped),
+    // different coarse centroids — everything about the old model/
+    // codes must be replaced, not merged
+    val corpus2 = e.filter($"vec_id" >= 100 && $"vec_id" < 500)
+    val cents2 = Seq(110L, 120L, 130L, 140L)
+    val model2 = AnnIndex.build(s, path, corpus2, "vec_id", "v",
+      centroidIds = cents2, dim = 64, m = 4, k = 4, rounds = 1)
+    // the model read back is EXACTLY the new one — a version-tied LWW
+    // merge would leave a chimera of old and new centroid/codebook rows
+    val m2 = AnnIndex.readModel(s, path)
+    m2.centroids.map(_._1) shouldBe cents2
+    m2.centroids shouldBe model2.centroids
+    m2.pq.codebooks.flatten.flatten.toSeq shouldBe
+      model2.pq.codebooks.flatten.flatten.toSeq
+    // codes are exactly the new corpus under the new model; vectors
+    // dropped from the new corpus are no longer searchable
+    val expect = codeRows(AnnIndex.encodeWith(corpus2, "vec_id", "v", model2))
+    codeRows(AnnIndex.codes(s, path)) shouldBe expect
+    AnnIndex.codes(s, path).filter($"vec_id" < 100).count() shouldBe 0L
+    // a REPLAYED pre-rebuild append (old batch version, mutated
+    // content) loses LWW against the rebuilt rows
+    val replay = corpus2.filter($"vec_id" === 150L)
+      .select($"vec_id", transform($"v", x => -x).as("v"))
+    AnnIndex.append(s, path, replay, "vec_id", "v", ver = 2L)
+    codeRows(AnnIndex.codes(s, path)) shouldBe expect
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
+  test("fsck detects the rebuild crash window: a new model committed " +
+       "without its codes rewrite reports every code row stale") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_fsck").toString + "/idx"
+    AnnIndex.build(s, path, e.filter($"vec_id" < 300), "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    val clean = AnnIndex.fsck(s, path)
+    clean.consistent shouldBe true
+    clean.codeRows shouldBe 300L
+    // simulate build() crashing between its two commits: the model
+    // table carries a NEWER build version than any code row
+    graft.ops.DimStore.rewrite(s, path + "/model", "key") { df =>
+      df.withColumn("i1",
+        when(col("kind") === "bver", col("i1") + 1L).otherwise(col("i1")))
+    }
+    val torn = AnnIndex.fsck(s, path)
+    torn.consistent shouldBe false
+    torn.staleCodes shouldBe torn.codeRows
+  }
 }

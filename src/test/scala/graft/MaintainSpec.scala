@@ -105,4 +105,42 @@ class MaintainSpec extends AnyFunSuite with Matchers with SparkFixture {
     m2.applied shouldBe empty
     DimStore.read(s, path).count() shouldBe 5000L
   }
+
+  test("an empty snapshot (all rows rewritten away) is a policy no-op, " +
+       "not a crash — a scheduled maintenance job survives it") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("maint_empty").toString + "/dim"
+    DimStore.upsert(s, path,
+      Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("id", "payload", "ver"),
+      "id", "ver", nBuckets = 4)
+    DimStore.rewrite(s, path, "id")(df => df.filter(lit(false)))
+    // the empty snapshot reads as None (read() throws loudly on it —
+    // the store's documented empty-manifest contract)
+    DimStore.readIfExists(s, path) shouldBe None
+    val m = DimStore.maintain(s, path, "id")
+    m.rebucketTo shouldBe None
+    m.compactRecommended shouldBe false
+    m.applied shouldBe empty
+    // content returning later re-arms the policy normally
+    DimStore.upsert(s, path,
+      Seq((3L, "z", 2L)).toDF("id", "payload", "ver"), "id", "ver")
+    DimStore.read(s, path).count() shouldBe 1L
+  }
+
+  test("a non-power-of-two maxBuckets is an honest ceiling: the chosen " +
+       "fan-out is the largest power of two under it, never past it") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("maint_cap").toString + "/dim"
+    val base = s.range(2000L).select(col("id"),
+      md5(col("id").cast("string")).as("payload"), lit(1L).as("ver"))
+    DimStore.upsert(s, path, base, "id", "ver", nBuckets = 2)
+    // a 1-byte bucket target wants thousands of buckets; maxBuckets=6
+    // must cap the recommendation at 4 (largest power of two <= 6),
+    // not let the doubling loop overshoot to 8
+    val m = DimStore.maintain(s, path, "id",
+      targetBucketBytes = 1L, maxBuckets = 6, apply = false)
+    m.rebucketTo shouldBe Some(4)
+  }
 }

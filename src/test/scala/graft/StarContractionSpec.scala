@@ -87,15 +87,21 @@ class StarContractionSpec extends AnyFunSuite with Matchers with SparkFixture {
     s.sparkContext.setCheckpointDir(dir.toString)
     try {
       labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L))) shouldBe before
-      // the reliable path really ran: checkpoint data landed in the dir
-      val entries = {
-        val l = java.nio.file.Files.list(dir)
+      // the reliable path really ran AND superseded rounds were
+      // released: exactly the labels' durable copy remains — without
+      // per-round cleanup a contraction strands rounds × |edges|
+      // checkpoint data (Spark never deletes reliable checkpoints on
+      // its own)
+      val rddDirs = {
+        val w = java.nio.file.Files.walk(dir)
         try {
           import scala.jdk.CollectionConverters._
-          l.iterator().asScala.size
-        } finally l.close()
+          w.iterator().asScala.count(p =>
+            java.nio.file.Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("rdd-"))
+        } finally w.close()
       }
-      entries should be > 0
+      rddDirs shouldBe 1
     } finally {
       // session is shared across suites: restore the eager-local path
       s.sparkContext.setCheckpointDir(null)

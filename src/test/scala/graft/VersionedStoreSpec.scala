@@ -678,4 +678,64 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     viaRoot shouldBe viaManifest
     viaRoot.size shouldBe 10
   }
+
+  test("the file-backed coordinator's listing skips in-flight dot temps — " +
+       "a half-written writeAtomic staging file never surfaces as a " +
+       "phantom entry to a concurrent lister") {
+    val root = Files.createTempDirectory("coord_dots").toString
+    val c = new graft.ops.FileCommitCoordinator(root)
+    c.putIfAbsent("t/_commits/00000000000000000001.json",
+      "pending:x") shouldBe true
+    // what a concurrent update's temp looks like mid-write: a
+    // dot-prefixed file whose body parses as a (key, value) pair for
+    // a version that was never committed
+    Files.write(Paths.get(root, ".tmp-halfway"),
+      "t/_commits/00000000000000000002.json\npending:phantom"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c.list("t/_commits/").map(_._1) shouldBe
+      Seq("t/_commits/00000000000000000001.json")
+    c.get("t/_commits/00000000000000000001.json") shouldBe Some("pending:x")
+  }
+
+  test("recoverEntry tolerates a concurrent completer: readers racing the " +
+       "materialize window of a claimed commit never see a spurious " +
+       "failure on a healthy log") {
+    val dir = Files.createTempDirectory("ext_recover_race").toString
+    val coord = new graft.ops.InMemoryCommitCoordinator
+    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+    graft.ops.ObjectStoreSim.mkdirs(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hiClaimed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 4 readers hammer the freshest claimed version through the
+    // read-side recovery path while the committer materializes it —
+    // the pending→complete transition (target PUT, entry marked,
+    // temp retired) races every one of them
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        val r = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+        while (!stop.get()) {
+          val hi = hiClaimed.get()
+          if (hi > 0) {
+            val p = f"$dir/$hi%08d"
+            try { if (r.exists(p)) { r.readString(p); () } }
+            catch { case t: Throwable => errs.add(t); () }
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (1 to 300).foreach { i =>
+      val p = f"$dir/$i%08d"
+      // claim first so readers can see the pending state, then
+      // complete through the normal read path, racing them
+      ext.claimOnly(p, s"body-$i") shouldBe true
+      hiClaimed.set(i)
+      ext.readString(p) shouldBe s"body-$i"
+    }
+    stop.set(true)
+    readers.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    errs.asScala.toList shouldBe Nil
+  }
 }
