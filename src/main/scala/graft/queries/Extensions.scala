@@ -4388,11 +4388,176 @@ object Extensions {
     },
     Some(IvfAdcRefineOracleSql))
 
+  // ---------------------------------------------------------------------
+  // x81 — Gopher-style document quality rules (Rae et al. 2021, app. A1:
+  // word-count bounds, mean word length, repetition caps, stopword
+  // presence) — the published rule set next to x08's heuristic scoring
+  // and x07's ratio features. Per-row statistics are array lambdas (no
+  // shuffle); the one aggregation — the most-frequent-bigram count — is
+  // the standard explode → partial count → per-doc max keyed by doc_id,
+  // so the shape holds at any corpus size. Every ratio is integer ppm
+  // via floor division (identical in both engines); `keep` is the
+  // conjunction of the published bounds.
+  val x81 = Q(
+    "x81_gopher_quality",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .withColumn("bigrams", expr(
+          "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i-1), ' ', element_at(toks, i)))"))
+        .withColumn("trigrams", expr(
+          "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
+      val base = d.select($"doc_id",
+        size($"toks").cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_chars"),
+        size($"bigrams").cast("long").as("n_bigrams"),
+        size($"trigrams").cast("long").as("n_trigrams"),
+        (size($"trigrams") - size(array_distinct($"trigrams")))
+          .cast("long").as("dup_trigrams"),
+        size(filter($"toks", t => t.isin("the", "a", "and", "of", "to")))
+          .cast("long").as("stopword_hits"))
+      val top = d.select($"doc_id", explode($"bigrams").as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bigram_count"))
+      base.join(top, "doc_id")
+        .withColumn("mean_word_len_ppm",
+          expr("sum_chars * 1000000 div n_words"))
+        .withColumn("top_bigram_ppm",
+          expr("top_bigram_count * 1000000 div n_bigrams"))
+        .withColumn("dup_trigram_ppm",
+          expr("dup_trigrams * 1000000 div n_trigrams"))
+        .withColumn("keep",
+          $"n_words" >= 50L && $"n_words" <= 100000L &&
+          $"mean_word_len_ppm" >= 3000000L &&
+          $"mean_word_len_ppm" <= 10000000L &&
+          $"top_bigram_ppm" <= 200000L &&
+          $"dup_trigram_ppm" <= 300000L &&
+          $"stopword_hits" >= 2L)
+        .select($"doc_id", $"n_words", $"mean_word_len_ppm",
+          $"top_bigram_ppm", $"dup_trigram_ppm", $"stopword_hits", $"keep")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ),
+      g AS (
+        SELECT doc_id, toks,
+          list_transform(range(2, len(toks) + 1),
+            i -> toks[i-1] || ' ' || toks[i]) AS bigrams,
+          list_transform(range(3, len(toks) + 1),
+            i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]) AS trigrams
+        FROM t
+      ),
+      base AS (
+        SELECT doc_id,
+          len(toks)::BIGINT AS n_words,
+          list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_chars,
+          len(bigrams)::BIGINT AS n_bigrams,
+          len(trigrams)::BIGINT AS n_trigrams,
+          (len(trigrams) - len(list_distinct(trigrams)))::BIGINT AS dup_trigrams,
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to')))::BIGINT
+            AS stopword_hits
+        FROM g
+      ),
+      top AS (
+        SELECT doc_id, max(c)::BIGINT AS top_bigram_count FROM (
+          SELECT doc_id, gg, count(*) AS c
+          FROM (SELECT doc_id, unnest(bigrams) AS gg FROM g)
+          GROUP BY 1, 2)
+        GROUP BY 1
+      )
+      SELECT doc_id, n_words, mean_word_len_ppm, top_bigram_ppm,
+        dup_trigram_ppm, stopword_hits,
+        (n_words >= 50 AND n_words <= 100000
+         AND mean_word_len_ppm >= 3000000 AND mean_word_len_ppm <= 10000000
+         AND top_bigram_ppm <= 200000
+         AND dup_trigram_ppm <= 300000
+         AND stopword_hits >= 2) AS keep
+      FROM (
+        SELECT b.doc_id, n_words, stopword_hits,
+          (sum_chars * 1000000) // n_words AS mean_word_len_ppm,
+          (top_bigram_count * 1000000) // n_bigrams AS top_bigram_ppm,
+          (dup_trigrams * 1000000) // n_trigrams AS dup_trigram_ppm
+        FROM base b JOIN top USING (doc_id))
+    """))
+
+  // ---------------------------------------------------------------------
+  // x82 — corpus-level boilerplate span detection (the repeated-span
+  // rule of the C4/RefinedWeb lineage, adapted to the fixture's
+  // line-free documents): a word 3-gram occurring in >= 3 DISTINCT
+  // documents is boilerplate, and every document reports how much of
+  // it the shared spans cover. Two-phase distributed shape: candidate
+  // dictionary = explode → per-doc distinct → count keyed by the gram
+  // (map-side partial aggregation); per-doc tally = occurrences joined
+  // against the dictionary ON THE GRAM KEY — both sides shuffle-
+  // partitioned by gram, no broadcast assumption on dictionary size
+  // (a 100 TB crawl's boilerplate dictionary is heavy-hitter-bounded
+  // but not guaranteed driver-small), no all-pairs comparison.
+  val x82 = Q(
+    "x82_boilerplate_spans",
+    (s, dir) => {
+      import s.implicits._
+      val occ = docs(s, dir)
+        .withColumn("toks", split($"text", " "))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
+          .as("g"))
+      val dict = occ.distinct()
+        .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" >= 3)
+        .select($"g")
+      val perDoc = occ.join(dict, "g")
+        .groupBy($"doc_id").agg(
+          count(lit(1)).as("boiler_occurrences"),
+          countDistinct($"g").as("boiler_spans"))
+      docs(s, dir)
+        .select($"doc_id",
+          (size(split($"text", " ")) - 2).cast("long").as("n_grams"))
+        .filter($"n_grams" >= 1)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"boiler_occurrences", lit(0L)).as("boiler_occurrences"),
+          coalesce($"boiler_spans", lit(0L)).as("boiler_spans"))
+        .withColumn("boiler_ppm",
+          expr("boiler_occurrences * 1000000 div n_grams"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ),
+      occ AS (
+        SELECT doc_id, unnest(list_transform(range(3, len(toks) + 1),
+          i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])) AS g
+        FROM t
+      ),
+      dict AS (
+        SELECT g FROM (
+          SELECT g, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1)
+        WHERE n_docs >= 3
+      ),
+      per AS (
+        SELECT o.doc_id, count(*)::BIGINT AS boiler_occurrences,
+          count(DISTINCT o.g)::BIGINT AS boiler_spans
+        FROM occ o JOIN dict d ON o.g = d.g GROUP BY 1
+      )
+      SELECT t.doc_id, (len(toks) - 2)::BIGINT AS n_grams,
+        coalesce(boiler_occurrences, 0)::BIGINT AS boiler_occurrences,
+        coalesce(boiler_spans, 0)::BIGINT AS boiler_spans,
+        (coalesce(boiler_occurrences, 0) * 1000000) // (len(toks) - 2)
+          AS boiler_ppm
+      FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74, x75, x76, x77, x78, x79, x80)
+    x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82)
 }
