@@ -79,13 +79,46 @@ object DimRouter {
     }
   }
 
+  /** Streaming auto-maintenance: run [[DimStore.maintain]]'s measured
+    * policy against a sink table every `everyBatches` upserting
+    * micro-batches, so layout health is owned by the PIPELINE instead
+    * of an operator remembering to run a manual job. With
+    * `applyActions = true` the chosen rebucket/compact runs inline in
+    * the micro-batch (one ordinary optimistic commit — the stream
+    * pauses for the rewrite, which is the synchronous maintenance
+    * window a small dim table can afford); with `false` the policy
+    * only measures and records its recommendation in
+    * [[lastMaintenance]] for an external maintenance window to act on
+    * — what a 100 TB fact-sized table wants, since its rebucket is
+    * hours of rewrite that must not sit inside a micro-batch. */
+  final case class MaintenancePolicy(
+      everyBatches: Int = 64,
+      targetBucketBytes: Long = 256L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFilesPerBucket: Int = 4,
+      maxBuckets: Int = 4096,
+      applyActions: Boolean = true) {
+    require(everyBatches >= 1, "everyBatches must be positive")
+  }
+
+  /** Most recent [[DimStore.Maintenance]] report per table path —
+    * report-only mode's output surface, and the test/monitoring hook. */
+  val lastMaintenance =
+    new java.util.concurrent.ConcurrentHashMap[String, DimStore.Maintenance]()
+  private val upsertsSinceMaintain =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
   /** One micro-batch: route + project + upsert. `versionCol` orders
     * writes for last-writer-wins (the reference relies on Kafka
     * per-partition order; a version column is the batch equivalent).
-    * `catalogDb` (when set) applies K4's dynamic DDL per config row. */
+    * `catalogDb` (when set) applies K4's dynamic DDL per config row;
+    * `maintenance` (when set) runs the measured layout policy every
+    * N upserting batches per sink table. */
   def routeBatch(batch: DataFrame, config: Seq[TableProcess],
                  basePath: String, versionCol: String,
-                 catalogDb: Option[String] = None): Unit = {
+                 catalogDb: Option[String] = None,
+                 maintenance: Option[MaintenancePolicy] = None): Unit = {
     val spark = batch.sparkSession
     config.foreach { tp =>
       val keep = tp.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
@@ -94,8 +127,8 @@ object DimRouter {
         .filter(col("source_table") === tp.sourceTable)
         .select(cols: _*)
       if (!routed.isEmpty) {
-        DimStore.upsert(spark, s"$basePath/${tp.sinkTable}", routed,
-          tp.sinkPk, versionCol)
+        val path = s"$basePath/${tp.sinkTable}"
+        DimStore.upsert(spark, path, routed, tp.sinkPk, versionCol)
         // register AFTER the first upsert: the external table's schema
         // is inferred from the (now populated) location, mirroring the
         // reference's all-varchar DDL with real inferred types instead.
@@ -104,6 +137,26 @@ object DimRouter {
         catalogDb.foreach { db =>
           ensureTable(spark, db, tp, basePath)
           spark.catalog.refreshTable(s"$db.${tp.sinkTable}")
+        }
+        maintenance.foreach { p =>
+          val n = upsertsSinceMaintain
+            .computeIfAbsent(path,
+              _ => new java.util.concurrent.atomic.AtomicLong())
+            .incrementAndGet()
+          if (n % p.everyBatches == 0) {
+            val m = DimStore.maintain(spark, path, tp.sinkPk,
+              targetBucketBytes = p.targetBucketBytes,
+              targetFileBytes = p.targetFileBytes,
+              maxFilesPerBucket = p.maxFilesPerBucket,
+              maxBuckets = p.maxBuckets,
+              apply = p.applyActions)
+            lastMaintenance.put(path, m)
+            // the maintenance commit replaces the data layout wholesale;
+            // name-based readers must drop their cached file listing
+            if (m.applied.nonEmpty) catalogDb.foreach { db =>
+              spark.catalog.refreshTable(s"$db.${tp.sinkTable}")
+            }
+          }
         }
       }
     }
@@ -115,13 +168,14 @@ object DimRouter {
     * production). */
   def start(cdc: DataFrame, loadConfig: SparkSession => Seq[TableProcess],
             basePath: String, versionCol: String, checkpoint: String,
-            catalogDb: Option[String] = None): StreamingQuery =
+            catalogDb: Option[String] = None,
+            maintenance: Option[MaintenancePolicy] = None): StreamingQuery =
     cdc.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         routeBatch(batch.toDF(), loadConfig(batch.sparkSession), basePath,
-          versionCol, catalogDb)
+          versionCol, catalogDb, maintenance)
       }
       .start()
 }

@@ -143,4 +143,59 @@ class MaintainSpec extends AnyFunSuite with Matchers with SparkFixture {
       targetBucketBytes = 1L, maxBuckets = 6, apply = false)
     m.rebucketTo shouldBe Some(4)
   }
+
+  test("the dim router runs the policy every N upserting batches: a table " +
+       "grown mid-stream gets rebucketed by the pipeline itself and " +
+       "row-level state survives the maintenance commit") {
+    import graft.streaming.{DimRouter, TableProcess}
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("maint_route").toString
+    val tp = TableProcess("src_users", "dim_users", "id,payload", "id")
+    val policy = DimRouter.MaintenancePolicy(
+      everyBatches = 2, targetBucketBytes = 64L * 1024)
+    val path = s"$base/dim_users"
+    // 6 growing micro-batches: ~340 KB of payload lands at the default
+    // creation fan-out (64 — wildly over-fanned for this size, every
+    // scan touching 64 near-empty buckets); the policy check fires on
+    // batches 2/4/6 and must commit the corrective shrink rebucket on
+    // its own
+    (1 to 6).foreach { i =>
+      val batch = s.range((i - 1) * 1000L, i * 1000L).select(
+        lit("src_users").as("source_table"), col("id"),
+        concat_ws("-", md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))).as("payload"),
+        lit(i.toLong).as("ver"))
+      DimRouter.routeBatch(batch, Seq(tp), base, "ver",
+        maintenance = Some(policy))
+    }
+    val m = DimRouter.lastMaintenance.get(path)
+    m should not be null
+    val applied = DimStore.history(path).size
+    // 6 upsert commits + at least one policy maintenance commit
+    applied should be > 6
+    withClue(s"last report: $m ") {
+      DimStore.read(s, path).count() shouldBe 6000L
+    }
+    // the policy really changed the layout: fan-out moved off the
+    // over-fanned creation default toward the byte-load target
+    val m2 = DimStore.maintain(s, path, "id",
+      targetBucketBytes = 64L * 1024, apply = false)
+    m2.buckets should be < graft.ops.DimStore.NumBuckets
+    // report-only mode measures but never commits
+    val before = DimStore.history(path)
+    DimRouter.lastMaintenance.remove(path)
+    val reportOnly = policy.copy(everyBatches = 1, applyActions = false,
+      targetBucketBytes = 1L)
+    val b7 = s.range(6000L, 6001L).select(
+      lit("src_users").as("source_table"), col("id"),
+      lit("x").as("payload"), lit(7L).as("ver"))
+    DimRouter.routeBatch(b7, Seq(tp), base, "ver",
+      maintenance = Some(reportOnly))
+    val rep = DimRouter.lastMaintenance.get(path)
+    rep should not be null
+    rep.applied shouldBe empty
+    rep.rebucketTo shouldBe defined
+    DimStore.history(path) shouldBe (before ++ Seq(before.last + 1)) // just the upsert
+  }
 }
