@@ -47,14 +47,15 @@ object GraftExtensions {
   private val vecCosine = (
     new FunctionIdentifier("vec_cosine"),
     new ExpressionInfo(classOf[VecCosine].getName, null, "vec_cosine",
-      "vec_cosine(a, b) - cosine similarity of two float vectors", ""),
+      "vec_cosine(a, b) - cosine similarity of two float vectors",
+      "", "", "", "", "", "", "built-in"),
     binary("vec_cosine")(VecCosine(_, _)))
 
   private val ngrams = (
     new FunctionIdentifier("ngrams"),
     new ExpressionInfo(classOf[NGramsGenerator].getName, null, "ngrams",
       "ngrams(tokens, n) - table function generating joined token n-grams",
-      ""),
+      "", "", "", "", "", "", "built-in"),
     binary("ngrams")(NGramsGenerator(_, _)))
 
   private def unary(name: String)(f: Expression => Expression)
@@ -73,14 +74,14 @@ object GraftExtensions {
     new FunctionIdentifier("char_stats"),
     new ExpressionInfo(classOf[CharStats].getName, null, "char_stats",
       "char_stats(s) - [code_points, distinct_code_points, sum n_c*(n_c-1)]",
-      ""),
+      "", "", "", "", "", "", "built-in"),
     unary("char_stats")(CharStats(_)))
 
   private val charBigrams = (
     new FunctionIdentifier("char_bigrams"),
     new ExpressionInfo(classOf[CharBigrams].getName, null, "char_bigrams",
       "char_bigrams(s) - distinct adjacent code-point pairs packed as (a << 21) | b",
-      ""),
+      "", "", "", "", "", "", "built-in"),
     unary("char_bigrams")(CharBigrams(_)))
 
   /** Register into an already-built session (tests, REPL) — the same

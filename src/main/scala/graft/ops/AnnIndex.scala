@@ -277,7 +277,7 @@ object AnnIndex {
   /** The staged codes snapshot: (vec_id, list_id, pq_code0..m-1). */
   def codes(spark: SparkSession, path: String): DataFrame = {
     val df = DimStore.read(spark, codesPath(path))
-    df.select(df.columns.filterNot(_ == "__batch_ver").map(col): _*)
+    df.select(df.columns.filterNot(_ == "__batch_ver").toIndexedSeq.map(col): _*)
   }
 
   /** Probe frame for a bounded query set: each query's top-`nProbes`

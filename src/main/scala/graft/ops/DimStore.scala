@@ -626,7 +626,7 @@ object DimStore {
     * replay-idempotence half of the exactly-once-effects claim). */
   private def latestPerPk(df: DataFrame, pk: String, versionCol: String): DataFrame = {
     val w = Window.partitionBy(col(pk))
-      .orderBy(col(versionCol).desc, hash(struct(df.columns.map(col): _*)).desc)
+      .orderBy(col(versionCol).desc, hash(struct(df.columns.toIndexedSeq.map(col): _*)).desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -1004,7 +1004,7 @@ object DimStore {
                 .drop("__zc")
             case None =>
               val salt = pmod(hash(struct(
-                df.columns.filter(_ != BucketCol).map(col): _*)), lit(perBucket))
+                df.columns.filter(_ != BucketCol).toIndexedSeq.map(col): _*)), lit(perBucket))
               df.repartition(base.buckets * perBucket, col(BucketCol), salt)
           }
           val gen = writeGen(rewritten, path, base.version + 1,

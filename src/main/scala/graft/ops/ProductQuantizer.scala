@@ -53,7 +53,7 @@ object ProductQuantizer {
   /** 0-based index of the nearest centroid (first minimum on ties). */
   private def nearest(v: Column, mi: Int, subDim: Int,
                       cb: Array[Array[Double]]): Column = {
-    val d = array(cb.map(c => dist2(v, mi, subDim, c)): _*)
+    val d = array(cb.toIndexedSeq.map(c => dist2(v, mi, subDim, c)): _*)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
@@ -125,13 +125,13 @@ object ProductQuantizer {
     * distribution the frozen codebooks no longer cover. */
   def quantizationError(v: Column, model: PqModel): Column =
     (0 until model.m).map { mi =>
-      array_min(array(model.codebooks(mi).map(c =>
+      array_min(array(model.codebooks(mi).toIndexedSeq.map(c =>
         dist2(v, mi, model.subDim, c)): _*))
     }.reduce(_ + _)
 
   /** Append `pq_code0..pq_code{m-1}` int columns — the stored index. */
   def encode(df: DataFrame, vCol: String, model: PqModel): DataFrame =
-    df.select(df.columns.map(col) ++ (0 until model.m).map(mi =>
+    df.select(df.columns.toIndexedSeq.map(col) ++ (0 until model.m).map(mi =>
       nearest(col(vCol), mi, model.subDim, model.codebooks(mi))
         .as(s"pq_code$mi")): _*)
 

@@ -2397,7 +2397,7 @@ object Extensions {
         graft.functions.BloomFilterBuildAgg(
           GraftPlanBridge.expr(xxhash64($"sh")), 2000L, 0.01)
           .toAggregateExpression())
-      val bloomBytes = bench.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+      val bloomBytes = bench.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
       val probe = GraftPlanBridge.col(graft.functions.BloomMightContain(
         GraftPlanBridge.expr(lit(bloomBytes)),
         GraftPlanBridge.expr(xxhash64($"sh"))))

@@ -83,7 +83,7 @@ class BounceProcessor(gapMs: Long)
   override def handleExpiredTimer(mid: String, timers: TimerValues,
                                   expired: ExpiredTimerInfo): Iterator[Bounce] = {
     // Fire only if the timer still describes the CURRENT pending entry.
-    if (pending.exists() && pending.get() + gapMs == expired.getExpiryTimeInMs) {
+    if (pending.exists() && pending.get() + gapMs == expired.getExpiryTimeInMs()) {
       val p = pending.get()
       pending.clear()
       Iterator.single(Bounce(mid, p, "timeout"))

@@ -122,7 +122,7 @@ object DimRouter {
     val spark = batch.sparkSession
     config.foreach { tp =>
       val keep = tp.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
-      val cols = (keep :+ versionCol).distinct.map(col)
+      val cols = (keep :+ versionCol).distinct.toIndexedSeq.map(col)
       val routed = batch
         .filter(col("source_table") === tp.sourceTable)
         .select(cols: _*)

@@ -160,7 +160,7 @@ object Jobs {
     val spark = changelog.sparkSession
     config.map { tp =>
       val keep = tp.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
-      val cols = (keep :+ versionCol).distinct.map(col)
+      val cols = (keep :+ versionCol).distinct.toIndexedSeq.map(col)
       val routed = changelog
         .filter(col("source_table") === tp.sourceTable)
         .select(cols: _*)

@@ -67,12 +67,30 @@ object ScaleProbe {
     val tX02 = timeQuery("x02_minhash_lsh_neardup")
     val tX28 = timeQuery("x28_dedup_clusters")
     val tX36 = timeQuery("x36_dedup_apply")
+    val tX81 = timeQuery("x81_gopher_quality")
+    val tX82 = timeQuery("x82_boilerplate_spans")
+
+    // x82's scale driver: the boilerplate dictionary's cardinality —
+    // grams shared by >= 3 distinct docs. Per-doc work is corpus-linear;
+    // the dictionary is what could stop fitting a broadcast (x82
+    // deliberately shuffle-joins on the gram key so it never has to)
+    val boilerDict = docs
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
+        .as("g"))
+      .distinct()
+      .groupBy($"g").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 3)
+      .count()
 
     println(s"""{"dir":"$dir","docs":$nDocs,"blocks":${st.getLong(0)},""" +
       s""""max_block":${st.getLong(1)},"over_cap_blocks":${st.getLong(2)},""" +
       s""""capped_pair_bound":${st.getLong(3)},"uncapped_pair_bound":${st.getLong(4)},""" +
-      s""""candidate_pairs":$candidates,""" +
-      s""""sec_x02":${fmt(tX02)},"sec_x28":${fmt(tX28)},"sec_x36":${fmt(tX36)}}""")
+      s""""candidate_pairs":$candidates,"boiler_dict":$boilerDict,""" +
+      s""""sec_x02":${fmt(tX02)},"sec_x28":${fmt(tX28)},"sec_x36":${fmt(tX36)},""" +
+      s""""sec_x81":${fmt(tX81)},"sec_x82":${fmt(tX82)}}""")
     spark.stop()
   }
 }
