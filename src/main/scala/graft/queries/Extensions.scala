@@ -4392,12 +4392,15 @@ object Extensions {
   // x81 — Gopher-style document quality rules (Rae et al. 2021, app. A1:
   // word-count bounds, mean word length, repetition caps, stopword
   // presence) — the published rule set next to x08's heuristic scoring
-  // and x07's ratio features. Per-row statistics are array lambdas (no
-  // shuffle); the one aggregation — the most-frequent-bigram count — is
-  // the standard explode → partial count → per-doc max keyed by doc_id,
-  // so the shape holds at any corpus size. Every ratio is integer ppm
-  // via floor division (identical in both engines); `keep` is the
-  // conjunction of the published bounds.
+  // and x07's ratio features. The WHOLE query is one narrow projection:
+  // even the most-frequent-bigram count stays per-row (max run length
+  // in the SORTED bigram array — a fold over ≤|doc| elements), so a
+  // quality pass over a 100 TB corpus is a zero-shuffle map. The
+  // DuckDB oracle deliberately computes that count the other way
+  // (unnest → group → max), cross-checking the run-length formulation
+  // against an independent one. Every ratio is integer ppm via floor
+  // division (identical in both engines); `keep` is the conjunction of
+  // the published bounds.
   val x81 = Q(
     "x81_gopher_quality",
     (s, dir) => {
@@ -4409,7 +4412,7 @@ object Extensions {
           "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i-1), ' ', element_at(toks, i)))"))
         .withColumn("trigrams", expr(
           "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
-      val base = d.select($"doc_id",
+      d.select($"doc_id",
         size($"toks").cast("long").as("n_words"),
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_chars"),
         size($"bigrams").cast("long").as("n_bigrams"),
@@ -4417,11 +4420,14 @@ object Extensions {
         (size($"trigrams") - size(array_distinct($"trigrams")))
           .cast("long").as("dup_trigrams"),
         size(filter($"toks", t => t.isin("the", "a", "and", "of", "to")))
-          .cast("long").as("stopword_hits"))
-      val top = d.select($"doc_id", explode($"bigrams").as("g"))
-        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_bigram_count"))
-      base.join(top, "doc_id")
+          .cast("long").as("stopword_hits"),
+        expr("""aggregate(sort_array(bigrams),
+            named_struct('cur', 0L, 'best', 0L, 'prev', cast(null as string)),
+            (acc, g) -> named_struct(
+              'cur', if(g <=> acc.prev, acc.cur + 1L, 1L),
+              'best', greatest(acc.best, if(g <=> acc.prev, acc.cur + 1L, 1L)),
+              'prev', g),
+            acc -> acc.best)""").as("top_bigram_count"))
         .withColumn("mean_word_len_ppm",
           expr("sum_chars * 1000000 div n_words"))
         .withColumn("top_bigram_ppm",
