@@ -280,6 +280,37 @@ object AnnIndex {
     df.select(df.columns.filterNot(_ == "__batch_ver").toIndexedSeq.map(col): _*)
   }
 
+  /** Layout + history maintenance for the index, riding the dim-store
+    * policy: the codes table accretes one commit generation per
+    * [[append]] batch — exactly a streaming dim table's growth shape —
+    * so it gets the same measured rebucket/compact policy
+    * ([[DimStore.maintain]]); with `vacuumKeepLast > 0` both tables'
+    * histories are pruned past the grace window too (the model table
+    * is tiny and frozen between rebuilds, so history is its only
+    * growth). Returns the codes table's maintenance report. Run it
+    * from the same cadence that calls [[append]] (a streaming job's
+    * every-N-batches hook, or a maintenance window). */
+  def maintain(spark: SparkSession, path: String,
+               targetBucketBytes: Long = 256L * 1024 * 1024,
+               targetFileBytes: Long = 128L * 1024 * 1024,
+               maxFilesPerBucket: Int = 4,
+               maxBuckets: Int = 4096,
+               apply: Boolean = true,
+               vacuumKeepLast: Int = 0,
+               vacuumGraceMillis: Long = 24L * 3600 * 1000)
+      : DimStore.Maintenance = {
+    val m = DimStore.maintain(spark, codesPath(path), "vec_id",
+      targetBucketBytes = targetBucketBytes,
+      targetFileBytes = targetFileBytes,
+      maxFilesPerBucket = maxFilesPerBucket,
+      maxBuckets = maxBuckets, apply = apply)
+    if (vacuumKeepLast > 0) {
+      DimStore.vacuum(spark, codesPath(path), vacuumKeepLast, vacuumGraceMillis)
+      DimStore.vacuum(spark, modelPath(path), vacuumKeepLast, vacuumGraceMillis)
+    }
+    m
+  }
+
   /** Probe frame for a bounded query set: each query's top-`nProbes`
     * lists (ranked through the SAME expression path as assignment, so
     * ordering is ulp-identical), residualized against each probed

@@ -91,13 +91,21 @@ object DimRouter {
     * [[lastMaintenance]] for an external maintenance window to act on
     * — what a 100 TB fact-sized table wants, since its rebucket is
     * hours of rewrite that must not sit inside a micro-batch. */
+  /** `vacuumKeepLast > 0` additionally prunes table HISTORY on the
+    * same cadence (after any applied action): per-micro-batch upserts
+    * accrete one committed version each, and without scheduled vacuum
+    * a long-lived streaming dim table's storage is its entire history.
+    * The grace window keeps versions a concurrent reader may still
+    * hold open (same contract as [[DimStore.vacuum]]). */
   final case class MaintenancePolicy(
       everyBatches: Int = 64,
       targetBucketBytes: Long = 256L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
       maxFilesPerBucket: Int = 4,
       maxBuckets: Int = 4096,
-      applyActions: Boolean = true) {
+      applyActions: Boolean = true,
+      vacuumKeepLast: Int = 0,
+      vacuumGraceMillis: Long = 24L * 3600 * 1000) {
     require(everyBatches >= 1, "everyBatches must be positive")
   }
 
@@ -151,6 +159,9 @@ object DimRouter {
               maxBuckets = p.maxBuckets,
               apply = p.applyActions)
             lastMaintenance.put(path, m)
+            if (p.vacuumKeepLast > 0)
+              DimStore.vacuum(spark, path, p.vacuumKeepLast,
+                p.vacuumGraceMillis)
             // the maintenance commit replaces the data layout wholesale;
             // name-based readers must drop their cached file listing
             if (m.applied.nonEmpty) catalogDb.foreach { db =>

@@ -195,6 +195,43 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     AnnIndex.fsck(s, path).consistent shouldBe true
   }
 
+  test("index maintenance rides the dim-store policy: per-append " +
+       "fragmentation heals, history vacuums, and answers are unchanged") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_maint").toString + "/idx"
+    val model = AnnIndex.build(s, path, e.filter($"vec_id" < 300),
+      "vec_id", "v", centroidIds = Cents, dim = 64, m = 4, k = 4,
+      rounds = 1, nBuckets = 4)
+    // 8 small appends: one commit generation each — the streaming
+    // accretion shape the policy exists for
+    (0 until 8).foreach { i =>
+      AnnIndex.append(s, path,
+        e.filter($"vec_id" >= 300 + i * 25 && $"vec_id" < 325 + i * 25),
+        "vec_id", "v", ver = (i + 2).toLong)
+    }
+    val before = codeRows(AnnIndex.codes(s, path))
+    // report-only: the tiny fixture at default byte targets reads as
+    // over-fanned-out, so the policy has a recommendation — and
+    // recommends without committing
+    val h0 = graft.ops.DimStore.history(path + "/codes")
+    val m0 = AnnIndex.maintain(s, path, maxFilesPerBucket = 2,
+      apply = false)
+    (m0.rebucketTo.isDefined || m0.compactRecommended) shouldBe true
+    graft.ops.DimStore.history(path + "/codes") shouldBe h0
+    // applied + vacuum: layout heals, history prunes, content identical
+    val m1 = AnnIndex.maintain(s, path, maxFilesPerBucket = 2,
+      vacuumKeepLast = 1, vacuumGraceMillis = 0L)
+    m1.applied should not be empty
+    codeRows(AnnIndex.codes(s, path)) shouldBe before
+    graft.ops.DimStore.history(path + "/codes").size shouldBe 1
+    // the frozen model survives its vacuum bit-exactly
+    val m2 = AnnIndex.readModel(s, path)
+    m2.centroids shouldBe model.centroids
+    m2.pq.codebooks.flatten.flatten.toSeq shouldBe
+      model.pq.codebooks.flatten.flatten.toSeq
+  }
+
   test("fsck detects the rebuild crash window: a new model committed " +
        "without its codes rewrite reports every code row stale") {
     val s = spark

@@ -197,5 +197,16 @@ class MaintainSpec extends AnyFunSuite with Matchers with SparkFixture {
     rep.applied shouldBe empty
     rep.rebucketTo shouldBe defined
     DimStore.history(path) shouldBe (before ++ Seq(before.last + 1)) // just the upsert
+    // scheduled history vacuum: per-batch commits accrete versions, and
+    // the policy prunes them on its cadence
+    DimStore.history(path).size should be > 2
+    val b8 = s.range(6001L, 6002L).select(
+      lit("src_users").as("source_table"), col("id"),
+      lit("y").as("payload"), lit(8L).as("ver"))
+    DimRouter.routeBatch(b8, Seq(tp), base, "ver",
+      maintenance = Some(reportOnly.copy(vacuumKeepLast = 2,
+        vacuumGraceMillis = 0L)))
+    DimStore.history(path).size shouldBe 2
+    DimStore.read(s, path).count() shouldBe 6002L
   }
 }
