@@ -4576,59 +4576,75 @@ object Extensions {
   // application, not just the argmax. The DuckDB oracle replays the
   // fold as a per-word recursive CTE — an independent formulation of
   // the same greedy semantics.
-  val x83 = Q(
-    "x83_bpe_train",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.Column
-      val words = docs(s, dir)
-        .select(explode(split($"text", " ")).as("word"))
-        .filter($"word" =!= "")
-        .groupBy($"word").agg(count(lit(1)).as("wc"))
-      var seqs = words.withColumn("syms", expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .persist()
-      def applyMerge(df: org.apache.spark.sql.DataFrame,
-                     a: String, b: String): org.apache.spark.sql.DataFrame = {
-        val m = a + b
-        df.withColumn("syms",
-          when(size($"syms") <= 1, $"syms").otherwise(
-            aggregate(
-              slice($"syms", lit(2), size($"syms") - 1),
-              array(element_at($"syms", 1)),
-              (acc: Column, sym: Column) =>
-                when(element_at(acc, -1) === lit(a) && sym === lit(b),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-                .otherwise(concat(acc, array(sym))))))
-      }
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, String, Long, Long, Long)]
-      (1 to 3).foreach { r =>
-        val best = seqs.filter(size($"syms") >= 2)
-          .select($"wc", explode(expr(
-            "transform(sequence(2, size(syms)), i -> struct(element_at(syms, i-1) as a, element_at(syms, i) as b))"))
-            .as("p"))
-          .groupBy($"p.a".as("a"), $"p.b".as("b"))
-          .agg(sum($"wc").as("cnt"))
-          .orderBy(desc("cnt"), $"a", $"b")
-          .limit(1).head() // ONE row — the learned rule, never the corpus
-        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        val next = applyMerge(seqs, a, b).persist()
-        val corpusSyms = next.agg(sum($"wc" * size($"syms"))).head().getLong(0)
-        val vocabSyms = next.select(explode($"syms").as("s"))
-          .agg(countDistinct($"s")).head().getLong(0)
-        seqs.unpersist()
-        seqs = next
-        out += ((r.toLong, a, b, a + b, cnt, vocabSyms, corpusSyms))
-      }
+  /** One greedy left-to-right BPE merge pass over a `syms` array
+    * column: every adjacent (a, b) becomes the merged symbol, applied
+    * as a pure per-row fold — tokenizer SERVING is this map repeated
+    * per learned rule, no shuffle, no state. */
+  private def bpeApplyMerge(df: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val m = a + b
+    df.withColumn("syms",
+      when(size(col("syms")) <= 1, col("syms")).otherwise(
+        aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          array(element_at(col("syms"), 1)),
+          (acc: Column, sym: Column) =>
+            when(element_at(acc, -1) === lit(a) && sym === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(sym))))))
+  }
+
+  /** The shared 3-round trainer behind x83 (rules + per-round corpus
+    * effects), x84 (the final per-word symbol sequences it serves
+    * tokenization from) and x85 (rules applied to a held-out slice).
+    * Trains on `corpus` (a `documents`-shaped frame, so callers can
+    * slice). Caller owns unpersisting the returned frame. */
+  private def bpeTrainRoundsOn(s: SparkSession, corpus: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, String, Long, Long, Long)], DataFrame) = {
+    import s.implicits._
+    val words = corpus
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("wc"))
+    var seqs = words.withColumn("syms", expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .persist()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val best = seqs.filter(size($"syms") >= 2)
+        .select($"wc", explode(expr(
+          "transform(sequence(2, size(syms)), i -> struct(element_at(syms, i-1) as a, element_at(syms, i) as b))"))
+          .as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"wc").as("cnt"))
+        .orderBy(desc("cnt"), $"a", $"b")
+        .limit(1).head() // ONE row — the learned rule, never the corpus
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val next = bpeApplyMerge(seqs, a, b).persist()
+      val corpusSyms = next.agg(sum($"wc" * size($"syms"))).head().getLong(0)
+      val vocabSyms = next.select(explode($"syms").as("s"))
+        .agg(countDistinct($"s")).head().getLong(0)
       seqs.unpersist()
-      out.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_count",
-        "vocab_symbols_after", "corpus_symbols_after")
-    },
-    Some("""
+      seqs = next
+      out += ((r.toLong, a, b, a + b, cnt, vocabSyms, corpusSyms))
+    }
+    (out.toSeq, seqs)
+  }
+
+  private def bpeTrainRounds(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, String, Long, Long, Long)], DataFrame) =
+    bpeTrainRoundsOn(s, docs(s, dir), rounds)
+
+  /** The words→seqs3 CTE chain shared by the x83/x84/x85 oracles —
+    * 3 unrolled rounds of (pair count → best rule → recursive-CTE
+    * greedy fold) over the documents matched by `docWhere` (empty =
+    * whole corpus). */
+  private def bpeOracleCtes(docWhere: String): String = s"""
       WITH RECURSIVE words AS (
         SELECT word, count(*)::BIGINT AS wc FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents $docWhere)
         WHERE word <> '' GROUP BY 1
       ),
       seqs0 AS (
@@ -4696,6 +4712,20 @@ object Extensions {
         FROM fold3 WHERE i < len(syms)
       ),
       seqs3 AS (SELECT word, wc, acc AS syms FROM fold3 WHERE i = len(syms))
+"""
+
+  private val BpeOracleCtes = bpeOracleCtes("")
+
+  val x83 = Q(
+    "x83_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val (rules, fin) = bpeTrainRounds(s, dir, 3)
+      fin.unpersist()
+      rules.toDF("round", "sym_a", "sym_b", "merged", "pair_count",
+        "vocab_symbols_after", "corpus_symbols_after")
+    },
+    Some(BpeOracleCtes + """
       SELECT 1::BIGINT AS round,
         (SELECT a FROM best1) AS sym_a, (SELECT b FROM best1) AS sym_b,
         (SELECT a || b FROM best1) AS merged,
@@ -4719,11 +4749,150 @@ object Extensions {
         (SELECT sum(wc * len(syms)) FROM seqs3)::BIGINT
     """))
 
+  // ---------------------------------------------------------------------
+  // x84 — BPE tokenization with the merges x83 learned: the serving
+  // half of the tokenizer loop. The trained vocabulary (word → final
+  // symbol sequence) is a small dim frame; each document's token count
+  // under the learned merges is one join of its exploded words against
+  // it — per doc: whitespace tokens, characters, BPE tokens, and the
+  // chars-per-BPE-token compression ratio (the number a tokenizer
+  // budget planner actually wants per corpus slice). Oracle reuses the
+  // same 3-round recursive-CTE chain and joins documents against its
+  // final sequences.
+  val x84 = Q(
+    "x84_bpe_tokenize",
+    (s, dir) => {
+      import s.implicits._
+      val (_, fin) = bpeTrainRounds(s, dir, 3)
+      val vocab = fin.select($"word", size($"syms").cast("long").as("bpe_len"),
+        length($"word").cast("long").as("w_chars"))
+      val out = docs(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .join(vocab, "word")
+        .groupBy($"doc_id").agg(
+          count(lit(1)).as("ws_tokens"),
+          sum($"w_chars").as("chars"),
+          sum($"bpe_len").as("bpe_tokens"))
+        .withColumn("chars_per_bpe_token_ppm",
+          expr("chars * 1000000 div bpe_tokens"))
+      fin.unpersist()
+      out
+    },
+    Some(BpeOracleCtes + """
+      SELECT d.doc_id, count(*)::BIGINT AS ws_tokens,
+        sum(len(d.word))::BIGINT AS chars,
+        sum(len(s3.syms))::BIGINT AS bpe_tokens,
+        ((sum(len(d.word)) * 1000000) // sum(len(s3.syms)))::BIGINT
+          AS chars_per_bpe_token_ppm
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) d
+      JOIN seqs3 s3 ON d.word = s3.word
+      WHERE d.word <> ''
+      GROUP BY 1
+    """))
+
+  // ---------------------------------------------------------------------
+  // x85 — BPE rule application to HELD-OUT text: train the merges on
+  // even doc_ids, tokenize the odd ones by replaying the learned rules
+  // in rank order. This is the serving path x84's vocabulary join can't
+  // cover — unseen words tokenize fine because the rules are symbol
+  // rewrites, not a word lookup. At scale the shape is the one a
+  // production tokenizer wants: training touches only the train slice
+  // (3 pair-count aggregations); application is a ZERO-shuffle narrow
+  // map (the 3 rules are literals folded into one codegen'd expression
+  // chain) followed by the per-doc aggregation the caller needed
+  // anyway. The oracle retrains on the same slice via the shared
+  // recursive-CTE chain and replays the folds over held-out words — an
+  // independent implementation of both halves.
+  val x85 = Q(
+    "x85_bpe_apply_holdout",
+    (s, dir) => {
+      import s.implicits._
+      val (rules, fin) =
+        bpeTrainRoundsOn(s, docs(s, dir).filter($"doc_id" % 2 === 0), 3)
+      fin.unpersist()
+      val holdout = docs(s, dir).filter($"doc_id" % 2 === 1)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      val tokenized = rules.foldLeft(holdout) {
+        case (df, (_, a, b, _, _, _, _)) => bpeApplyMerge(df, a, b)
+      }
+      tokenized.groupBy($"doc_id").agg(
+          count(lit(1)).as("ws_tokens"),
+          sum(length($"word")).cast("long").as("chars"),
+          sum(size($"syms")).cast("long").as("bpe_tokens"))
+        .withColumn("chars_per_bpe_token_ppm",
+          expr("chars * 1000000 div bpe_tokens"))
+    },
+    Some(bpeOracleCtes("WHERE doc_id % 2 = 0") + """
+      , hwords AS (
+        SELECT DISTINCT word FROM (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id % 2 = 1)
+        WHERE word <> ''
+      ),
+      hseqs0 AS (
+        SELECT word,
+          list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+        FROM hwords
+      ),
+      hfold1 AS (
+        SELECT word, syms, 1 AS i, [syms[1]] AS acc FROM hseqs0
+        UNION ALL
+        SELECT word, syms, i + 1,
+          CASE WHEN acc[len(acc)] = (SELECT a FROM best1)
+                AND syms[i+1] = (SELECT b FROM best1)
+               THEN list_append(acc[1:len(acc)-1],
+                      (SELECT a || b FROM best1))
+               ELSE list_append(acc, syms[i+1]) END
+        FROM hfold1 WHERE i < len(syms)
+      ),
+      hseqs1 AS (SELECT word, acc AS syms FROM hfold1 WHERE i = len(syms)),
+      hfold2 AS (
+        SELECT word, syms, 1 AS i, [syms[1]] AS acc FROM hseqs1
+        UNION ALL
+        SELECT word, syms, i + 1,
+          CASE WHEN acc[len(acc)] = (SELECT a FROM best2)
+                AND syms[i+1] = (SELECT b FROM best2)
+               THEN list_append(acc[1:len(acc)-1],
+                      (SELECT a || b FROM best2))
+               ELSE list_append(acc, syms[i+1]) END
+        FROM hfold2 WHERE i < len(syms)
+      ),
+      hseqs2 AS (SELECT word, acc AS syms FROM hfold2 WHERE i = len(syms)),
+      hfold3 AS (
+        SELECT word, syms, 1 AS i, [syms[1]] AS acc FROM hseqs2
+        UNION ALL
+        SELECT word, syms, i + 1,
+          CASE WHEN acc[len(acc)] = (SELECT a FROM best3)
+                AND syms[i+1] = (SELECT b FROM best3)
+               THEN list_append(acc[1:len(acc)-1],
+                      (SELECT a || b FROM best3))
+               ELSE list_append(acc, syms[i+1]) END
+        FROM hfold3 WHERE i < len(syms)
+      ),
+      hseqs3 AS (SELECT word, acc AS syms FROM hfold3 WHERE i = len(syms))
+      SELECT d.doc_id, count(*)::BIGINT AS ws_tokens,
+        sum(len(d.word))::BIGINT AS chars,
+        sum(len(h.syms))::BIGINT AS bpe_tokens,
+        ((sum(len(d.word))::BIGINT * 1000000)
+          // sum(len(h.syms))::BIGINT)::BIGINT AS chars_per_bpe_token_ppm
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id % 2 = 1) d
+      JOIN hseqs3 h ON d.word = h.word
+      WHERE d.word <> ''
+      GROUP BY 1
+    """))
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
     x29, x30, x31, x32, x33, x34, x35, x36, x37, x38, x39, x40, x41, x42,
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
-    x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83)
+    x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84,
+    x85)
 }
