@@ -64,22 +64,20 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** (row count, Σ(a+b), Σ(a xor b)) — the convergence witness. Both
-    * operations only ever LOWER an edge's small end or drop
-    * duplicates, so for ids that don't overflow the sum the pair
-    * (count, Σ) strictly decreases lexicographically until the edge
-    * set is unchanged. Hash-range node ids (xxhash64 feeds this via
-    * StreamingClusters) DO wrap Σ(a+b), which degrades the argument
-    * to a checksum — so the loop treats an equal witness as a
-    * CANDIDATE fixpoint and confirms it with one real set-difference
-    * job before terminating (see [[starContraction]]); the xor sum
-    * here just makes spurious candidates astronomically rarer, so the
-    * confirm job effectively runs once. */
-  private def witness(e: DataFrame): (Long, Long, Long) = {
+  /** (row count, XOR of a per-edge hash) — the convergence witness: an
+    * order-independent SET checksum of the edge frame. An equal
+    * witness only NOMINATES a fixpoint; the loop confirms it with one
+    * real set-difference job before terminating (see
+    * [[starContraction]]), so checksum quality governs how often the
+    * confirm job runs (effectively once), never correctness. XOR of
+    * hashes is total on the full Long id range — an arithmetic Σ(a+b)
+    * would raise ARITHMETIC_OVERFLOW under Spark's default ANSI mode
+    * on exactly the hash-range ids StreamingClusters feeds this via
+    * xxhash64 doc ids. */
+  private def witness(e: DataFrame): (Long, Long) = {
     val r = e.agg(count(lit(1)),
-      coalesce(sum(col("a") + col("b")), lit(0L)),
-      coalesce(sum(col("a").bitwiseXOR(col("b"))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Run alternating rounds to the unique fixpoint and return
@@ -144,8 +142,8 @@ object ConnectedComponents {
       // equal witness nominates a fixpoint; confirm with a real
       // set-difference before terminating (both frames are distinct()
       // with equal counts, so one-directional exceptAll suffices) —
-      // under id-sum wraparound the checksum alone can't prove
-      // equality, and a spurious match would return WRONG labels
+      // a hash-xor checksum alone can't prove set equality, and a
+      // spurious match would return WRONG labels
       done = cur == prev && next.exceptAll(e).isEmpty
       e.unpersist()
       releaseE() // the superseded round's durable copy is now unreferenced

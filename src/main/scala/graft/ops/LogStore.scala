@@ -338,7 +338,12 @@ private[graft] trait CommitCoordinator {
   def get(key: String): Option[String]
   /** Every (key, value) whose key starts with `prefix`. */
   def list(prefix: String): Seq[(String, String)]
-  def update(key: String, value: String): Unit
+  /** Atomic conditional update: set key → value iff key is PRESENT,
+    * returning whether it was. An unconditional update would let a
+    * completer resurrect an entry a concurrent delete just removed
+    * (DynamoDB expresses this as a conditional write, same as the
+    * insert). */
+  def updateIfPresent(key: String, value: String): Boolean
   def remove(key: String): Unit
 }
 
@@ -354,7 +359,8 @@ private[graft] final class InMemoryCommitCoordinator extends CommitCoordinator {
     m.entrySet().asScala.filter(_.getKey.startsWith(prefix))
       .map(e => (e.getKey, e.getValue)).toVector
   }
-  def update(key: String, value: String): Unit = { m.put(key, value); () }
+  def updateIfPresent(key: String, value: String): Boolean =
+    m.computeIfPresent(key, (_, _) => value) != null
   def remove(key: String): Unit = { m.remove(key); () }
 }
 
@@ -390,8 +396,14 @@ private[graft] final class FileCommitCoordinator(root: String) extends CommitCoo
     } catch { case _: java.io.IOException => None }
   def list(prefix: String): Seq[(String, String)] =
     entries.filter(_._1.startsWith(prefix))
-  def update(key: String, value: String): Unit =
-    PosixLogStore.writeAtomic(keyFile(key), s"$key\n$value")
+  def updateIfPresent(key: String, value: String): Boolean =
+    // check-then-write: a remove landing inside the gap re-creates the
+    // entry — a narrower stand-in for DynamoDB's genuinely atomic
+    // conditional write, same honesty class as HadoopLogStore's
+    // in-JVM-only local-fs atomicity (both documented, neither is the
+    // production route)
+    if (!PosixLogStore.exists(keyFile(key))) false
+    else { PosixLogStore.writeAtomic(keyFile(key), s"$key\n$value"); true }
   def remove(key: String): Unit = PosixLogStore.delete(keyFile(key))
 }
 
@@ -537,10 +549,16 @@ private[graft] final class ExternalLogStore(
             concurrentlyRemoved = now.isEmpty
         }
       }
-      if (!concurrentlyRemoved) {
-        coord.update(p, Complete)
-        if (base.exists(tmp)) base.delete(tmp)
+      if (!concurrentlyRemoved && !coord.updateIfPresent(p, Complete)) {
+        // the entry vanished between our pending read and the
+        // completion mark — a concurrent delete() of this version.
+        // delete() removes the target BEFORE the entry, so any target
+        // object present now is OUR rematerialization from the temp;
+        // leaving it would resurrect the deleted version as a live
+        // object in the base listing.
+        if (base.exists(p)) base.delete(p)
       }
+      if (base.exists(tmp)) base.delete(tmp)
     }
   }
 

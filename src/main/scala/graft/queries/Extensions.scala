@@ -1431,9 +1431,14 @@ object Extensions {
         .select($"src".as("id"), least($"src", $"mn").as("lbl"))
         .persist()
       // labels shrink monotonically; the label sum is a convergence
-      // witness (strictly decreases until fixpoint)
-      def lblSum(df: DataFrame): Long =
-        df.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
+      // witness (strictly decreases until fixpoint). Summed as
+      // decimal(38,0): a Long sum of hash-range ids (xxhash64 feeds
+      // this route via the dedup pipeline) would raise
+      // ARITHMETIC_OVERFLOW under Spark's default ANSI mode, and the
+      // equal-sum ⟺ fixpoint argument needs exact arithmetic anyway.
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum($"lbl".cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
       def step(l: DataFrame): DataFrame = {
         val nbr = edges.join(l, edges("dst") === l("id"))
           .groupBy(edges("src").as("nid")).agg(min(l("lbl")).as("nbr_lbl"))
@@ -1453,7 +1458,7 @@ object Extensions {
         val cur = lblSum(next)
         labels.unpersist()
         labels = next
-        done = cur == prev
+        done = cur.compareTo(prev) == 0
         prev = cur
         iter += 1
       }

@@ -73,6 +73,21 @@ class StarContractionSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("hash-range node ids (full signed Long range) contract without " +
+       "arithmetic overflow") {
+    // xxhash64 doc ids span the whole signed Long range; a Σ(a+b)
+    // convergence witness raises ARITHMETIC_OVERFLOW under Spark's
+    // default ANSI mode on exactly these inputs (the streaming dedup
+    // journal feeds them to labels-on-read)
+    val big = Long.MaxValue
+    val small = Long.MinValue
+    val pairs = Seq(
+      (big, big - 1), (big - 1, big - 3),          // positive overflow in a+b
+      (small + 2, small), (small + 5, small + 2),  // negative overflow in a+b
+      (7L, big), (-9L, small + 5))                 // mixed-sign bridges
+    labelsOf(pairs) shouldBe model(pairs)
+  }
+
   test("empty input, self loops, and a single pair") {
     labelsOf(Nil) shouldBe Map.empty
     labelsOf(Seq((7L, 7L))) shouldBe Map.empty

@@ -697,6 +697,44 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     c.get("t/_commits/00000000000000000001.json") shouldBe Some("pending:x")
   }
 
+  test("a completer racing a concurrent delete() cannot resurrect the " +
+       "deleted version — neither as a coordinator entry nor as a " +
+       "rematerialized target object") {
+    val dir = Files.createTempDirectory("ext_del_race").toString
+    val inner = new graft.ops.InMemoryCommitCoordinator
+    val p = s"$dir/00000001"
+    // interpose on get(): the first pending read hands back the claim,
+    // then a delete() of the version lands BEFORE the reader finishes
+    // completing it — the exact interleaving where an unconditional
+    // complete-mark resurrects the entry (and the temp-rematerialized
+    // target) of a version that no longer exists
+    var extRef: graft.ops.ExternalLogStore = null
+    val coord = new graft.ops.CommitCoordinator {
+      private var armed = true
+      def putIfAbsent(k: String, v: String) = inner.putIfAbsent(k, v)
+      def get(k: String): Option[String] = {
+        val r = inner.get(k)
+        if (armed && k == p && r.exists(_.startsWith("pending:"))) {
+          armed = false
+          extRef.delete(p) // concurrent delete: target (absent), entry
+        }
+        r
+      }
+      def list(prefix: String) = inner.list(prefix)
+      def updateIfPresent(k: String, v: String) = inner.updateIfPresent(k, v)
+      def remove(k: String) = inner.remove(k)
+    }
+    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+    extRef = ext
+    graft.ops.ObjectStoreSim.mkdirs(dir)
+    // createIfAbsent claims, then completes through recoverEntry — the
+    // injected delete() fires inside that completion
+    ext.createIfAbsent(p, "body") shouldBe true
+    inner.get(p) shouldBe None                       // entry stays deleted
+    graft.ops.ObjectStoreSim.exists(p) shouldBe false // target stays deleted
+    ext.list(dir) shouldBe Seq.empty                 // no phantom version
+  }
+
   test("recoverEntry tolerates a concurrent completer: readers racing the " +
        "materialize window of a claimed commit never see a spurious " +
        "failure on a healthy log") {
