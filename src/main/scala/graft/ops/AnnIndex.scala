@@ -42,22 +42,36 @@ object AnnIndex {
 
   /** The frozen model: coarse centroids (id → vector) + PQ codebooks,
     * plus the build-time mean quantization error (the model-fit
-    * baseline [[append]] monitors drift against). */
+    * baseline [[append]] monitors drift against) and the LWW version
+    * the build committed at. `buildVer` is the caller's re-floor
+    * point: a rebuild commits strictly above every earlier batch, so
+    * an ingest counter that predates it must resume at
+    * `buildVer + 1` or its post-rebuild batches are absorbed as
+    * replays (see [[append]]). */
   final case class Model(centroids: Seq[(Long, Seq[Double])],
                          pq: ProductQuantizer.PqModel,
-                         baselineErr: Double)
+                         baselineErr: Double,
+                         buildVer: Long)
 
   /** What one ingest batch's model fit looked like: its mean residual
     * quantization error vs the build-time baseline. `rebuildRecommended`
     * fires when the ratio exceeds the caller's drift factor — the
     * batch is drawn from a distribution the frozen codebooks no longer
     * cover, and the honest fix is a new [[build]] (re-train + full
-    * re-encode as a fresh version), not more appends. */
+    * re-encode as a fresh version), not more appends. `buildVer`
+    * echoes the serving model's build version so a streaming caller
+    * can notice a rebuild happened underneath it and re-floor its
+    * version counter without a separate model read. */
   final case class IngestDrift(batchMeanErr: Double, baselineErr: Double,
-                               ratio: Double, rebuildRecommended: Boolean)
+                               ratio: Double, rebuildRecommended: Boolean,
+                               buildVer: Long)
 
   private def codesPath(path: String) = s"$path/codes"
   private def modelPath(path: String) = s"$path/model"
+
+  /** Mean quantization error below which a zero-baseline model is
+    * still "perfect fit" — double-precision noise, not drift. */
+  private val ZeroBaselineFloor = 1e-9
 
   /** Coarse assignment/ranking/residual come from the shared
     * [[IvfKit]] — the SAME expressions the query layer (x12/x75)
@@ -158,7 +172,7 @@ object AnnIndex {
     val baseline = lists
       .agg(avg(ProductQuantizer.quantizationError(col("__rv"), pq)))
       .head().getDouble(0)
-    val model = Model(cents, pq, baseline)
+    val model = Model(cents, pq, baseline, buildVer)
     val modelRows =
       cents.map { case (cid, cv) => ("c" + cid, "cent", cid, 0L, cv) } ++
       (for (mi <- 0 until m; ki <- 0 until k) yield
@@ -181,28 +195,39 @@ object AnnIndex {
   /** What a consistency check of the two tables found. `staleCodes`
     * counts code rows whose version predates the model's build —
     * rows encoded under a PREVIOUS model that a crashed rebuild never
-    * replaced (scored under the wrong codebooks until repaired). */
-  final case class Fsck(buildVer: Long, codeRows: Long, staleCodes: Long) {
-    def consistent: Boolean = staleCodes == 0L
+    * replaced (scored under the wrong codebooks until repaired).
+    * `codesTableMissing` is the OTHER crash window: a fresh-path
+    * [[build]] that died between the model commit and the first codes
+    * commit leaves a model with no codes table at all (an intact
+    * empty index has a committed zero-row table, so absence is always
+    * a crash, never "empty corpus"). */
+  final case class Fsck(buildVer: Long, codeRows: Long, staleCodes: Long,
+                        codesTableMissing: Boolean) {
+    def consistent: Boolean = staleCodes == 0L && !codesTableMissing
   }
 
   /** Detect the rebuild crash window: the model and codes tables are
     * separate commit logs, so a crash between [[build]]'s two commits
-    * leaves codes encoded under the old model. One bounded agg over
-    * the codes table; repair = re-run [[build]]. */
+    * leaves codes encoded under the old model (or, on a fresh path,
+    * no codes table at all). One bounded agg over the codes table;
+    * repair for either state = re-run [[build]]. A path with no MODEL
+    * table is not an index (a fresh build that crashed before its
+    * first commit left nothing to serve) and throws, matching
+    * [[readModel]]. */
   def fsck(spark: SparkSession, path: String): Fsck = {
     val bver = DimStore.read(spark, modelPath(path))
       .filter(col("kind") === "bver")
       .select(col("i1")).collect().headOption.map(_.getLong(0))
       .getOrElse(1L) // pre-bver index: every build committed at 1
-    val stats = DimStore.readIfExists(spark, codesPath(path)) match {
-      case Some(df) => df.agg(count(lit(1)),
-        sum(when(col("__batch_ver") < bver, 1L).otherwise(0L))).head()
-      case None => null
+    DimStore.readIfExists(spark, codesPath(path)) match {
+      case Some(df) =>
+        val stats = df.agg(count(lit(1)),
+          sum(when(col("__batch_ver") < bver, 1L).otherwise(0L))).head()
+        Fsck(bver, stats.getLong(0),
+          if (stats.isNullAt(1)) 0L else stats.getLong(1),
+          codesTableMissing = false)
+      case None => Fsck(bver, 0L, 0L, codesTableMissing = true)
     }
-    if (stats == null) Fsck(bver, 0L, 0L)
-    else Fsck(bver, stats.getLong(0),
-      if (stats.isNullAt(1)) 0L else stats.getLong(1))
   }
 
   /** Incremental maintenance: encode ONLY this batch under the frozen
@@ -221,11 +246,25 @@ object AnnIndex {
     * report recommends a rebuild; the append itself ALWAYS lands
     * (rows must not be dropped while a rebuild is pending — they are
     * searchable at degraded precision, and the rebuild re-encodes
-    * them anyway). */
+    * them anyway).
+    *
+    * Versioning vs rebuilds: a rebuild commits strictly ABOVE every
+    * earlier batch, so an append whose `ver` predates the serving
+    * model's `buildVer` is absorbed as a replay by LWW — deliberate
+    * for redelivered pre-rebuild batches (spec-pinned), but a caller
+    * ingesting NEW data must keep its counter above `buildVer`
+    * (re-floor from the returned drift report after a recommended
+    * rebuild ran). `ver == buildVer` exactly is rejected: a tied
+    * version would leave new-vs-rebuilt row survival to the LWW
+    * tie-break instead of an ordering. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
              idCol: String, vCol: String, ver: Long,
              driftFactor: Double = 2.0): IngestDrift = {
     val model = readModel(spark, path)
+    require(ver != model.buildVer,
+      s"append version $ver ties the serving build's version — " +
+      s"re-floor the ingest counter at ${model.buildVer + 1} " +
+      "(a tie makes new-vs-rebuilt survival a hash tie-break, not an ordering)")
     // the ranked+residual projection is the expensive half of the
     // batch; persist it so the drift agg and the encode feeding the
     // upsert share ONE computation instead of running it twice
@@ -245,9 +284,18 @@ object AnnIndex {
             model.pq.codeCols.map(col): _*)
           .withColumn("__batch_ver", lit(ver)),
         pk = "vec_id", versionCol = "__batch_ver")
-      val ratio = batchErr / model.baselineErr
+      // a baseline of exactly 0.0 (codebooks reproduce every build-time
+      // residual — k >= distinct residuals, common on small or tightly
+      // clustered corpora) would make ANY nonzero batch error an
+      // infinite ratio; below the absolute floor the fit is still
+      // double-noise-perfect and no rebuild is warranted
+      val ratio =
+        if (model.baselineErr > 0.0) batchErr / model.baselineErr
+        else if (batchErr <= ZeroBaselineFloor) 1.0
+        else Double.PositiveInfinity
       IngestDrift(batchErr, model.baselineErr, ratio,
-        rebuildRecommended = !ratio.isNaN && ratio > driftFactor)
+        rebuildRecommended = !ratio.isNaN && ratio > driftFactor,
+        buildVer = model.buildVer)
     } finally { withRv.unpersist(); () }
   }
 
@@ -271,7 +319,9 @@ object AnnIndex {
     val cbs = Array.tabulate(m)(mi => Array.tabulate(k)(ki => byMk((mi, ki))))
     val baseline = rows.find(_.getString(1) == "stats")
       .map(_.getSeq[Double](4).head).getOrElse(Double.NaN)
-    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs), baseline)
+    val bver = rows.find(_.getString(1) == "bver")
+      .map(_.getLong(2)).getOrElse(1L) // pre-bver index: built at 1
+    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs), baseline, bver)
   }
 
   /** The staged codes snapshot: (vec_id, list_id, pq_code0..m-1). */

@@ -125,7 +125,20 @@ object ConnectedComponents {
     } else (df.localCheckpoint(true), () => ())
   }
 
-  def starContraction(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def starContraction(edges: DataFrame, maxRounds: Int = 32): DataFrame =
+    starContractionReleasable(edges, maxRounds)._1
+
+  /** As [[starContraction]], plus a release handle for the labels'
+    * durable checkpoint copy on the reliable-checkpoint route (a
+    * no-op on the eager-local route). Spark never deletes reliable
+    * checkpoint files on its own, so a long-lived session that
+    * contracts per consultation strands one O(nodes) copy per call
+    * unless something runs the handle; a caller that materializes or
+    * writes the labels elsewhere should call it — after release, the
+    * persisted blocks are the only copy (executor loss can then no
+    * longer recompute this frame from the durable file). */
+  def starContractionReleasable(edges: DataFrame, maxRounds: Int = 32)
+      : (DataFrame, () => Unit) = {
     // drop self loops, orient big→small once so round 1 can start on
     // small-star's precondition without a wasted symmetrize; truncate
     // per round (see [[truncated]])
@@ -165,20 +178,22 @@ object ConnectedComponents {
     // same frame); callers that materialize elsewhere may unpersist.
     val labelsRaw = e.select(col("a").as("id"), col("b").as("rep"))
       .union(e.select(col("b").as("id"), col("b").as("rep")).distinct())
-    val labels =
+    val (labels, releaseLabels) =
       if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined) {
         // reliable route: land the labels in their OWN durable copy so
         // the final edge round's (much larger) checkpoint can be
-        // released too. One O(nodes) checkpoint per invocation remains
-        // in the dir for the labels' lifetime — the price of a result
-        // that survives executor loss after this method returns.
-        truncated(labelsRaw)._1
-      } else labelsRaw
+        // released too. The labels' copy stays in the dir for the
+        // result's lifetime — the price of surviving executor loss
+        // after this method returns — and the returned handle is how
+        // a caller reclaims it once the labels are materialized
+        // elsewhere.
+        truncated(labelsRaw)
+      } else (labelsRaw, () => ())
     labels.persist()
     labels.count()
     e.unpersist()
     releaseE()
-    labels
+    (labels, releaseLabels)
   }
 
   /** Rounds taken by the LAST `starContraction` on this thread — a test

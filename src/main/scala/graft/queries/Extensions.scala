@@ -4413,10 +4413,8 @@ object Extensions {
       val d = docs(s, dir)
         .withColumn("toks", split($"text", " "))
         .filter(size($"toks") >= 3)
-        .withColumn("bigrams", expr(
-          "transform(sequence(2, size(toks)), i -> concat(element_at(toks, i-1), ' ', element_at(toks, i)))"))
-        .withColumn("trigrams", expr(
-          "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
+        .withColumn("bigrams", expr(graft.ops.TextGrams.WordBigramExpr))
+        .withColumn("trigrams", expr(graft.ops.TextGrams.WordTrigramExpr))
       d.select($"doc_id",
         size($"toks").cast("long").as("n_words"),
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_chars"),
@@ -4514,9 +4512,8 @@ object Extensions {
       val occ = docs(s, dir)
         .withColumn("toks", split($"text", " "))
         .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
-          .as("g"))
+        .select($"doc_id",
+          explode(expr(graft.ops.TextGrams.WordTrigramExpr)).as("g"))
       val dict = occ.distinct()
         .groupBy($"g").agg(count(lit(1)).as("n_docs"))
         .filter($"n_docs" >= 3)
@@ -4768,10 +4765,15 @@ object Extensions {
     "x84_bpe_tokenize",
     (s, dir) => {
       import s.implicits._
-      val (_, fin) = bpeTrainRounds(s, dir, 3)
+      // the returned plan JOINS against the trained sequences, so the
+      // frame must stay cached until the caller executes it — route it
+      // through the bounded persist (tracked, cleared by the harness
+      // between queries, reused across invocations) instead of
+      // unpersisting a frame the lazy plan still needs
+      val fin = persisted(s, "x84_bpe_seqs", dir)(bpeTrainRounds(s, dir, 3)._2)
       val vocab = fin.select($"word", size($"syms").cast("long").as("bpe_len"),
         length($"word").cast("long").as("w_chars"))
-      val out = docs(s, dir)
+      docs(s, dir)
         .select($"doc_id", explode(split($"text", " ")).as("word"))
         .filter($"word" =!= "")
         .join(vocab, "word")
@@ -4781,8 +4783,6 @@ object Extensions {
           sum($"bpe_len").as("bpe_tokens"))
         .withColumn("chars_per_bpe_token_ppm",
           expr("chars * 1000000 div bpe_tokens"))
-      fin.unpersist()
-      out
     },
     Some(BpeOracleCtes + """
       SELECT d.doc_id, count(*)::BIGINT AS ws_tokens,

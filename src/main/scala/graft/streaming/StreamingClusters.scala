@@ -79,14 +79,23 @@ object StreamingClusters {
     * Periodic maintenance, like vacuum/compact. */
   def compactJournal(spark: SparkSession, store: String): Unit = {
     if (DimStore.readIfExists(spark, store).isEmpty) return // nothing journaled yet
-    val built = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the rewrite fully materializes the star edges into the store, so
+    // each attempt's labels — cache AND durable checkpoint copy (the
+    // reliable-checkpoint route) — are released afterwards; without
+    // the handles a compaction cadence strands one label-set
+    // checkpoint per run in spark.checkpoint.dir
+    val built =
+      scala.collection.mutable.ArrayBuffer.empty[(DataFrame, () => Unit)]
     try DimStore.rewrite(spark, store, "pk") { df =>
-      val l = ConnectedComponents.starContraction(df.select(col("a"), col("b")))
-      built += l
+      val (l, release) = ConnectedComponents
+        .starContractionReleasable(df.select(col("a"), col("b")))
+      built += ((l, release))
       l.filter(col("id") =!= col("rep"))
         .select(col("id").as("a"), col("rep").as("b"))
         .withColumn("pk", concat_ws(":", col("a"), col("b")))
         .withColumn("ver", lit(-1L))
-    } finally built.foreach(f => try f.unpersist() catch { case _: Throwable => () })
+    } finally built.foreach { case (f, release) =>
+      try { f.unpersist(); release() } catch { case _: Throwable => () }
+    }
   }
 }

@@ -77,9 +77,8 @@ object ScaleProbe {
     val boilerDict = docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(3, size(toks)), i -> concat(element_at(toks, i-2), ' ', element_at(toks, i-1), ' ', element_at(toks, i)))"))
-        .as("g"))
+      .select($"doc_id",
+        explode(expr(graft.ops.TextGrams.WordTrigramExpr)).as("g"))
       .distinct()
       .groupBy($"g").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= 3)

@@ -252,4 +252,57 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     torn.consistent shouldBe false
     torn.staleCodes shouldBe torn.codeRows
   }
+
+  test("fsck flags the fresh-path crash window: a model committed " +
+       "without any codes table is inconsistent, not healthy-empty") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_fsck_fresh").toString + "/idx"
+    AnnIndex.build(s, path, e.filter($"vec_id" < 300), "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    // simulate build() dying between the model commit and the first
+    // codes commit on a fresh path: the codes table never existed
+    graft.ops.PosixLogStore.deleteTree(path + "/codes")
+    val crashed = AnnIndex.fsck(s, path)
+    crashed.codesTableMissing shouldBe true
+    crashed.consistent shouldBe false
+  }
+
+  test("a zero-error baseline never recommends a rebuild for " +
+       "double-noise batches, and an append tying the build version " +
+       "is rejected") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_zero_base").toString + "/idx"
+    // corpus = exactly the coarse centroids: every residual is the
+    // zero vector, so the trained codebooks reproduce the build
+    // corpus perfectly and baselineErr is exactly 0.0
+    val model = AnnIndex.build(s, path, e.filter($"vec_id".isin(Cents: _*)),
+      "vec_id", "v", centroidIds = Cents, dim = 64, m = 4, k = 4,
+      rounds = 1)
+    model.baselineErr shouldBe 0.0
+    model.buildVer shouldBe 1L
+    // an append at the build's own version would make new-vs-rebuilt
+    // survival a LWW hash tie-break — rejected loudly
+    an[IllegalArgumentException] should be thrownBy
+      AnnIndex.append(s, path, e.filter($"vec_id" === 10L),
+        "vec_id", "v", ver = 1L)
+    // ulp-perturbed copies of the centroids: quantization error is
+    // nonzero but double-precision noise — a naive batchErr/0.0 ratio
+    // would be Infinity and spuriously demand a rebuild
+    val noise = e.filter($"vec_id".isin(Cents: _*))
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"v", x => x + lit(1e-13)).as("v"))
+    val ok = AnnIndex.append(s, path, noise, "vec_id", "v", ver = 2L)
+    ok.rebuildRecommended shouldBe false
+    ok.buildVer shouldBe 1L
+    // genuine drift on the same zero baseline IS still caught
+    val drifted = e.filter($"vec_id".isin(Cents: _*))
+      .select(($"vec_id" + 2000L).as("vec_id"),
+        transform($"v", x => x * 5.0).as("v"))
+    val bad = AnnIndex.append(s, path, drifted, "vec_id", "v", ver = 3L)
+    bad.rebuildRecommended shouldBe true
+    bad.ratio.isPosInfinity shouldBe true
+  }
 }
