@@ -134,6 +134,9 @@ object StreamBench {
         .foreachPartition(writeSegment)
       FileTopic.publishStaged(topic)
       val nEvents = FileTopic.replay(spark, topic).count().toInt
+      // distinct components found by the clusters topology's post-
+      // stream labels consultation (same data both passes)
+      val clustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
 
       // ---- per-batch progress capture ----
       val stats = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[BatchStat]]()
@@ -162,7 +165,7 @@ object StreamBench {
             timestamp_millis(col("parsed.ts")).as("eventTime"))
           .as[PageLog]
 
-      def timed(name: String, pass: Int)
+      def timed(name: String, pass: Int, andThen: Path => Unit = _ => ())
                (start: (DataFrame, Path) => org.apache.spark.sql.streaming.StreamingQuery): TopoResult = {
         val key = s"${name}_p$pass"
         val dir = work.resolve(key)
@@ -171,6 +174,7 @@ object StreamBench {
         val t0 = System.nanoTime()
         val q = start(raw, dir)
         try q.processAllAvailable() finally q.stop()
+        andThen(dir) // post-stream consultation, inside the timed window
         val dt = (System.nanoTime() - t0) / 1e9
         val b = stats.synchronized(stats.getOrElse(key, Seq.empty).toList)
         deleteTree(dir) // state/checkpoint/sinks are per-pass scratch
@@ -230,9 +234,27 @@ object StreamBench {
         // Page-log lines are heavily templated — near-identical JSON —
         // so this is the adversarial collision load for the bucket
         // state, not a friendly corpus.
-        "clusters" -> timed("clusters", pass) { (raw, dir) =>
+        // the timed window INCLUDES one labels-on-read consultation
+        // after ingest (star contraction over the journal) — the read
+        // path a consumer actually pays, and the leg that runs on
+        // full-range xxhash64 ids (the input that made an arithmetic
+        // convergence witness overflow; see ConnectedComponents)
+        "clusters" -> timed("clusters", pass, andThen = { dir =>
+          val l = graft.streaming.StreamingClusters
+            .labels(spark, s"$dir/edges")
+          clustersFound.set(
+            l.select(countDistinct(col("rep"))).head().getLong(0))
+          l.unpersist(); ()
+        }) { (raw, dir) =>
+          // MinHash shingles are WORD trigrams (split on spaces) and a
+          // compact to_json line is a single token — fed raw it yields
+          // zero shingles and the doc is dropped before banding, so the
+          // "dedup load" would be an empty state op (the labels
+          // consultation below caught exactly that: clusters_found=0).
+          // Punctuation-split the line into word tokens so the
+          // templated JSON really is the adversarial collision corpus.
           val docs = raw.select(xxhash64(col("value")).as("doc_id"),
-            col("value").as("text"))
+            regexp_replace(col("value"), "[\\p{Punct}]+", " ").as("text"))
           graft.streaming.StreamingNearDup(docs).toDF()
             .writeStream.queryName(s"clusters_p$pass")
             .option("checkpointLocation", s"$dir/chk")
@@ -273,7 +295,8 @@ object StreamBench {
         s"""{"sf":"$sfDir","events":$nEvents,"pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
       catch { case _: java.io.IOException => () }
       println(s"""{"metric":"stream_total","value":${num(total)},"unit":"sec","events":$nEvents,"topologies":{${
-        names.map(topoJson).mkString(",")}},"spread":$spread,"state_store":"$stateStore","sf":"$sfDir"}""")
+        names.map(topoJson).mkString(",")}},"spread":$spread,"clusters_found":${
+        clustersFound.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
     } finally {
       deleteTree(work)
       spark.stop()
