@@ -173,4 +173,32 @@ class StreamingNearDupSpec extends AnyFunSuite with Matchers with SparkFixture {
       .map(r => (r._1, r._2)).toSet
     pairs shouldBe Set((0L, 1L), (2L, 3L))
   }
+
+  test("whitespace-free docs are invisible to detection; word-splitting " +
+       "them restores it (the hollow-workload trap)") {
+    val s = spark
+    import s.implicits._
+    // MinHash shingles are WORD trigrams: a compact JSON line is one
+    // token → zero shingles → the doc is dropped before banding. Fed
+    // raw, even near-identical templated lines produce NO band rows
+    // and NO candidates — a pipeline that looks busy but detects
+    // nothing (exactly what StreamBench's clusters topology measured
+    // until its labels consultation surfaced clusters_found=0).
+    val compact = Seq.tabulate(6)(i =>
+      NdDoc(i.toLong, s"""{"mid":"m1","page_id":"home","ts":$i}"""))
+    MinHash.bandRows(compact.toDF()).count() shouldBe 0L
+    StreamingNearDup(compact.toDF()).count() shouldBe 0L
+
+    // the bench-side cure: punctuation-split into word tokens — the
+    // same templated lines now shingle, band, and collide
+    val split = compact.map(d =>
+      d.copy(text = d.text.replaceAll("[\\p{Punct}]+", " ")))
+    MinHash.bandRows(split.toDF()).count() should be > 0L
+    val cands = StreamingNearDup(split.toDF())
+      .collect().map(c => (c.keeperId, c.dupId)).toSet
+    cands should not be empty
+    // keep-first within a batch sorts by doc_id, so each bucket's
+    // keeper is its lowest occupant: every candidate has keeper < dup
+    all(cands.map(c => c._1 < c._2)) shouldBe true
+  }
 }
