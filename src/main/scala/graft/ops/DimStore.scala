@@ -153,6 +153,13 @@ object DimStore {
     externalRouted.remove(prefix); ()
   }
 
+  /** Routing-table prefix match on a PATH boundary: `/a/b` captures
+    * `/a/b` and `/a/b/...`, never the sibling `/a/bc` — a raw
+    * startsWith would silently send a sibling table's commits through
+    * another table's routed store. */
+  private def routeMatches(pre: String, path: String): Boolean =
+    pre == path || path.startsWith(pre + "/")
+
   /** The [[LogStore]] for a table path: posix (hard-link claim) for
     * local paths, Hadoop (no-overwrite-rename claim) for any remote
     * scheme, external (coordinator claim) where routed. Per-path, so
@@ -160,11 +167,12 @@ object DimStore {
   private def store(path: String): LogStore = {
     import scala.jdk.CollectionConverters._
     externalRouted.asScala.collectFirst {
-      case (pre, st) if path.startsWith(pre) => st
+      case (pre, st) if routeMatches(pre, path) => st
     }.getOrElse {
       val scheme = new Path(path).toUri.getScheme
       val posix = scheme == null || scheme == "file"
-      if (posix && !hadoopRouted.asScala.exists(path.startsWith)) PosixLogStore
+      if (posix && !hadoopRouted.asScala.exists(routeMatches(_, path)))
+        PosixLogStore
       else HadoopLogStore
     }
   }

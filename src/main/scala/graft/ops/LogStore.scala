@@ -507,12 +507,38 @@ private[graft] object ExternalLogStore {
   /** Age past which an unreferenced `.commit-tmp-` object is debris a
     * listing may sweep — generous against clock skew and slow PUTs. */
   private[graft] val TmpTtlMs: Long = 15L * 60 * 1000
+  /** Age past which a COMPLETED coordinator entry expires (the
+    * documented DynamoDB-TTL analogue): once the target object is
+    * durably materialized, the entry's only job is done, and without
+    * expiry coordinator state grows with log LIFETIME instead of
+    * in-flight commits. Safety rests on two facts: (a) recovery only
+    * ever acts on `pending:` entries, so an expired completed entry
+    * can never resurrect anything (vacuumed versions included), and
+    * (b) [[ExternalLogStore.createIfAbsent]] probes the base store
+    * for the target before claiming, so create-if-absent semantics
+    * survive the entry's absence. Generous against clock skew; a
+    * real DynamoDB deployment sets this as the item TTL. */
+  private[graft] val CompleteTtlMs: Long = 15L * 60 * 1000
 }
 
 private[graft] final class ExternalLogStore(
-    base: LogStore, coord: CommitCoordinator) extends LogStore {
+    base: LogStore, coord: CommitCoordinator,
+    completeTtlMs: Long = ExternalLogStore.CompleteTtlMs) extends LogStore {
   private val Complete = "complete"
   private val TmpPrefix = ".commit-tmp-"
+
+  private def isPending(v: String): Boolean = v.startsWith("pending:")
+  /** Completion stamps carry their wall time so listings can expire
+    * them; the legacy bare `complete` (no timestamp) parses as
+    * inexpirable — never swept, only ever a pre-TTL artifact. */
+  private def completeStamp(): String =
+    s"$Complete:${System.currentTimeMillis()}"
+  private def completedAtOf(v: String): Option[Long] =
+    if (isPending(v)) None
+    else v.split(':') match {
+      case Array(_, ts) => ts.toLongOption
+      case _ => None
+    }
 
   private def parentOf(p: String): String = {
     val i = p.lastIndexOf('/')
@@ -530,7 +556,7 @@ private[graft] final class ExternalLogStore(
     * still-pending claim with BOTH objects absent is a real loss. */
   private def recoverEntry(p: String): Unit = {
     val v0 = coord.get(p)
-    if (v0.exists(_ != Complete)) {
+    if (v0.exists(isPending)) {
       val tmp = v0.get.stripPrefix("pending:")
       var concurrentlyRemoved = false
       if (!base.exists(p)) {
@@ -541,7 +567,7 @@ private[graft] final class ExternalLogStore(
           case Some(b) => base.writeAtomic(p, b)
           case None =>
             val now = coord.get(p)
-            if (now.exists(_ != Complete) && !base.exists(p))
+            if (now.exists(isPending) && !base.exists(p))
               throw new java.io.IOException(
                 s"commit $p claimed but neither target nor temp $tmp exists")
             // a concurrent delete() may have removed the entry outright;
@@ -549,7 +575,7 @@ private[graft] final class ExternalLogStore(
             concurrentlyRemoved = now.isEmpty
         }
       }
-      if (!concurrentlyRemoved && !coord.updateIfPresent(p, Complete)) {
+      if (!concurrentlyRemoved && !coord.updateIfPresent(p, completeStamp())) {
         // the entry vanished between our pending read and the
         // completion mark — a concurrent delete() of this version.
         // delete() removes the target BEFORE the entry, so any target
@@ -571,13 +597,40 @@ private[graft] final class ExternalLogStore(
     else { base.delete(tmp); false }
   }
 
+  /** Winner-path completion: unlike [[recoverEntry]] (which only knows
+    * the temp path), the winner still holds the BODY in memory — so a
+    * temp that vanished between the claim and this step (a concurrent
+    * listing TTL-sweeping it during a long stall) is rematerialized
+    * directly instead of surfacing as a poisoned committed version
+    * every later reader throws on. The concurrent-delete guard mirrors
+    * recoverEntry's: if the entry vanished before the completion mark,
+    * a delete() of this version raced us — remove the target we just
+    * wrote rather than resurrect the deleted version. */
+  private def completeAsWinner(p: String, body: String): Unit = {
+    val tmp = coord.get(p) match {
+      case Some(v) if isPending(v) => Some(v.stripPrefix("pending:"))
+      case _ => None
+    }
+    if (!base.exists(p)) base.writeAtomic(p, body)
+    if (!coord.updateIfPresent(p, completeStamp())) {
+      if (base.exists(p)) base.delete(p)
+    }
+    tmp.filter(base.exists).foreach(base.delete)
+  }
+
   def createIfAbsent(p: String, body: String): Boolean =
-    if (claimOnly(p, body)) {
-      // we won: materialize the target and retire the temp. The
-      // write-through-temp detour (rather than PUTting the target
-      // directly after the claim) keeps one invariant: the coordinator
-      // never references a body that isn't durably stored somewhere.
-      recoverEntry(p)
+    // probe the base store FIRST: a completed entry may have TTL-expired
+    // from the coordinator while its target object lives on — claiming
+    // then would "win" and overwrite a committed version. (recoverEntry
+    // inside exists() also completes any pending claim in passing, so
+    // the probe sees claimed-but-unmaterialized commits too.)
+    if (exists(p)) false
+    else if (claimOnly(p, body)) {
+      // we won: materialize the target and retire the temp, from the
+      // in-memory body (the temp is only the durability bridge between
+      // the PUT and the claim — the coordinator never references a
+      // body that isn't durably stored somewhere).
+      completeAsWinner(p, body)
       true
     } else {
       // lost the race — make sure the winner's version is visible
@@ -603,9 +656,20 @@ private[graft] final class ExternalLogStore(
     val pend = coord.list(p + "/")
       .filter { case (k, _) => !nameOf(k).isEmpty && parentOf(k) == p }
     pend.foreach { case (k, _) => recoverEntry(k) }
+    // expire COMPLETED entries past the TTL (the DynamoDB-TTL
+    // analogue): their target is durably materialized, recovery never
+    // acts on non-pending entries, and createIfAbsent probes the base
+    // store before claiming — so expiry bounds coordinator state at
+    // O(in-flight commits) without any correctness surface. Only
+    // entries whose stamp carries a parseable time age out.
+    pend.foreach { case (k, v) =>
+      completedAtOf(v).foreach { ts =>
+        if (System.currentTimeMillis() - ts > completeTtlMs) coord.remove(k)
+      }
+    }
     val names = base.list(p)
     val referenced = pend.map(_._2).collect {
-      case v if v != Complete => nameOf(v.stripPrefix("pending:"))
+      case v if isPending(v) => nameOf(v.stripPrefix("pending:"))
     }.toSet
     names.filter(_.startsWith(TmpPrefix))
       .filterNot(referenced)

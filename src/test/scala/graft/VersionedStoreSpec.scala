@@ -480,7 +480,12 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     // lean on a primitive S3 doesn't have
     val coord = new graft.ops.FileCommitCoordinator(
       Files.createTempDirectory("vs_ext_coord").toString)
-    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord)
+    // completeTtlMs = -1: completed entries expire on the very next
+    // listing — the whole matrix below runs with TTL expiry ACTIVE at
+    // its most aggressive, so nothing in the protocol can depend on a
+    // completed entry outliving its commit
+    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord,
+      completeTtlMs = -1L)
     DimStore.routeLogViaExternal(root, ext)
     try {
       DimStore.upsert(s, path,
@@ -589,6 +594,43 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     listed should not contain ".commit-tmp-fresh" // temps never listed
     graft.ops.ObjectStoreSim.exists(s"$dir/.commit-tmp-old") shouldBe false
     graft.ops.ObjectStoreSim.exists(s"$dir/.commit-tmp-fresh") shouldBe true
+  }
+
+  test("coordinator completed-entry TTL: completed entries expire so " +
+       "coordinator state is bounded by in-flight commits; expiry " +
+       "neither breaks create-if-absent nor resurrects a vacuumed " +
+       "version") {
+    val dir = Files.createTempDirectory("ext_ttl").toString
+    val coord = new graft.ops.InMemoryCommitCoordinator
+    // -1: expire completed entries on the very next listing
+    val ext = new graft.ops.ExternalLogStore(graft.ops.ObjectStoreSim, coord,
+      completeTtlMs = -1L)
+    graft.ops.ObjectStoreSim.mkdirs(dir)
+    ext.createIfAbsent(s"$dir/a", "body-a") shouldBe true
+    coord.list(s"$dir/").size shouldBe 1
+    // the listing sweeps the completed entry; the committed object
+    // itself is untouched and keeps serving
+    ext.list(dir) should contain("a")
+    coord.list(s"$dir/") shouldBe empty
+    ext.readString(s"$dir/a") shouldBe "body-a"
+    // create-if-absent SEMANTICS survive the entry's absence: the
+    // base-store probe rejects a re-claim of a committed path (without
+    // it, a "winning" claim would overwrite the committed body)
+    ext.createIfAbsent(s"$dir/a", "usurper") shouldBe false
+    ext.readString(s"$dir/a") shouldBe "body-a"
+    // a PENDING entry is never expired: claim without materializing,
+    // list — the entry must survive the sweep and complete normally
+    ext.claimOnly(s"$dir/b", "body-b") shouldBe true
+    ext.list(dir) should contain("b")
+    ext.readString(s"$dir/b") shouldBe "body-b"
+    // vacuum semantics with expiry: delete a committed version whose
+    // entry already expired — nothing anywhere can resurrect it
+    ext.delete(s"$dir/a")
+    ext.list(dir) should not contain "a"
+    ext.exists(s"$dir/a") shouldBe false
+    coord.list(s"$dir/").count(_._1 == s"$dir/a") shouldBe 0
+    // and later listings still never bring it back
+    ext.list(dir) should not contain "a"
   }
 
   test("rebucket: fan-out evolution as a commit — reads agree before and " +
