@@ -68,6 +68,59 @@ object AnnIndex {
 
   private def codesPath(path: String) = s"$path/codes"
   private def modelPath(path: String) = s"$path/model"
+  private def ptrPath(path: String)   = s"$path/ptr"
+
+  /** The index's single PUBLICATION POINT: a one-row commit-log table
+    * naming the (model, codes) manifest versions a reader must serve —
+    * the cross-table analogue of the dim layer's per-table atomicity
+    * (reference: gmall-logger/src/main/java/app/func/
+    * TableProcessFunction.java:48-102, where DDL+upsert is atomic to
+    * its readers). The model and codes tables are separate commit
+    * logs; without the pointer a crash between [[build]]'s two commits
+    * served old codes under new codebooks — SILENTLY wrong rankings.
+    * With it, every mutation commits its table(s) first and flips the
+    * pointer LAST, so readers resolve either the old consistent pair
+    * or the new one, never a mix. Writer concurrency is the index's
+    * documented single-maintainer contract (one ingest pipeline per
+    * index — same as a streaming dim sink); READERS are what the
+    * pointer protects. */
+  private final case class Ptr(modelV: Long, codesV: Long,
+                               buildVer: Long, seq: Long)
+
+  private def readPtr(spark: SparkSession, path: String): Option[Ptr] =
+    DimStore.readIfExists(spark, ptrPath(path)).flatMap { df =>
+      df.filter(col("k") === "current")
+        .select(col("model_v"), col("codes_v"), col("build_ver"),
+          col("__ptr_seq"))
+        .collect().headOption
+        .map(r => Ptr(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+
+  private def resolvedPtr(spark: SparkSession, path: String): Ptr =
+    readPtr(spark, path).getOrElse(throw new IllegalStateException(
+      s"ANN index at $path has no published pointer — not a built index " +
+      "(a build that crashed before publication leaves nothing to serve)"))
+
+  /** Flip the pointer — ONE optimistic single-row commit. `__ptr_seq`
+    * orders flips for LWW (monotone under the single-maintainer
+    * contract). */
+  private def bumpPtr(spark: SparkSession, path: String,
+                      modelV: Long, codesV: Long, buildVer: Long): Unit = {
+    import spark.implicits._
+    val seq = readPtr(spark, path).map(_.seq).getOrElse(0L) + 1L
+    DimStore.upsert(spark, ptrPath(path),
+      Seq(("current", modelV, codesV, buildVer, seq))
+        .toDF("k", "model_v", "codes_v", "build_ver", "__ptr_seq"),
+      pk = "k", versionCol = "__ptr_seq", nBuckets = 1)
+  }
+
+  /** Thrown by the `crashAfter` test hooks — simulates the process
+    * dying between two commits of a multi-table mutation. */
+  private[graft] final class InjectedCrash(at: String)
+    extends RuntimeException(s"injected crash after '$at' commit")
+
+  private def maybeCrash(crashAfter: Option[String], at: String): Unit =
+    if (crashAfter.contains(at)) throw new InjectedCrash(at)
 
   /** Mean quantization error below which a zero-baseline model is
     * still "perfect fit" — double-precision noise, not drift. */
@@ -135,30 +188,72 @@ object AnnIndex {
   }
 
   /** Train + materialize one index version: coarse centroids are the
-    * corpus rows with the given ids (production swaps in a k-means
-    * output — the freeze/maintain contract is identical), PQ codebooks
+    * corpus rows with the given ids (an oracle-tractable override —
+    * production trains them, see the `nLists` overload), PQ codebooks
     * train on the residuals via [[ProductQuantizer.train]]'s
     * exact-decimal Lloyd. On a fresh path this commits both tables at
     * version 1; on an EXISTING index (the drift-triggered rebuild
     * [[append]] recommends) both tables are fully REPLACED at a
-    * version above every committed batch. Writes the model table
-    * first, then the full codes table — the two tables are separate
-    * commit logs, so a crash between the two commits leaves a
-    * new-model/old-codes mix (or, on a fresh path, a model with no
-    * codes table); the repair for either is re-running [[build]],
-    * which replaces both tables whole. [[fsck]] detects the mixed
-    * state cheaply. */
+    * version above every committed batch. Publication is ATOMIC:
+    * model and codes commit first (unreferenced), then ONE pointer
+    * commit names both versions — a crash anywhere before the flip
+    * leaves readers on the previous index byte-identically (or, on a
+    * fresh path, on "no index"), never on a new-model/old-codes mix.
+    * [[fsck]] audits the published pair and finds nothing on any
+    * crash path; debris versions above the pointer are replaced by
+    * the next successful build (which commits strictly above them)
+    * and pruned by [[maintain]]'s vacuum. */
   def build(spark: SparkSession, path: String, corpus: DataFrame,
             idCol: String, vCol: String, centroidIds: Seq[Long],
             dim: Int, m: Int, k: Int, rounds: Int,
             nBuckets: Int = 16): Model = {
-    import spark.implicits._
-    val buildVer = nextBuildVer(spark, path)
     val cents = corpus.filter(col(idCol).isin(centroidIds: _*))
       .orderBy(col(idCol)).select(col(idCol), col(vCol))
       .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
     require(cents.size == centroidIds.size,
       s"coarse centroid ids ${centroidIds.diff(cents.map(_._1))} missing from corpus")
+    buildImpl(spark, path, corpus, idCol, vCol, cents, dim, m, k, rounds,
+      nBuckets, crashAfter = None)
+  }
+
+  /** As [[build]], but the coarse quantizer is TRAINED — `nLists`
+    * centroids by [[KMeans.train]]'s deterministic Lloyd, whose
+    * assignment step is the same cosine-ranking expression this index
+    * assigns and probes with — instead of caller-picked corpus rows.
+    * This is the production default; the `centroidIds` overload stays
+    * as the oracle-tractable override (a DuckDB oracle can name rows,
+    * not replay k-means). */
+  def buildTrained(spark: SparkSession, path: String, corpus: DataFrame,
+                   idCol: String, vCol: String, nLists: Int,
+                   dim: Int, m: Int, k: Int, rounds: Int,
+                   kmRounds: Int = 2, nBuckets: Int = 16): Model = {
+    val cents = KMeans.train(corpus.select(col(idCol), col(vCol)),
+      idCol, vCol, nLists, kmRounds)
+    buildImpl(spark, path, corpus, idCol, vCol, cents, dim, m, k, rounds,
+      nBuckets, crashAfter = None)
+  }
+
+  /** Crash-injection twin of [[build]] (same commits, dies after the
+    * named one: "model" | "codes") — pins the atomic-publication
+    * contract in AnnIndexSpec. */
+  private[graft] def buildCrashing(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vCol: String,
+      centroidIds: Seq[Long], dim: Int, m: Int, k: Int, rounds: Int,
+      crashAfter: String, nBuckets: Int = 16): Unit = {
+    val cents = corpus.filter(col(idCol).isin(centroidIds: _*))
+      .orderBy(col(idCol)).select(col(idCol), col(vCol))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+    buildImpl(spark, path, corpus, idCol, vCol, cents, dim, m, k, rounds,
+      nBuckets, crashAfter = Some(crashAfter))
+    ()
+  }
+
+  private[graft] def buildImpl(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vCol: String,
+      cents: Seq[(Long, Seq[Double])], dim: Int, m: Int, k: Int,
+      rounds: Int, nBuckets: Int, crashAfter: Option[String]): Model = {
+    import spark.implicits._
+    val buildVer = nextBuildVer(spark, path)
     val assigned = corpus
       .withColumn("__cs", ranked(cents, col(vCol)))
       .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
@@ -180,53 +275,65 @@ object AnnIndex {
           pq.codebooks(mi)(ki).toSeq)) ++
       Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)),
         ("err", "stats", 0L, 0L, Seq(baseline)),
-        // the build's LWW version, persisted so [[fsck]] can detect a
-        // rebuild that crashed between the two table commits
+        // the build's LWW version, persisted so [[fsck]] can
+        // cross-check the pointer against the model it pins
         ("bver", "bver", buildVer, 0L, Seq.empty[Double]))
     commitFull(spark, modelPath(path),
       modelRows.toDF("key", "kind", "i1", "i2", "vals"),
       pk = "key", ver = buildVer, nBuckets = 4)
+    maybeCrash(crashAfter, "model")
     commitFull(spark, codesPath(path),
       encodeWith(corpus, idCol, vCol, model),
       pk = "vec_id", ver = buildVer, nBuckets = nBuckets)
+    maybeCrash(crashAfter, "codes")
+    // the publication point: readers see the old index until here
+    bumpPtr(spark, path,
+      modelV = DimStore.currentVersion(modelPath(path)).get,
+      codesV = DimStore.currentVersion(codesPath(path)).get,
+      buildVer = buildVer)
     model
   }
 
-  /** What a consistency check of the two tables found. `staleCodes`
-    * counts code rows whose version predates the model's build —
-    * rows encoded under a PREVIOUS model that a crashed rebuild never
-    * replaced (scored under the wrong codebooks until repaired).
-    * `codesTableMissing` is the OTHER crash window: a fresh-path
-    * [[build]] that died between the model commit and the first codes
-    * commit leaves a model with no codes table at all (an intact
-    * empty index has a committed zero-row table, so absence is always
-    * a crash, never "empty corpus"). */
+  /** What the consistency AUDIT of the published index found. Since
+    * publication is atomic (one pointer commit naming both tables'
+    * versions), every crash path leaves the audit clean — fsck exists
+    * to verify that invariant in production (external mutation, bugs),
+    * not to detect an expected crash state. `staleCodes` counts pinned
+    * code rows whose LWW version predates the pinned build;
+    * `modelMatchesPtr` cross-checks the pinned model's own recorded
+    * build version against the pointer; `pinnedReadable` is false when
+    * a pinned snapshot cannot be read at all (vacuumed past the
+    * pointer — an operational error, vacuum must go through
+    * [[maintain]]). */
   final case class Fsck(buildVer: Long, codeRows: Long, staleCodes: Long,
-                        codesTableMissing: Boolean) {
-    def consistent: Boolean = staleCodes == 0L && !codesTableMissing
+                        modelMatchesPtr: Boolean, pinnedReadable: Boolean) {
+    def consistent: Boolean =
+      staleCodes == 0L && modelMatchesPtr && pinnedReadable
   }
 
-  /** Detect the rebuild crash window: the model and codes tables are
-    * separate commit logs, so a crash between [[build]]'s two commits
-    * leaves codes encoded under the old model (or, on a fresh path,
-    * no codes table at all). One bounded agg over the codes table;
-    * repair for either state = re-run [[build]]. A path with no MODEL
-    * table is not an index (a fresh build that crashed before its
-    * first commit left nothing to serve) and throws, matching
-    * [[readModel]]. */
+  /** Audit the published (pointer-resolved) index: one bounded agg
+    * over the pinned codes snapshot plus a model cross-check. A path
+    * with no published pointer is not an index (a fresh build that
+    * crashed before publication left nothing to serve) and throws,
+    * matching [[readModel]]. */
   def fsck(spark: SparkSession, path: String): Fsck = {
-    val bver = DimStore.read(spark, modelPath(path))
-      .filter(col("kind") === "bver")
-      .select(col("i1")).collect().headOption.map(_.getLong(0))
-      .getOrElse(1L) // pre-bver index: every build committed at 1
-    DimStore.readIfExists(spark, codesPath(path)) match {
-      case Some(df) =>
-        val stats = df.agg(count(lit(1)),
-          sum(when(col("__batch_ver") < bver, 1L).otherwise(0L))).head()
-        Fsck(bver, stats.getLong(0),
-          if (stats.isNullAt(1)) 0L else stats.getLong(1),
-          codesTableMissing = false)
-      case None => Fsck(bver, 0L, 0L, codesTableMissing = true)
+    val ptr = resolvedPtr(spark, path)
+    try {
+      val bverRow = DimStore.read(spark, modelPath(path), ptr.modelV)
+        .filter(col("kind") === "bver")
+        .select(col("i1")).collect().headOption.map(_.getLong(0))
+      val stats = DimStore.read(spark, codesPath(path), ptr.codesV)
+        .agg(count(lit(1)),
+          sum(when(col("__batch_ver") < ptr.buildVer, 1L).otherwise(0L)))
+        .head()
+      Fsck(ptr.buildVer, stats.getLong(0),
+        if (stats.isNullAt(1)) 0L else stats.getLong(1),
+        modelMatchesPtr = bverRow.contains(ptr.buildVer),
+        pinnedReadable = true)
+    } catch {
+      case _: IllegalArgumentException | _: IllegalStateException =>
+        Fsck(ptr.buildVer, 0L, 0L, modelMatchesPtr = false,
+          pinnedReadable = false)
     }
   }
 
@@ -259,7 +366,25 @@ object AnnIndex {
     * tie-break instead of an ordering. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
              idCol: String, vCol: String, ver: Long,
-             driftFactor: Double = 2.0): IngestDrift = {
+             driftFactor: Double = 2.0): IngestDrift =
+    appendImpl(spark, path, batch, idCol, vCol, ver, driftFactor,
+      crashAfter = None)
+
+  /** Crash-injection twin of [[append]] (dies after the codes commit,
+    * before the pointer flip): the appended batch is committed but
+    * INVISIBLE until redelivery — the at-least-once contract, pinned
+    * in AnnIndexSpec. */
+  private[graft] def appendCrashing(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vCol: String, ver: Long): Unit = {
+    appendImpl(spark, path, batch, idCol, vCol, ver, 2.0,
+      crashAfter = Some("codes"))
+    ()
+  }
+
+  private def appendImpl(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vCol: String, ver: Long,
+      driftFactor: Double, crashAfter: Option[String]): IngestDrift = {
+    val ptr = resolvedPtr(spark, path)
     val model = readModel(spark, path)
     require(ver != model.buildVer,
       s"append version $ver ties the serving build's version — " +
@@ -284,6 +409,19 @@ object AnnIndex {
             model.pq.codeCols.map(col): _*)
           .withColumn("__batch_ver", lit(ver)),
         pk = "vec_id", versionCol = "__batch_ver")
+      maybeCrash(crashAfter, "codes")
+      // publish the batch: same model, new codes snapshot. A crash
+      // between the upsert and this flip leaves the batch committed
+      // but unreferenced — invisible to readers until the
+      // at-least-once redelivery re-merges it (idempotent LWW) and
+      // flips; the NEXT flip of any kind also carries it (the pointer
+      // always advances to the latest committed codes version, every
+      // version of which was encoded under the same frozen model).
+      if (stats.getLong(1) > 0L)
+        bumpPtr(spark, path,
+          modelV = ptr.modelV,
+          codesV = DimStore.currentVersion(codesPath(path)).get,
+          buildVer = ptr.buildVer)
       // a baseline of exactly 0.0 (codebooks reproduce every build-time
       // residual — k >= distinct residuals, common on small or tightly
       // clustered corpora) would make ANY nonzero batch error an
@@ -299,10 +437,12 @@ object AnnIndex {
     } finally { withRv.unpersist(); () }
   }
 
-  /** The frozen model, reconstructed bit-exactly from the model
-    * table (one bounded collect: |centroids| + m·k rows). */
+  /** The frozen model, reconstructed bit-exactly from the PUBLISHED
+    * (pointer-pinned) model snapshot — one bounded collect:
+    * |centroids| + m·k rows. */
   def readModel(spark: SparkSession, path: String): Model = {
-    val rows = DimStore.read(spark, modelPath(path))
+    val ptr = resolvedPtr(spark, path)
+    val rows = DimStore.read(spark, modelPath(path), ptr.modelV)
       .select("key", "kind", "i1", "i2", "vals").collect()
     val shape = rows.find(_.getString(1) == "shape")
       .getOrElse(throw new IllegalStateException(
@@ -319,14 +459,15 @@ object AnnIndex {
     val cbs = Array.tabulate(m)(mi => Array.tabulate(k)(ki => byMk((mi, ki))))
     val baseline = rows.find(_.getString(1) == "stats")
       .map(_.getSeq[Double](4).head).getOrElse(Double.NaN)
-    val bver = rows.find(_.getString(1) == "bver")
-      .map(_.getLong(2)).getOrElse(1L) // pre-bver index: built at 1
-    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs), baseline, bver)
+    Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs), baseline,
+      ptr.buildVer)
   }
 
-  /** The staged codes snapshot: (vec_id, list_id, pq_code0..m-1). */
+  /** The PUBLISHED codes snapshot (pointer-pinned):
+    * (vec_id, list_id, pq_code0..m-1). */
   def codes(spark: SparkSession, path: String): DataFrame = {
-    val df = DimStore.read(spark, codesPath(path))
+    val ptr = resolvedPtr(spark, path)
+    val df = DimStore.read(spark, codesPath(path), ptr.codesV)
     df.select(df.columns.filterNot(_ == "__batch_ver").toIndexedSeq.map(col): _*)
   }
 
@@ -349,46 +490,124 @@ object AnnIndex {
                vacuumKeepLast: Int = 0,
                vacuumGraceMillis: Long = 24L * 3600 * 1000)
       : DimStore.Maintenance = {
+    val ptr = resolvedPtr(spark, path)
     val m = DimStore.maintain(spark, codesPath(path), "vec_id",
       targetBucketBytes = targetBucketBytes,
       targetFileBytes = targetFileBytes,
       maxFilesPerBucket = maxFilesPerBucket,
       maxBuckets = maxBuckets, apply = apply)
+    // rebucket/compact committed content-identical NEW versions of the
+    // codes table: advance the pointer to them BEFORE any vacuum, so
+    // the pinned snapshot is always inside the retention window. Also
+    // re-pins a committed-but-unpublished append left by a crash (safe:
+    // every codes version was encoded under the same frozen model).
+    val latestCodes = DimStore.currentVersion(codesPath(path)).get
+    if (latestCodes != ptr.codesV)
+      bumpPtr(spark, path, ptr.modelV, latestCodes, ptr.buildVer)
     if (vacuumKeepLast > 0) {
-      DimStore.vacuum(spark, codesPath(path), vacuumKeepLast, vacuumGraceMillis)
-      DimStore.vacuum(spark, modelPath(path), vacuumKeepLast, vacuumGraceMillis)
+      // never vacuum the PINNED version out from under the pointer: a
+      // crashed rebuild can leave debris versions ABOVE the pinned one
+      // (latest ≠ published), so "keep last N" is widened to reach the
+      // pinned version — the debris is then pruned by the vacuum that
+      // follows the next successful build.
+      val cur = readPtr(spark, path).getOrElse(ptr)
+      def keepReaching(p: String, pinned: Long): Int =
+        math.max(vacuumKeepLast, DimStore.history(p).count(_ >= pinned))
+      DimStore.vacuum(spark, codesPath(path),
+        keepReaching(codesPath(path), cur.codesV), vacuumGraceMillis)
+      DimStore.vacuum(spark, modelPath(path),
+        keepReaching(modelPath(path), cur.modelV), vacuumGraceMillis)
+      DimStore.vacuum(spark, ptrPath(path), vacuumKeepLast, vacuumGraceMillis)
     }
     m
   }
 
-  /** Probe frame for a bounded query set: each query's top-`nProbes`
-    * lists (ranked through the SAME expression path as assignment, so
+  /** What one orchestrated ingest did: the batch's drift report, plus
+    * the model a drift-triggered rebuild published (None when fit was
+    * fine or the policy is report-only). */
+  final case class Ingest(drift: IngestDrift, rebuilt: Option[Model])
+
+  /** When and how an [[Ingestor]] rebuilds — the DimRouter
+    * [[graft.streaming.DimRouter.MaintenancePolicy]] shape for the
+    * index: `applyRebuild = true` runs the rebuild inline in the
+    * triggering ingest (the synchronous maintenance window a
+    * dim-scale index can afford); `false` only reports, for an
+    * external maintenance window to act on — what a 100 TB corpus
+    * wants, since its re-train + full re-encode must not sit inside
+    * a micro-batch. */
+  final case class RebuildPolicy(driftFactor: Double = 2.0,
+                                 nLists: Int, dim: Int, m: Int, k: Int,
+                                 rounds: Int, kmRounds: Int = 2,
+                                 nBuckets: Int = 16,
+                                 applyRebuild: Boolean = true)
+
+  /** Orchestrated continuous ingest — the closure of [[append]]'s
+    * drift recommendation into an actual maintenance action, so no
+    * manual step sits between "the codebooks no longer cover the
+    * data" and "the index is rebuilt":
+    *
+    *  1. each batch appends at the next counter version (floored
+    *     above everything committed, so a restarted ingestor resumes
+    *     ordering correctly);
+    *  2. when the drift report recommends a rebuild and the policy
+    *     applies it, [[buildTrained]] runs over the caller's corpus
+    *     supplier — the index stores CODES, not raw vectors, so the
+    *     corpus authority is the caller's embedding table, which must
+    *     include every ingested batch;
+    *  3. the counter RE-FLOORS from the returned model's `buildVer`,
+    *     so the next batch orders strictly above the rebuild while a
+    *     REPLAYED pre-rebuild batch (redelivered at its old version)
+    *     stays absorbed by LWW — at-least-once in, exactly-once
+    *     effects out, the K2 contract.
+    *
+    * Single-maintainer per index, like [[build]]/[[append]]. */
+  final class Ingestor(spark: SparkSession, path: String,
+                       idCol: String, vCol: String,
+                       policy: RebuildPolicy,
+                       corpus: () => DataFrame) {
+    private val nextVer =
+      new java.util.concurrent.atomic.AtomicLong(nextBuildVer(spark, path))
+
+    /** Test/monitoring hook: the version the next batch will commit
+      * at. */
+    private[graft] def peekVer: Long = nextVer.get()
+
+    def ingest(batch: DataFrame): Ingest = {
+      val drift = append(spark, path, batch, idCol, vCol,
+        ver = nextVer.getAndIncrement(), driftFactor = policy.driftFactor)
+      if (drift.rebuildRecommended && policy.applyRebuild) {
+        val model = buildTrained(spark, path, corpus(), idCol, vCol,
+          policy.nLists, policy.dim, policy.m, policy.k, policy.rounds,
+          policy.kmRounds, policy.nBuckets)
+        nextVer.set(model.buildVer + 1L)
+        Ingest(drift, Some(model))
+      } else Ingest(drift, None)
+    }
+  }
+
+  /** Probe frame for a query batch: each query's top-`nProbes` lists
+    * (ranked through the SAME expression path as assignment, so
     * ordering is ulp-identical), residualized against each probed
     * centroid, carrying the residual's m×k ADC LUT — ready to
     * broadcast against [[codes]] for a single-scan batch ADC. The
-    * collect is |queries|·nProbes rows; callers own keeping the query
-    * batch driver-bounded (the same contract as every LUT-shipping
-    * ANN query in the engine). */
+    * whole frame is a NARROW MAP over the query frame — rank,
+    * residual, and LUT ([[ProductQuantizer.adcLut]], bit-identical to
+    * the driver-loop form) all compute executor-side, so nothing
+    * query-sized ever collects to the driver and the probe path
+    * scales to arbitrarily large query batches; only the JOIN against
+    * the codes table broadcasts the (|queries|·nProbes)-row result,
+    * which is the broadcast-small-side contract the caller sizes. */
   def queryProbes(queries: DataFrame, idCol: String, vCol: String,
-                  model: Model, nProbes: Int): DataFrame = {
-    val s = queries.sparkSession
-    import s.implicits._
-    val centMap = model.centroids.toMap
-    val rows = queries
+                  model: Model, nProbes: Int): DataFrame =
+    queries
       .withColumn("__cs", ranked(model.centroids, col(vCol)))
-      .select(col(idCol), col(vCol),
+      .select(col(idCol).as("query_id"), col(vCol).as("__qv"),
         explode(slice(col("__cs"), 1, nProbes)).as("__ps"))
-      .select(col(idCol), col(vCol), (-col("__ps.nid")).as("list_id"))
-      .collect()
-      .map { r =>
-        val qv = r.getSeq[Double](1).toArray
-        val li = r.getLong(2)
-        val cv = centMap(li)
-        val rq = Array.tabulate(qv.length)(i => qv(i) - cv(i))
-        (r.getLong(0), li, ProductQuantizer.adcLutRows(rq, model.pq))
-      }
-    rows.toSeq.toDF("query_id", "list_id", "__lut")
-  }
+      .select(col("query_id"), col("__qv"), (-col("__ps.nid")).as("list_id"))
+      .withColumn("__rq",
+        residual(model.centroids, col("list_id"), col("__qv")))
+      .select(col("query_id"), col("list_id"),
+        ProductQuantizer.adcLut(col("__rq"), model.pq).as("__lut"))
 
   /** Batch ADC top-k against the staged codes: ONE scan of the codes
     * table joined with the broadcast probe frame, ranked per query by

@@ -155,6 +155,20 @@ object ProductQuantizer {
       }
     }
 
+  /** The m×k ADC lookup table as a COLUMN — [[adcLutRows]] computed
+    * EXECUTOR-side per row (`array<array<double>>`), through the same
+    * [[dist2]] left-fold the driver loop runs, so the two forms are
+    * bit-identical (spec-pinned). This is the distributed LUT build
+    * for large query batches: the per-query LUT is a pure narrow map
+    * over the query frame, so nothing query-sized ever lands on the
+    * driver — the driver-side map over collected rows it replaces was
+    * the probe path's scale ceiling. */
+  def adcLut(v: Column, model: PqModel): Column =
+    array((0 until model.m).map { mi =>
+      array(model.codebooks(mi).toIndexedSeq.map(c =>
+        dist2(v, mi, model.subDim, c)): _*)
+    }: _*)
+
   /** ADC L2² column for one raw query vector over the code columns —
     * the per-query lookup table is computed on the driver and shipped
     * as literals. Right for ONE query; for a batch of queries use

@@ -232,41 +232,128 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
       model.pq.codebooks.flatten.flatten.toSeq
   }
 
-  test("fsck detects the rebuild crash window: a new model committed " +
-       "without its codes rewrite reports every code row stale") {
+  test("buildTrained: the trained coarse quantizer serves the full " +
+       "index contract — frozen round-trip, append == full re-encode, " +
+       "k answers per query") {
     val s = spark
     import s.implicits._
-    val path = Files.createTempDirectory("ann_fsck").toString + "/idx"
-    AnnIndex.build(s, path, e.filter($"vec_id" < 300), "vec_id", "v",
-      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
-    val clean = AnnIndex.fsck(s, path)
-    clean.consistent shouldBe true
-    clean.codeRows shouldBe 300L
-    // simulate build() crashing between its two commits: the model
-    // table carries a NEWER build version than any code row
-    graft.ops.DimStore.rewrite(s, path + "/model", "key") { df =>
-      df.withColumn("i1",
-        when(col("kind") === "bver", col("i1") + 1L).otherwise(col("i1")))
-    }
-    val torn = AnnIndex.fsck(s, path)
-    torn.consistent shouldBe false
-    torn.staleCodes shouldBe torn.codeRows
+    val path = Files.createTempDirectory("ann_trained").toString + "/idx"
+    val base = e.filter($"vec_id" < 300)
+    val model = AnnIndex.buildTrained(s, path, base, "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 2)
+    model.centroids.map(_._1) shouldBe Seq(0L, 1L, 2L, 3L)
+    // the trained model freezes and round-trips bit-exactly, same as
+    // the fixture-id override
+    val m2 = AnnIndex.readModel(s, path)
+    m2.centroids shouldBe model.centroids
+    m2.pq.codebooks.flatten.flatten.toSeq shouldBe
+      model.pq.codebooks.flatten.flatten.toSeq
+    // incremental maintenance under the trained quantizer loses nothing
+    AnnIndex.append(s, path, e.filter($"vec_id" >= 300), "vec_id", "v",
+      ver = 2L)
+    codeRows(AnnIndex.codes(s, path)) shouldBe
+      codeRows(AnnIndex.encodeWith(e, "vec_id", "v", model))
+    // and the staged scoring tail answers k rows per query from it
+    val probes = AnnIndex.queryProbes(e.filter($"vec_id" <= 2),
+      "vec_id", "v", m2, nProbes = 2)
+    val top = AnnIndex.adcTopK(s, path, probes, m2, 10)
+      .groupBy($"query_id").count().collect()
+    top.map(_.getLong(1)).toSeq shouldBe Seq.fill(3)(10L)
+    AnnIndex.fsck(s, path).consistent shouldBe true
   }
 
-  test("fsck flags the fresh-path crash window: a model committed " +
-       "without any codes table is inconsistent, not healthy-empty") {
+  test("publication is atomic: a rebuild crash between ANY two commits " +
+       "leaves readers on the old index byte-identically, fsck clean; " +
+       "the next successful build publishes whole") {
     val s = spark
     import s.implicits._
-    val path = Files.createTempDirectory("ann_fsck_fresh").toString + "/idx"
-    AnnIndex.build(s, path, e.filter($"vec_id" < 300), "vec_id", "v",
+    val path = Files.createTempDirectory("ann_atomic").toString + "/idx"
+    val corpus1 = e.filter($"vec_id" < 300)
+    val model1 = AnnIndex.build(s, path, corpus1, "vec_id", "v",
       centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    val queries = e.filter($"vec_id" <= 2)
+    def topK(): Seq[String] = {
+      val m = AnnIndex.readModel(s, path)
+      val probes = AnnIndex.queryProbes(queries, "vec_id", "v", m, 2)
+      AnnIndex.adcTopK(s, path, probes, m, 10)
+        .orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    }
+    val codes1 = codeRows(AnnIndex.codes(s, path))
+    val top1 = topK()
+    top1 should not be empty
+
+    // a drift-triggered rebuild (new corpus, new centroids) that dies
+    // after EACH of its table commits, before the pointer flip
+    val corpus2 = e.filter($"vec_id" >= 100 && $"vec_id" < 500)
+    val cents2 = Seq(110L, 120L, 130L, 140L)
+    for (crashAt <- Seq("model", "codes")) {
+      an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+        AnnIndex.buildCrashing(s, path, corpus2, "vec_id", "v",
+          cents2, dim = 64, m = 4, k = 4, rounds = 1, crashAfter = crashAt)
+      // readers resolve the OLD pointer: model, codes, and query
+      // answers are byte-identical to the pre-crash index — never a
+      // new-model/old-codes mix
+      val m = AnnIndex.readModel(s, path)
+      m.centroids shouldBe model1.centroids
+      m.pq.codebooks.flatten.flatten.toSeq shouldBe
+        model1.pq.codebooks.flatten.flatten.toSeq
+      codeRows(AnnIndex.codes(s, path)) shouldBe codes1
+      topK() shouldBe top1
+      // the audit finds NOTHING on the crash path — atomicity made the
+      // window invisible, fsck is a consistency audit, not a detector
+      AnnIndex.fsck(s, path).consistent shouldBe true
+    }
+
+    // the retried rebuild publishes whole (strictly above the debris)
+    val model2 = AnnIndex.build(s, path, corpus2, "vec_id", "v",
+      centroidIds = cents2, dim = 64, m = 4, k = 4, rounds = 1)
+    AnnIndex.readModel(s, path).centroids.map(_._1) shouldBe cents2
+    codeRows(AnnIndex.codes(s, path)) shouldBe
+      codeRows(AnnIndex.encodeWith(corpus2, "vec_id", "v", model2))
     AnnIndex.fsck(s, path).consistent shouldBe true
-    // simulate build() dying between the model commit and the first
-    // codes commit on a fresh path: the codes table never existed
-    graft.ops.PosixLogStore.deleteTree(path + "/codes")
-    val crashed = AnnIndex.fsck(s, path)
-    crashed.codesTableMissing shouldBe true
-    crashed.consistent shouldBe false
+  }
+
+  test("fresh-path crash publishes NOTHING: readers see 'no index', " +
+       "never a partial one; the retry builds cleanly") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_atomic_fresh").toString + "/idx"
+    val corpus = e.filter($"vec_id" < 300)
+    for (crashAt <- Seq("model", "codes")) {
+      an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+        AnnIndex.buildCrashing(s, path, corpus, "vec_id", "v",
+          Cents, dim = 64, m = 4, k = 4, rounds = 1, crashAfter = crashAt)
+      an[IllegalStateException] should be thrownBy AnnIndex.readModel(s, path)
+      an[IllegalStateException] should be thrownBy AnnIndex.codes(s, path)
+    }
+    val model = AnnIndex.build(s, path, corpus, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    codeRows(AnnIndex.codes(s, path)) shouldBe
+      codeRows(AnnIndex.encodeWith(corpus, "vec_id", "v", model))
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
+  test("an append crash before the pointer flip leaves the batch " +
+       "committed but invisible; at-least-once redelivery lands it") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_atomic_app").toString + "/idx"
+    val base = e.filter($"vec_id" < 300)
+    val b1 = e.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    val model = AnnIndex.build(s, path, base, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    val before = codeRows(AnnIndex.codes(s, path))
+    an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+      AnnIndex.appendCrashing(s, path, b1, "vec_id", "v", ver = 2L)
+    // committed to the codes log, but unpublished: readers see the
+    // pre-append snapshot, and the audit is clean
+    codeRows(AnnIndex.codes(s, path)) shouldBe before
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    // the redelivered batch re-merges idempotently and publishes
+    AnnIndex.append(s, path, b1, "vec_id", "v", ver = 2L)
+    codeRows(AnnIndex.codes(s, path)) shouldBe
+      codeRows(AnnIndex.encodeWith(base.unionByName(b1), "vec_id", "v", model))
+    AnnIndex.fsck(s, path).consistent shouldBe true
   }
 
   test("a zero-error baseline never recommends a rebuild for " +

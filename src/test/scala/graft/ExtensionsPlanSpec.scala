@@ -194,7 +194,7 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("x72/x75/x78: batch-query ADC is ONE scan of the code side joined " +
        "against a broadcast query-LUT frame — scan count O(1) in |queries|") {
-    for (q <- Seq(Extensions.x72, Extensions.x75, Extensions.x78)) {
+    for (q <- Seq(Extensions.x72, Extensions.x75)) {
       val p = plan(q)
       withClue(s"${q.name} plan:\n$p\n") {
         // the per-query unionByName unrolling re-scanned the codes per
@@ -203,6 +203,17 @@ class ExtensionsPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
         "FileScan parquet".r.findAllIn(p).size shouldBe 1
         p should not include "Union"
       }
+    }
+    // the staged route (x78) builds its probe LUTs EXECUTOR-side
+    // (AnnIndex.queryProbes is a narrow map, no driver collect), so
+    // its plan reads exactly TWO parquet sides — the staged codes and
+    // the query batch — still O(1) in |queries|, and the query side
+    // arrives at the join as a broadcast
+    val p78 = plan(Extensions.x78)
+    withClue(s"x78 plan:\n$p78\n") {
+      "FileScan parquet".r.findAllIn(p78).size shouldBe 2
+      p78 should not include "Union"
+      p78 should include("BroadcastHashJoin")
     }
   }
 

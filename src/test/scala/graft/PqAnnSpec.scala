@@ -132,6 +132,25 @@ class PqAnnSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("adcLut (executor-side LUT column) is bit-identical to " +
+       "adcLutRows (the driver loop) — the distributed probe build " +
+       "scores exactly like the literal-shipping form") {
+    val s = spark
+    import s.implicits._
+    val model = ProductQuantizer.train(e, "vec_id", "v", 64, m = 8, k = 16,
+      rounds = 1)
+    val rows = e.filter($"vec_id" < 5)
+      .select($"vec_id", $"v", ProductQuantizer.adcLut($"v", model).as("lut"))
+      .collect()
+    rows should have length 5
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val expect = ProductQuantizer.adcLutRows(v, model)
+      r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq) shouldBe
+        expect.map(_.toSeq)
+    }
+  }
+
   test("Lloyd-round stats build from ONE corpus scan — no per-subspace " +
        "union branches") {
     val m0 = ProductQuantizer.train(e, "vec_id", "v", 64, m = 8, k = 16, rounds = 0)
@@ -175,6 +194,47 @@ class PqAnnSpec extends AnyFunSuite with Matchers with SparkFixture {
     // fixture where ADC ordering is noisy it must recover strictly
     // more of the true top-10 (bounded above by probe coverage)
     r79 should be > r75
+  }
+
+  test("IVFADC recall@10 from a TRAINED coarse quantizer (buildTrained) " +
+       "is not worse than the fixture-row quantizer at (m=8, k=16)") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.AnnIndex
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (0L to 4L).map { qi =>
+      qi -> vecs.toSeq.filter(_._1 != qi)
+        .sortBy { case (id, v) => (-cos(vecs(qi), v), id) }
+        .take(10).map(_._1).toSet
+    }.toMap
+    val queries = e.filter($"vec_id" <= 4)
+    def recallOf(path: String, model: AnnIndex.Model): Int = {
+      val probes = AnnIndex.queryProbes(queries, "vec_id", "v", model, 2)
+      val rows = AnnIndex.adcTopK(s, path, probes, model, 10)
+        .select("query_id", "vec_id").collect()
+      (0L to 4L).map { qi =>
+        (exact(qi) & rows.filter(_.getLong(0) == qi).map(_.getLong(1)).toSet).size
+      }.sum
+    }
+    val dirF = java.nio.file.Files.createTempDirectory("ann_fix").toString + "/idx"
+    val dirT = java.nio.file.Files.createTempDirectory("ann_tr").toString + "/idx"
+    val mF = AnnIndex.build(s, dirF, e, "vec_id", "v",
+      centroidIds = Seq(10L, 20L, 30L, 40L), dim = 64, m = 8, k = 16, rounds = 1)
+    val mT = AnnIndex.buildTrained(s, dirT, e, "vec_id", "v", nLists = 4,
+      dim = 64, m = 8, k = 16, rounds = 1, kmRounds = 2)
+    val rF = recallOf(dirF, mF)
+    val rT = recallOf(dirT, mT)
+    info(s"recall@10 over 5 queries: fixture-rows $rF/50, trained $rT/50")
+    // trained centroids cover the corpus by construction (Lloyd means
+    // under the SAME cosine assignment the index probes with); four
+    // arbitrary corpus rows are the adversarial baseline — training
+    // must never lose to it
+    rT should be >= rF
   }
 
   test("recall@10 at (m=8, k=16) clears the measured floor; ADC orders sanely") {
