@@ -229,22 +229,26 @@ object StreamBench {
         // dedup-clustering at ingest: every raw line becomes a "doc"
         // (id = content hash, so exact repeats collapse to one node),
         // shingled/banded by StreamingNearDup's cross-batch LSH state,
-        // and each batch's candidate edges journal into the versioned
-        // edge store (StreamingClusters: LWW by pair, labels-on-read).
-        // Page-log lines are heavily templated — near-identical JSON —
-        // so this is the adversarial collision load for the bucket
-        // state, not a friendly corpus.
-        // the timed window INCLUDES one labels-on-read consultation
-        // after ingest (star contraction over the journal) — the read
-        // path a consumer actually pays, and the leg that runs on
-        // full-range xxhash64 ids (the input that made an arithmetic
-        // convergence witness overflow; see ConnectedComponents)
+        // and each batch's candidate edges incrementally MAINTAIN the
+        // (id, rep) label table (StreamingClusters maintained mode —
+        // the x74 move: history star edges + batch edges, contracted
+        // per batch, changed-rows-only upsert). Page-log lines are
+        // heavily templated — near-identical JSON — so this is the
+        // adversarial collision load for the bucket state, not a
+        // friendly corpus.
+        // the timed window INCLUDES one consultation after ingest —
+        // with maintained labels that is a snapshot READ of the table
+        // (the journal route re-ran a full star contraction per
+        // consultation; that cost now sits amortized in the per-batch
+        // maintenance, bounded by each batch's new structure). The leg
+        // still runs on full-range xxhash64 ids (the input that made
+        // an arithmetic convergence witness overflow; see
+        // ConnectedComponents).
         "clusters" -> timed("clusters", pass, andThen = { dir =>
-          val l = graft.streaming.StreamingClusters
-            .labels(spark, s"$dir/edges")
-          clustersFound.set(
-            l.select(countDistinct(col("rep"))).head().getLong(0))
-          l.unpersist(); ()
+          clustersFound.set(graft.streaming.StreamingClusters
+            .maintainedLabels(spark, s"$dir/labels")
+            .select(countDistinct(col("rep"))).head().getLong(0))
+          ()
         }) { (raw, dir) =>
           // MinHash shingles are WORD trigrams (split on spaces) and a
           // compact to_json line is a single token — fed raw it yields
@@ -259,8 +263,8 @@ object StreamBench {
             .writeStream.queryName(s"clusters_p$pass")
             .option("checkpointLocation", s"$dir/chk")
             .foreachBatch { (batch: Dataset[Row], bid: Long) =>
-              graft.streaming.StreamingClusters.updateBatch(s"$dir/edges")(
-                batch.toDF(), bid)
+              graft.streaming.StreamingClusters
+                .updateBatchMaintained(s"$dir/labels")(batch.toDF(), bid)
             }.start()
         })
 

@@ -122,6 +122,64 @@ class StreamingClustersSpec extends AnyFunSuite with Matchers with SparkFixture 
     labelMap(store).values.toSet shouldBe Set(0L)
   }
 
+  test("maintained labels: incremental per-batch maintenance equals a " +
+       "batch recompute across multi-batch merges; replays are no-ops " +
+       "(no commit), writes are changed-rows-only, consultation is a " +
+       "snapshot read") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("clu-maint").toString + "/labels"
+    def cands(pairs: (Long, Long)*) = pairs.toDF("keeperId", "dupId")
+    def maintained(): Map[Long, Long] =
+      StreamingClusters.maintainedLabels(s, store)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // empty store: empty labels; an all-self-loop batch commits nothing
+    maintained() shouldBe Map.empty
+    StreamingClusters.updateBatchMaintained(store)(cands((3L, 3L)).toDF(), 0L)
+    maintained() shouldBe Map.empty
+
+    // batch 0: chain {0,1,2} + island {5,6}
+    StreamingClusters.updateBatchMaintained(store)(
+      cands((0L, 1L), (1L, 2L), (5L, 6L)).toDF(), 0L)
+    maintained() shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L)
+
+    // batch 1: bridge the two clusters — every member of the absorbed
+    // component relabels; the surviving component's rows are untouched
+    // (changed-rows-only write: this commit's generation carries only
+    // the rows whose rep moved or that are new)
+    StreamingClusters.updateBatchMaintained(store)(cands((2L, 5L)).toDF(), 1L)
+    maintained() shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L)
+    // rows 0,1,2 kept their batch-0 version — they were not rewritten
+    val vers = graft.ops.DimStore.read(s, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    vers(0L) shouldBe 0L
+    vers(1L) shouldBe 0L
+    vers(2L) shouldBe 0L
+    vers(5L) shouldBe 1L
+    vers(6L) shouldBe 1L
+
+    // batch 2: an unrelated island lands without touching history
+    StreamingClusters.updateBatchMaintained(store)(cands((8L, 9L)).toDF(), 2L)
+
+    // the maintained table equals a full batch recompute over ALL
+    // edges — the x74 invariant, streaming-side
+    val allEdges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (2L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val full = graft.ops.ConnectedComponents.starContraction(allEdges)
+    val fullMap = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.unpersist()
+    maintained() shouldBe fullMap
+
+    // at-least-once replay of batch 1: every edge is already absorbed
+    // by the history stars → the changed set is empty → NO commit (the
+    // version chain does not grow), labels byte-identical
+    val h0 = graft.ops.DimStore.history(store)
+    StreamingClusters.updateBatchMaintained(store)(cands((2L, 5L)).toDF(), 1L)
+    graft.ops.DimStore.history(store) shouldBe h0
+    maintained() shouldBe fullMap
+  }
+
   test("empty store and empty batches") {
     val store = Files.createTempDirectory("clu-empty").toString + "/edges"
     labelMap(store) shouldBe Map.empty
