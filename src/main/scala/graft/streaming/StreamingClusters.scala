@@ -93,48 +93,182 @@ object StreamingClusters {
 
   /** foreachBatch hook, maintained-label mode: incrementally fold the
     * batch's candidate edges into the (id, rep) label table at
-    * `store`. Replay-idempotent structurally: a redelivered batch's
-    * edges are already absorbed by the history stars, the re-contracted
-    * fixpoint equals the stored labels, and the changed-row set is
-    * empty — no commit, byte-identical table. Write amplification is
-    * O(labels that CHANGED) per batch (new docs + docs whose component
-    * minimum changed under a merge), not O(all clustered docs). */
-  def updateBatchMaintained(store: String)(batch: DataFrame,
-                                           batchId: Long): Unit = {
+    * `store`. The batch's edges are first mapped onto the QUOTIENT
+    * graph of current components (each endpoint replaced by its
+    * serving rep; edges internal to one component vanish), so the
+    * contraction runs over a graph of O(batch) nodes — component reps
+    * and brand-new docs — never over the full history. This is sound
+    * because every existing rep IS its component's minimum: the
+    * quotient contraction's minima are the true global minima of the
+    * merged components, so maintained labels equal a full-graph
+    * recompute exactly (spec-pinned). Writes are O(changed) too: new
+    * docs plus the members of components whose rep moved.
+    * Replay-idempotent structurally: a redelivered batch's edges all
+    * collapse inside existing components — the quotient graph is
+    * empty and nothing commits.
+    *
+    * Routing: the quotient graph is O(micro-batch) BY CONSTRUCTION, so
+    * when the batch's distinct edge set fits under
+    * `driverFoldMaxEdges` the fold runs driver-side — one bounded
+    * collect, one narrow label-table lookup scan, a path-compressed
+    * union-find, one upsert (the same bounded-collect contract the
+    * rest of the engine documents for batch-sized state). A larger
+    * micro-batch takes the fully distributed quotient-contraction
+    * path below — identical fixpoint, spec-pinned on both routes — so
+    * nothing breaks when a backfill replays a huge batch. */
+  def updateBatchMaintained(store: String,
+      driverFoldMaxEdges: Int = 200000)(batch: DataFrame,
+                                        batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // the edge frame may be consumed by several actions below (routing
+    // probe, the rep-map joins, the contraction, the upsert), and its
+    // lineage is the WHOLE upstream micro-batch topology (parse +
+    // MinHash banding + state op on the streaming path) — pin it once
+    // or every action re-executes that topology
     val incr = batch.select(
         greatest(col("keeperId"), col("dupId")).as("a"),
         least(col("keeperId"), col("dupId")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    if (incr.isEmpty) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE action both routes the batch and (on the fast path)
+      // delivers its edges: ≤ bound+1 rows come back, so total ≤ bound
+      // means head IS the complete edge set
+      val head = incr.limit(driverFoldMaxEdges + 1).collect()
+      if (head.isEmpty) ()
+      else if (head.length <= driverFoldMaxEdges)
+        foldDriver(spark, store,
+          head.map(r => (r.getLong(0), r.getLong(1))), batchId)
+      else updateBatchMaintainedDistributed(spark, store, incr, batchId)
+    } finally { incr.unpersist(); () }
+  }
+
+  /** Driver fast path: quotient + union-find over a bounded edge set.
+    * Semantics identical to the distributed route (component minima
+    * over batch edges ∪ history star edges). */
+  private def foldDriver(spark: SparkSession, store: String,
+      edges: Array[(Long, Long)], batchId: Long): Unit = {
+    import spark.implicits._
+    val endpoints = edges.iterator
+      .flatMap(e => Iterator(e._1, e._2)).toSet
     val old = DimStore.readIfExists(spark, store)
       .map(_.select(col("id"), col("rep")))
-    val histStars = old match {
-      case Some(l) => l.filter(col("id") =!= col("rep"))
-        .select(col("id").as("a"), col("rep").as("b"))
-        .unionByName(incr)
-      case None => incr
+    // serving reps for the batch's endpoints: one scan of the label
+    // table inner-joined against the broadcast endpoint set, collected
+    // at ≤ |endpoints| rows
+    val repOf: Map[Long, Long] = old match {
+      case Some(l) =>
+        l.join(broadcast(endpoints.toSeq.toDF("id")), Seq("id"))
+          .collect().iterator
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      case None => Map.empty
     }
-    val (labels, release) =
-      ConnectedComponents.starContractionReleasable(histStars)
-    try {
-      val changed = old match {
-        case Some(l) =>
-          labels.join(l.withColumnRenamed("rep", "__old_rep"),
-              Seq("id"), "left")
-            .filter(col("__old_rep").isNull ||
-              col("__old_rep") =!= col("rep"))
-            .select(col("id"), col("rep"))
-        case None => labels
+    // quotient: endpoints replaced by their serving reps; edges
+    // internal to one existing component vanish
+    val quotient = edges.iterator
+      .map { case (x, y) => (repOf.getOrElse(x, x), repOf.getOrElse(y, y)) }
+      .filter { case (x, y) => x != y }.toArray
+    if (quotient.isEmpty) return // replay / already absorbed: no commit
+    val label = unionFindMin(quotient)
+    // old reps whose component minimum moved → relabel ALL their
+    // members (including the rep's own self-row), distributed: the
+    // label table is only ever scanned against a broadcast of the
+    // moved-rep map
+    val oldReps = repOf.valuesIterator.toSet
+    val movedReps = label.iterator
+      .filter { case (id, rep) => id != rep && oldReps.contains(id) }
+      .toSeq
+    val changedMembers = old.filter(_ => movedReps.nonEmpty).map { l =>
+      l.join(broadcast(movedReps.toDF("__orep", "__nrep")),
+          col("rep") === col("__orep"))
+        .select(col("id"), col("__nrep").as("rep"))
+    }
+    // brand-new docs (endpoints absent from the table): every one has
+    // at least one surviving quotient edge, so its component minimum
+    // is in `label`
+    val newRows = endpoints.iterator.filterNot(repOf.contains)
+      .map(id => (id, label.getOrElse(id, id))).toSeq
+    val delta0 = newRows.toDF("id", "rep")
+    val delta = changedMembers.fold(delta0)(_.unionByName(delta0))
+    DimStore.upsert(spark, store,
+      delta.withColumn("ver", lit(batchId)), pk = "id",
+      versionCol = "ver")
+  }
+
+  /** Component-minimum labels driver-side: path-halving union-find,
+    * smaller id wins the root — the same keep-the-minimum contract as
+    * [[ConnectedComponents.starContraction]]. */
+  private def unionFindMin(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
       }
-      DimStore.upsert(spark, store,
-        changed.withColumn("ver", lit(batchId)), pk = "id",
-        versionCol = "ver")
-    } finally {
-      labels.unpersist()
-      release()
-      ()
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes: Set[Long] =
+      edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
+  private def updateBatchMaintainedDistributed(spark: SparkSession,
+      store: String, incr: DataFrame, batchId: Long): Unit = {
+    DimStore.readIfExists(spark, store)
+      .map(_.select(col("id"), col("rep"))) match {
+      case None =>
+        val (labels, release) =
+          ConnectedComponents.starContractionReleasable(incr)
+        try DimStore.upsert(spark, store,
+          labels.withColumn("ver", lit(batchId)), pk = "id",
+          versionCol = "ver")
+        finally { labels.unpersist(); release(); () }
+      case Some(old) =>
+        // endpoints → serving reps (unseen ids map to themselves). The
+        // label table only ever INNER-joins a broadcast of the batch's
+        // endpoint ids — one narrow scan per side, never a shuffle of
+        // the big table; the resulting endpoint→rep maps are
+        // batch-sized and broadcast back onto the batch.
+        def repMap(end: String): DataFrame = old
+          .join(broadcast(incr.select(col(end)).distinct()),
+            col("id") === col(end))
+          .select(col(end), col("rep").as(s"__r$end"))
+        val quotient = incr
+          .join(broadcast(repMap("a")), Seq("a"), "left")
+          .join(broadcast(repMap("b")), Seq("b"), "left")
+          .select(coalesce(col("__ra"), col("a")).as("a"),
+            coalesce(col("__rb"), col("b")).as("b"))
+          .filter(col("a") =!= col("b"))
+        if (quotient.isEmpty) return // all edges already absorbed: no-op
+        val (repLabels, release) =
+          ConnectedComponents.starContractionReleasable(quotient)
+        try {
+          val moved = repLabels.filter(col("id") =!= col("rep"))
+          // old reps that merged downhill → relabel ALL their members
+          // (including the rep's own self-row)
+          val movedReps = moved
+            .join(old.select(col("rep").as("id")).distinct(), Seq("id"))
+            .select(col("id").as("__orep"), col("rep").as("__nrep"))
+          val changedMembers = old
+            .join(broadcast(movedReps), col("rep") === col("__orep"))
+            .select(col("id"), col("__nrep").as("rep"))
+          // brand-new docs: their quotient label IS their final label
+          val newNodes = repLabels
+            .join(old.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), col("rep"))
+          DimStore.upsert(spark, store,
+            changedMembers.unionByName(newNodes)
+              .withColumn("ver", lit(batchId)),
+            pk = "id", versionCol = "ver")
+        } finally { repLabels.unpersist(); release(); () }
     }
   }
 

@@ -180,6 +180,32 @@ class StreamingClustersSpec extends AnyFunSuite with Matchers with SparkFixture 
     maintained() shouldBe fullMap
   }
 
+  test("maintained labels, distributed fallback route (driverFoldMaxEdges" +
+       " = 0): identical fixpoint, replays still no-ops") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("clu-maint-dist").toString + "/labels"
+    def cands(pairs: (Long, Long)*) = pairs.toDF("keeperId", "dupId")
+    def up(pairs: Seq[(Long, Long)], bid: Long): Unit =
+      StreamingClusters.updateBatchMaintained(store, driverFoldMaxEdges = 0)(
+        cands(pairs: _*).toDF(), bid)
+    up(Seq((0L, 1L), (1L, 2L), (5L, 6L)), 0L)
+    up(Seq((2L, 5L)), 1L)
+    up(Seq((8L, 9L)), 2L)
+    val got = StreamingClusters.maintainedLabels(s, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.ops.ConnectedComponents.starContraction(
+      Seq((0L, 1L), (1L, 2L), (5L, 6L), (2L, 5L), (8L, 9L)).toDF("a", "b"))
+    val fullMap = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.unpersist()
+    got shouldBe fullMap
+    // replay on the distributed route: absorbed edges → empty quotient
+    // → no commit
+    val h0 = graft.ops.DimStore.history(store)
+    up(Seq((2L, 5L)), 1L)
+    graft.ops.DimStore.history(store) shouldBe h0
+  }
+
   test("empty store and empty batches") {
     val store = Files.createTempDirectory("clu-empty").toString + "/edges"
     labelMap(store) shouldBe Map.empty
