@@ -4892,6 +4892,111 @@ object Extensions {
       GROUP BY 1
     """))
 
+  // ---------------------------------------------------------------------
+  // x86 — IVF retrieval from a TRAINED coarse quantizer: the production
+  // default AnnIndex.buildTrained rests on ([[graft.ops.KMeans]] —
+  // deterministic Lloyd whose ASSIGNMENT is the same cosine-desc/
+  // id-asc-tie expression the index probes with and whose UPDATE is an
+  // exact DECIMAL(18,8) mean), graded cross-engine: the oracle replays
+  // one training round symbolically (seeds = the 4 lowest-vec_id rows
+  // via ROW_NUMBER — the id-space-agnostic x72 seed contract — then
+  // cosine argmax with ties to the lowest centroid index, then the
+  // decimal-mean update with empty-cluster fallback, the x18 CTE
+  // pattern) and serves x12's inverted-list top-10 chain from the
+  // TRAINED centroids. This pins that trained-quantizer serving — not
+  // just fixture-row serving — is bit-reproducible across engines,
+  // which is what lets a drift-triggered rebuild (AnnIndex.Ingestor)
+  // replace the quantizer in production without a behavioral seam.
+  // Scale shape: identical to x12 (centroid state is k·dim doubles —
+  // kilobytes — collected once and shipped as literals; assignment is
+  // a pure narrow map; the probe join broadcasts).
+  val x86 = Q(
+    "x86_ivf_trained_centroids",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+      val cents = graft.ops.KMeans.train(
+        e.select($"vec_id", $"v"), "vec_id", "v", k = 4, rounds = 1)
+      val assigned = e.withColumn("cs", ivfRanked(cents, $"v"))
+      val lists = assigned
+        .select($"vec_id", $"v",
+          (-element_at($"cs", 1).getField("nid")).as("list_id"))
+      val probes = assigned.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          explode(slice($"cs", 1, IvfProbes)).as("ps"))
+        .select($"query_id", $"qv", (-$"ps.nid").as("list_id"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      lists.join(broadcast(probes), Seq("list_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"list_id", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      def cosTo(ck: String) =
+        s"""list_dot_product(v, $ck) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($ck, $ck)))"""
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      -- seeds: the 4 lowest-id rows, id-space-agnostic (x72 contract)
+      sr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e),
+      seeds AS (SELECT ${(0 until 4).map(k =>
+        s"(SELECT v FROM sr WHERE rn = ${k + 1}) AS s$k").mkString(", ")}),
+      -- one Lloyd round, COSINE assignment (argmax, ties to the lowest
+      -- centroid index — the sort_array((cos, -cid) DESC) tie rule)
+      a1 AS (
+        SELECT vec_id, v,
+          CASE WHEN cos0 >= cos1 AND cos0 >= cos2 AND cos0 >= cos3 THEN 0
+               WHEN cos1 >= cos2 AND cos1 >= cos3 THEN 1
+               WHEN cos2 >= cos3 THEN 2 ELSE 3 END AS cluster
+        FROM (SELECT vec_id, v,
+              ${(0 until 4).map(k => s"${cosTo(s"k.s$k")} AS cos$k")
+                .mkString(",\n              ")}
+              FROM e, seeds k)),
+      -- exact DECIMAL(18,8) mean per (cluster, position)
+      m1 AS (
+        SELECT cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cluster, unnest(v) AS x, unnest(range(1, 65)) AS pos
+              FROM a1)
+        GROUP BY cluster, pos),
+      c1l AS (SELECT cluster, list(c ORDER BY pos) AS c FROM m1
+              GROUP BY cluster),
+      -- an emptied cluster keeps its seed (KMeans.train contract)
+      cents AS (SELECT * FROM (${(0 until 4).map(k =>
+        s"""SELECT $k AS cent_id,
+            COALESCE((SELECT c FROM c1l WHERE cluster = $k),
+                     (SELECT s$k FROM seeds)) AS cv""").mkString(" UNION ALL ")}) u),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.cent_id) AS crank
+        FROM e, cents c
+      ), lists AS (
+        SELECT vec_id, v, cent_id AS list_id FROM assign WHERE crank = 1
+      ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id AS list_id
+        FROM assign WHERE vec_id <= 2 AND crank <= $IvfProbes
+      ), scored AS (
+        SELECT p.query_id, l.vec_id, l.list_id,
+          CAST(round(1e6 * list_dot_product(l.v, p.qv) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(p.qv, p.qv)))) AS BIGINT) AS cos_ppm
+        FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+      )
+      SELECT query_id, vec_id, list_id, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """})
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,
@@ -4899,5 +5004,5 @@ object Extensions {
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
     x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84,
-    x85)
+    x85, x86)
 }
