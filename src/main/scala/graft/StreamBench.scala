@@ -263,8 +263,15 @@ object StreamBench {
             .writeStream.queryName(s"clusters_p$pass")
             .option("checkpointLocation", s"$dir/chk")
             .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+              // label store sized to its content (~60k docs at sf0.1):
+              // the default 64-bucket fan-out makes every per-batch
+              // lookup scan + merge touch 4x the files for no pruning
+              // win at this cardinality. Same knob the DimStore
+              // rebucket policy tunes for grown dim tables; a 100 TB
+              // corpus sizes UP instead.
               graft.streaming.StreamingClusters
-                .updateBatchMaintained(s"$dir/labels")(batch.toDF(), bid)
+                .updateBatchMaintained(s"$dir/labels", nBuckets = 16)(
+                  batch.toDF(), bid)
             }.start()
         })
 

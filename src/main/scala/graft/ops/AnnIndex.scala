@@ -248,6 +248,26 @@ object AnnIndex {
     ()
   }
 
+  /** The frozen model as its persisted row set — shared by the inline
+    * build and the staged-rebuild flip so both publish byte-identical
+    * model tables. */
+  private def modelRowsDf(spark: SparkSession, model: Model,
+                          dim: Int, m: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val rows =
+      model.centroids.map { case (cid, cv) =>
+        ("c" + cid, "cent", cid, 0L, cv) } ++
+      (for (mi <- 0 until m; ki <- 0 until k) yield
+        (s"p$mi-$ki", "pq", mi.toLong, ki.toLong,
+          model.pq.codebooks(mi)(ki).toSeq)) ++
+      Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)),
+        ("err", "stats", 0L, 0L, Seq(model.baselineErr)),
+        // the build's LWW version, persisted so [[fsck]] can
+        // cross-check the pointer against the model it pins
+        ("bver", "bver", model.buildVer, 0L, Seq.empty[Double]))
+    rows.toDF("key", "kind", "i1", "i2", "vals")
+  }
+
   private[graft] def buildImpl(spark: SparkSession, path: String,
       corpus: DataFrame, idCol: String, vCol: String,
       cents: Seq[(Long, Seq[Double])], dim: Int, m: Int, k: Int,
@@ -268,18 +288,8 @@ object AnnIndex {
       .agg(avg(ProductQuantizer.quantizationError(col("__rv"), pq)))
       .head().getDouble(0)
     val model = Model(cents, pq, baseline, buildVer)
-    val modelRows =
-      cents.map { case (cid, cv) => ("c" + cid, "cent", cid, 0L, cv) } ++
-      (for (mi <- 0 until m; ki <- 0 until k) yield
-        (s"p$mi-$ki", "pq", mi.toLong, ki.toLong,
-          pq.codebooks(mi)(ki).toSeq)) ++
-      Seq(("shape", "shape", dim.toLong, m.toLong, Seq(k.toDouble)),
-        ("err", "stats", 0L, 0L, Seq(baseline)),
-        // the build's LWW version, persisted so [[fsck]] can
-        // cross-check the pointer against the model it pins
-        ("bver", "bver", buildVer, 0L, Seq.empty[Double]))
     commitFull(spark, modelPath(path),
-      modelRows.toDF("key", "kind", "i1", "i2", "vals"),
+      modelRowsDf(spark, model, dim, m, k),
       pk = "key", ver = buildVer, nBuckets = 4)
     maybeCrash(crashAfter, "model")
     commitFull(spark, codesPath(path),
@@ -335,6 +345,42 @@ object AnnIndex {
         Fsck(ptr.buildVer, 0L, 0L, modelMatchesPtr = false,
           pinnedReadable = false)
     }
+  }
+
+  /** Per-list occupancy balance of the PUBLISHED codes snapshot. Drift
+    * monitoring ([[IngestDrift]]) covers PQ fit — residual error
+    * against the frozen codebooks — but says nothing about the COARSE
+    * quantizer: a skewed centroid set silently concentrates the corpus
+    * into few inverted lists, and probing a hot list degrades toward a
+    * partial corpus scan (at 100 TB, the difference between reading
+    * nProbes/nLists of the codes table and reading most of it). One
+    * O(nLists)-row aggregate over the codes table reports the balance;
+    * `maxMeanRatio` is max list size over the mean across ALL trained
+    * lists (empty lists drag the mean down — they are skew too: a
+    * centroid no vector assigns to is wasted probe vocabulary).
+    * `retrainRecommended` fires past the caller's skew factor — the
+    * fix is a coarse re-train ([[buildTrained]]), same action as PQ
+    * drift, and [[RebuildPolicy]] can close the loop on a cadence. */
+  final case class Occupancy(nLists: Int, nonEmptyLists: Int, rows: Long,
+                             maxRows: Long, meanRows: Double,
+                             maxMeanRatio: Double,
+                             retrainRecommended: Boolean)
+
+  /** Audit list balance: one groupBy(list_id) count over the pinned
+    * codes snapshot — O(scan) work, O(nLists) result. */
+  def occupancy(spark: SparkSession, path: String,
+                skewFactor: Double = 4.0): Occupancy = {
+    val model = readModel(spark, path)
+    val nLists = model.centroids.size
+    val counts = codes(spark, path)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("__n"))
+      .select(col("__n")).collect().map(_.getLong(0))
+    val rows = counts.sum
+    val mean = if (nLists == 0) 0.0 else rows.toDouble / nLists
+    val maxR = if (counts.isEmpty) 0L else counts.max
+    val ratio = if (mean > 0.0) maxR / mean else 0.0
+    Occupancy(nLists, counts.length, rows, maxR, mean, ratio,
+      retrainRecommended = ratio > skewFactor)
   }
 
   /** Incremental maintenance: encode ONLY this batch under the frozen
@@ -471,6 +517,14 @@ object AnnIndex {
     df.select(df.columns.filterNot(_ == "__batch_ver").toIndexedSeq.map(col): _*)
   }
 
+  /** What one [[maintain]] pass found: the codes table's layout report
+    * plus the index-semantic audit layout maintenance can't see —
+    * inverted-list balance. `occupancy.retrainRecommended` is the
+    * re-train signal (rebucketing moves bytes, not list assignment;
+    * only [[buildTrained]] fixes a skewed coarse quantizer). */
+  final case class Maintenance(codes: DimStore.Maintenance,
+                               occupancy: Occupancy)
+
   /** Layout + history maintenance for the index, riding the dim-store
     * policy: the codes table accretes one commit generation per
     * [[append]] batch — exactly a streaming dim table's growth shape —
@@ -478,9 +532,11 @@ object AnnIndex {
     * ([[DimStore.maintain]]); with `vacuumKeepLast > 0` both tables'
     * histories are pruned past the grace window too (the model table
     * is tiny and frozen between rebuilds, so history is its only
-    * growth). Returns the codes table's maintenance report. Run it
-    * from the same cadence that calls [[append]] (a streaming job's
-    * every-N-batches hook, or a maintenance window). */
+    * growth). Returns the codes table's maintenance report plus the
+    * [[occupancy]] balance audit (`occupancySkewFactor` sets its
+    * re-train threshold). Run it from the same cadence that calls
+    * [[append]] (a streaming job's every-N-batches hook, or a
+    * maintenance window). */
   def maintain(spark: SparkSession, path: String,
                targetBucketBytes: Long = 256L * 1024 * 1024,
                targetFileBytes: Long = 128L * 1024 * 1024,
@@ -488,8 +544,9 @@ object AnnIndex {
                maxBuckets: Int = 4096,
                apply: Boolean = true,
                vacuumKeepLast: Int = 0,
-               vacuumGraceMillis: Long = 24L * 3600 * 1000)
-      : DimStore.Maintenance = {
+               vacuumGraceMillis: Long = 24L * 3600 * 1000,
+               occupancySkewFactor: Double = 4.0)
+      : Maintenance = {
     val ptr = resolvedPtr(spark, path)
     val m = DimStore.maintain(spark, codesPath(path), "vec_id",
       targetBucketBytes = targetBucketBytes,
@@ -519,27 +576,84 @@ object AnnIndex {
         keepReaching(modelPath(path), cur.modelV), vacuumGraceMillis)
       DimStore.vacuum(spark, ptrPath(path), vacuumKeepLast, vacuumGraceMillis)
     }
-    m
+    Maintenance(m, occupancy(spark, path, occupancySkewFactor))
   }
 
-  /** What one orchestrated ingest did: the batch's drift report, plus
-    * the model a drift-triggered rebuild published (None when fit was
-    * fine or the policy is report-only). */
-  final case class Ingest(drift: IngestDrift, rebuilt: Option[Model])
+  /** What one orchestrated ingest did: the batch's drift report, the
+    * model a triggered rebuild published (None when fit was fine, the
+    * policy is report-only, or a staged rebuild is still training),
+    * and the [[Occupancy]] audit when this ingest was on the policy's
+    * check cadence. */
+  final case class Ingest(drift: IngestDrift, rebuilt: Option[Model],
+                          occupancy: Option[Occupancy] = None)
 
   /** When and how an [[Ingestor]] rebuilds — the DimRouter
     * [[graft.streaming.DimRouter.MaintenancePolicy]] shape for the
     * index: `applyRebuild = true` runs the rebuild inline in the
     * triggering ingest (the synchronous maintenance window a
     * dim-scale index can afford); `false` only reports, for an
-    * external maintenance window to act on — what a 100 TB corpus
-    * wants, since its re-train + full re-encode must not sit inside
-    * a micro-batch. */
+    * external maintenance window to act on.
+    *
+    * `stagedRebuild = true` (with `applyRebuild`) is the third mode —
+    * build-aside-then-flip: the triggering ingest only STARTS the
+    * rebuild; train + full re-encode run on a background thread as
+    * read-only Spark jobs landing in a plain staging directory (no
+    * commits — the single-maintainer contract holds because ingest()
+    * remains the only committer), while every ingest during the window
+    * keeps appending to the OLD index at its usual cost. The first
+    * ingest after staging completes pays only the COMMIT tail: model +
+    * codes commits from the pre-computed staging, re-encode of the
+    * batches that arrived during the window, one pointer flip. That
+    * removes the measured train+encode pause (SCALEPROBE: 19→85 s
+    * rebuild at 200k→1M vectors) from the micro-batch path — what a
+    * 100 TB corpus needs, since its rebuild window is hours, not a
+    * trigger interval.
+    *
+    * `occupancyCheckEvery = n` (> 0) audits [[occupancy]] every n-th
+    * ingest and treats `retrainRecommended` (list balance past
+    * `occupancySkewFactor`) as a rebuild trigger too — closing the
+    * coarse-quantizer-skew loop the PQ-fit drift monitor can't see.
+    * The audit scans the codes table, so keep the cadence coarse. */
   final case class RebuildPolicy(driftFactor: Double = 2.0,
                                  nLists: Int, dim: Int, m: Int, k: Int,
                                  rounds: Int, kmRounds: Int = 2,
                                  nBuckets: Int = 16,
-                                 applyRebuild: Boolean = true)
+                                 applyRebuild: Boolean = true,
+                                 stagedRebuild: Boolean = false,
+                                 occupancyCheckEvery: Int = 0,
+                                 occupancySkewFactor: Double = 4.0)
+
+  /** The read-only half of a staged rebuild: the trained model plus
+    * the staging directory its full re-encode landed in. No commits
+    * have happened yet — publishing is the flip's job. */
+  private final case class StagedArtifacts(
+      cents: Seq[(Long, Seq[Double])], pq: ProductQuantizer.PqModel,
+      baselineErr: Double)
+
+  /** Train + re-encode WITHOUT committing: everything [[buildImpl]]
+    * computes, landed as plain parquet under `stagingDir` instead of
+    * the commit log. Deterministic (same KMeans/PQ/encode path), so a
+    * flip over these artifacts publishes byte-identically to an
+    * inline [[buildTrained]] over the same corpus snapshot. */
+  private def trainAndStage(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vCol: String, policy: RebuildPolicy,
+      stagingDir: String): StagedArtifacts = {
+    val cents = KMeans.train(corpus.select(col(idCol), col(vCol)),
+      idCol, vCol, policy.nLists, policy.kmRounds)
+    val lists = corpus
+      .withColumn("__cs", ranked(cents, col(vCol)))
+      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+      .select(col(idCol), col("list_id"),
+        residual(cents, col("list_id"), col(vCol)).as("__rv"))
+    val pq = ProductQuantizer.train(lists, idCol, "__rv",
+      policy.dim, policy.m, policy.k, policy.rounds)
+    val baseline = lists
+      .agg(avg(ProductQuantizer.quantizationError(col("__rv"), pq)))
+      .head().getDouble(0)
+    encodeWith(corpus, idCol, vCol, Model(cents, pq, baseline, 0L))
+      .write.mode("overwrite").parquet(stagingDir)
+    StagedArtifacts(cents, pq, baseline)
+  }
 
   /** Orchestrated continuous ingest — the closure of [[append]]'s
     * drift recommendation into an actual maintenance action, so no
@@ -549,39 +663,150 @@ object AnnIndex {
     *  1. each batch appends at the next counter version (floored
     *     above everything committed, so a restarted ingestor resumes
     *     ordering correctly);
-    *  2. when the drift report recommends a rebuild and the policy
-    *     applies it, [[buildTrained]] runs over the caller's corpus
-    *     supplier — the index stores CODES, not raw vectors, so the
-    *     corpus authority is the caller's embedding table, which must
-    *     include every ingested batch;
-    *  3. the counter RE-FLOORS from the returned model's `buildVer`,
+    *  2. when the drift report recommends a rebuild — or, on the
+    *     policy's cadence, the [[occupancy]] audit flags coarse-
+    *     quantizer skew — and the policy applies it, [[buildTrained]]
+    *     runs over the caller's corpus supplier (inline mode), or a
+    *     background thread stages the train + re-encode and a later
+    *     ingest pays only the commit tail (staged mode; see
+    *     [[RebuildPolicy]]). The index stores CODES, not raw vectors,
+    *     so the corpus authority is the caller's embedding table. The
+    *     supplier is invoked ONCE per rebuild and must return a
+    *     CONSISTENT snapshot covering every batch ingested so far
+    *     (a versioned table read gives this for free); batches that
+    *     arrive while a staged build trains are tracked and re-encoded
+    *     under the new model at the flip, so none are lost to the
+    *     rebuild's full-replace commit;
+    *  3. the counter RE-FLOORS from the rebuild's version ceiling,
     *     so the next batch orders strictly above the rebuild while a
     *     REPLAYED pre-rebuild batch (redelivered at its old version)
     *     stays absorbed by LWW — at-least-once in, exactly-once
     *     effects out, the K2 contract.
     *
-    * Single-maintainer per index, like [[build]]/[[append]]. */
+    * Single-maintainer per index, like [[build]]/[[append]]: ingest()
+    * is the ONLY committer — the staged-rebuild thread runs read-only
+    * jobs into plain staging parquet and never touches a commit log. */
   final class Ingestor(spark: SparkSession, path: String,
                        idCol: String, vCol: String,
                        policy: RebuildPolicy,
                        corpus: () => DataFrame) {
     private val nextVer =
       new java.util.concurrent.atomic.AtomicLong(nextBuildVer(spark, path))
+    private var ingests = 0L
+
+    /** One in-flight staged rebuild: the background thread publishes
+      * `outcome` last (volatile), so `outcome.isDefined` observed from
+      * ingest() implies the staging parquet is fully written. */
+    private final class Staging(corpusSnap: DataFrame, val dir: String) {
+      val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      @volatile var outcome: Option[Either[Throwable, StagedArtifacts]] = None
+      val thread: Thread = new Thread(
+        () => outcome = Some(
+          try {
+            stagingDelay()
+            Right(trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir))
+          } catch { case t: Throwable => Left(t) }),
+        s"ann-staged-rebuild-$path".replace('/', '-'))
+      thread.setDaemon(true)
+    }
+    private var staging: Option[Staging] = None
+    /** Test hook: runs first on the staged build's background thread —
+      * lets a spec hold the build window open deterministically (a
+      * real fixture-scale train can finish faster than the ingests the
+      * window is supposed to overlap). */
+    private[graft] var stagingDelay: () => Unit = () => ()
 
     /** Test/monitoring hook: the version the next batch will commit
       * at. */
     private[graft] def peekVer: Long = nextVer.get()
+    /** Test/monitoring hook: a staged rebuild is training. */
+    private[graft] def stagingActive: Boolean = staging.isDefined
+    /** Test hook: block until the in-flight staged build's artifacts
+      * are ready (the flip still waits for the next ingest). */
+    private[graft] def awaitStaged(): Unit =
+      staging.foreach(_.thread.join())
+
+    /** Publish a completed staged build: commit model + staged codes
+      * above every committed batch, re-encode the batches that arrived
+      * during the window, then ONE pointer flip — readers stay on the
+      * old index byte-identically until the flip, and a crash anywhere
+      * before it leaves only unreferenced debris (the same guarantee
+      * as [[buildImpl]]'s crash matrix). */
+    private def flipStaged(art: StagedArtifacts,
+                           pending: Seq[DataFrame], dir: String): Model = {
+      val buildVer = nextBuildVer(spark, path)
+      val model = Model(art.cents, art.pq, art.baselineErr, buildVer)
+      commitFull(spark, modelPath(path),
+        modelRowsDf(spark, model, policy.dim, policy.m, policy.k),
+        pk = "key", ver = buildVer, nBuckets = 4)
+      commitFull(spark, codesPath(path), spark.read.parquet(dir),
+        pk = "vec_id", ver = buildVer, nBuckets = policy.nBuckets)
+      var v = buildVer
+      pending.foreach { b =>
+        v += 1L
+        DimStore.upsert(spark, codesPath(path),
+          encodeWith(b, idCol, vCol, model).withColumn("__batch_ver", lit(v)),
+          pk = "vec_id", versionCol = "__batch_ver",
+          nBuckets = policy.nBuckets)
+      }
+      bumpPtr(spark, path,
+        modelV = DimStore.currentVersion(modelPath(path)).get,
+        codesV = DimStore.currentVersion(codesPath(path)).get,
+        buildVer = buildVer)
+      nextVer.set(v + 1L)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        fs.delete(p.getParent, false) // drop _staging/ when now empty
+        ()
+      } catch { case _: java.io.IOException => () } // staging debris only
+      model
+    }
 
     def ingest(batch: DataFrame): Ingest = {
       val drift = append(spark, path, batch, idCol, vCol,
         ver = nextVer.getAndIncrement(), driftFactor = policy.driftFactor)
-      if (drift.rebuildRecommended && policy.applyRebuild) {
-        val model = buildTrained(spark, path, corpus(), idCol, vCol,
-          policy.nLists, policy.dim, policy.m, policy.k, policy.rounds,
-          policy.kmRounds, policy.nBuckets)
-        nextVer.set(model.buildVer + 1L)
-        Ingest(drift, Some(model))
-      } else Ingest(drift, None)
+      staging.foreach(_.pending += batch)
+      ingests += 1L
+      val occ =
+        if (policy.occupancyCheckEvery > 0 &&
+            ingests % policy.occupancyCheckEvery == 0L)
+          Some(occupancy(spark, path, policy.occupancySkewFactor))
+        else None
+      val wantRebuild =
+        drift.rebuildRecommended || occ.exists(_.retrainRecommended)
+      if (!policy.applyRebuild) Ingest(drift, None, occ)
+      else if (!policy.stagedRebuild) {
+        if (!wantRebuild) Ingest(drift, None, occ)
+        else {
+          val model = buildTrained(spark, path, corpus(), idCol, vCol,
+            policy.nLists, policy.dim, policy.m, policy.k, policy.rounds,
+            policy.kmRounds, policy.nBuckets)
+          nextVer.set(model.buildVer + 1L)
+          Ingest(drift, Some(model), occ)
+        }
+      } else staging match {
+        case Some(st) if st.outcome.isDefined =>
+          staging = None
+          st.outcome.get match {
+            case Right(art) =>
+              Ingest(drift, Some(flipStaged(art, st.pending.toSeq, st.dir)),
+                occ)
+            case Left(t) => throw new IllegalStateException(
+              s"staged ANN rebuild at $path failed; index still serves " +
+              "the old build", t)
+          }
+        case None if wantRebuild =>
+          // staging keyed by the triggering counter value: unique per
+          // rebuild under the single-maintainer contract, and a crash
+          // leaves only an overwrite-safe plain-parquet dir behind
+          val st = new Staging(corpus(), s"$path/_staging/b${peekVer}")
+          staging = Some(st)
+          st.thread.start()
+          Ingest(drift, None, occ)
+        case _ => Ingest(drift, None, occ)
+      }
     }
   }
 

@@ -1,0 +1,1204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Similarity-search / vector family: brute-force cosine,
+  * LSH- and IVF-bucketed ANN, int8 and product quantization, IVFADC
+  * (+ staged index and refine), k-means, embedding diagnostics.
+  *
+  * Split out of the single `Extensions` object along its family seams
+  * (the object had grown to 5k lines); mixed back into [[Extensions]],
+  * whose self-type gives every family access to the shared corpus /
+  * persist / sketch-capacity helpers. Members are `lazy val`s so
+  * cross-family references in oracle-SQL interpolations can never hit
+  * a trait-initialization-order gap.
+  */
+private[queries] trait ExtensionsAnn { this: Extensions.type =>
+  // ---------------------------------------------------------------------
+  // x05 — brute-force cosine top-k over the embedding column: the exact
+  // baseline every ANN variant is graded against. The query vector is a
+  // 1-row broadcast; the scan side computes one fused map + a global
+  // top-k (TakeOrderedAndProject — per-partition heaps, no full sort).
+  lazy val x05 = Q(
+    "x05_cosine_topk_bruteforce",
+    (s, dir) => {
+      import s.implicits._
+      // raw float vectors end-to-end: the fused native expression does
+      // the double-accumulated scoring in one codegen'd pass, and the
+      // broadcast ships 4-byte floats, not widened doubles
+      val e = emb(s, dir)
+      val qv = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      e.filter($"vec_id" =!= 0)
+        .join(broadcast(qv))
+        .withColumn("cos_ppm",
+          round(lit(1e6) * cosineF($"embedding", $"qv")).cast("long"))
+        .select($"vec_id", $"label", $"cos_ppm")
+        .orderBy($"cos_ppm".desc, $"vec_id")
+        .limit(50)
+    },
+    Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+        CAST(round(1e6 * (list_dot_product(embedding::DOUBLE[], q.qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT) AS cos_ppm
+      FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY cos_ppm DESC, vec_id
+      LIMIT 50
+    """),
+    headline = true)
+
+  // ---------------------------------------------------------------------
+  // x06 — LSH-bucketed ANN: 4 axis-aligned hyperplane sign bits (dims
+  // 1/17/33/49) partition vectors into 16 buckets; each query searches
+  // only its own bucket. Bucket assignment is a narrow map; the
+  // candidate join is an equi-join on the bucket key — at 100 TB the
+  // probe side touches ~1/16th of the data per query instead of all of
+  // it (recall traded for the usual multi-probe extension).
+  lazy val x06 = Q(
+    "x06_ann_lsh_bucketed",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(v: Column): Column = concat(
+        Seq(1, 17, 33, 49).map(i =>
+          when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = emb(s, dir).withColumn("bucket", bucket($"embedding"))
+      val q = e.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"bucket")
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(q), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_ppm",
+          round(lit(1e6) * cosineF($"embedding", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id <= 2
+      ), scored AS (
+        SELECT q.query_id, e.vec_id,
+          CAST(round(1e6 * (list_dot_product(e.v, q.qv) /
+            (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT) AS cos_ppm
+        FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+      )
+      SELECT query_id, vec_id, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  // ---------------------------------------------------------------------
+  // x12 — IVF-style ANN: a fixed coarse quantizer (four "centroid"
+  // vectors — in production the k-means output, here vectors 10/20/30/40
+  // so both engines share them) partitions the corpus into inverted
+  // lists by nearest centroid; each query probes its own top-2 lists
+  // only. Same complement to x06's LSH: the probe side reads |corpus|/k
+  // per query, and the list assignment is one broadcast join + argmax —
+  // no shuffle of the big side beyond its initial list bucketing.
+  private[queries] lazy val IvfCentroids = Seq(10L, 20L, 30L, 40L)
+  private[queries] lazy val IvfProbes = 2
+
+  /** IVF coarse-quantizer kit shared by x12 and x75: the 4 centroid
+    * vectors are COLLECTED once (the x18 tiny-state pattern) and come
+    * back as literals, so per-row ranking is 4 cosine folds + one
+    * 4-element sort_array — a PURE NARROW MAP with no corpus×4 join
+    * and no per-vec_id window shuffle (the original join+window
+    * formulation shuffled the whole ×4-amplified corpus just to pick
+    * each row's argmax). Structs sort DESC on (ccos, -cent_id), which
+    * reproduces the oracle's ROW_NUMBER (ccos DESC, cent_id ASC) tie
+    * semantics exactly; the ccos values are the same [[cosine]] fold,
+    * so the ordering is ulp-identical to the joined form. */
+  private[queries] def ivfCentroidRows(e: DataFrame): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.functions.col
+    e.filter(col("vec_id").isin(IvfCentroids: _*)).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("v"))
+      .collect().toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+  }
+  private[queries] def ivfRanked(centRows: Seq[(Long, Seq[Double])], vc: Column): Column =
+    graft.ops.IvfKit.ranked(centRows, vc)
+
+  lazy val x12 = Q(
+    "x12_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+      val centRows = ivfCentroidRows(e)
+      val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
+      val lists = assigned
+        .select($"vec_id", $"v",
+          (-element_at($"cs", 1).getField("nid")).as("list_id"))
+      val probes = assigned.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          explode(slice($"cs", 1, IvfProbes)).as("ps"))
+        .select($"query_id", $"qv", (-$"ps.nid").as("list_id"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      lists.join(broadcast(probes), Seq("list_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ), cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        WHERE vec_id IN (${IvfCentroids.mkString(", ")})
+      ), assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.cent_id) AS crank
+        FROM e, cents c
+      ), lists AS (
+        SELECT vec_id, v, cent_id AS list_id FROM assign WHERE crank = 1
+      ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id AS list_id
+        FROM assign WHERE vec_id <= 2 AND crank <= $IvfProbes
+      ), scored AS (
+        SELECT p.query_id, l.vec_id,
+          CAST(round(1e6 * list_dot_product(l.v, p.qv) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(p.qv, p.qv)))) AS BIGINT) AS cos_ppm
+        FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+      )
+      SELECT query_id, vec_id, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  // ---------------------------------------------------------------------
+  // x17 — per-label embedding centroids via the typed VecMean
+  // Aggregator (functions/VecMean.scala — the k-means/IVF training
+  // primitive): partial (sum, count) states shuffle, never raw vectors.
+  // The oracle reproduces the element-wise mean with a constant
+  // generate_series cross join.
+  lazy val x17 = Q(
+    "x17_label_centroids",
+    (s, dir) => {
+      import s.implicits._
+      val vecMean = udaf(graft.functions.VecMean)
+      emb(s, dir)
+        .groupBy($"label")
+        .agg(vecMean($"embedding").as("centroid"), count(lit(1)).as("n"))
+        .select($"label", $"n",
+          round(lit(1e6) * sqrt(
+            aggregate(transform($"centroid", x => x * x), lit(0.0), (acc, x) => acc + x)))
+            .cast("long").as("centroid_norm_ppm"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH comp AS (
+        SELECT label, i, avg(embedding[i]) AS m
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i
+      ), norms AS (
+        SELECT label, sqrt(SUM(m * m)) AS nrm FROM comp GROUP BY label
+      ), counts AS (
+        SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+      )
+      SELECT label, n, CAST(round(1e6 * nrm) AS BIGINT) AS centroid_norm_ppm
+      FROM norms JOIN counts USING (label)
+      ORDER BY label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x18 — k-means (Lloyd's algorithm, k=4, 2 iterations) over the
+  // embedding corpus: the clustering step an IVF index or semantic-dedup
+  // bucketing trains with. Iteration state (k x 64 doubles) is collected
+  // to the driver and re-broadcast as literals — the same tiny-state
+  // pattern MLlib's KMeans uses; the per-row work stays fully
+  // distributed (one narrow map per assignment, one keyed agg per
+  // centroid update — at 100 TB each iteration is one scan + one
+  // 256-row shuffle). Determinism contract: centroid components are
+  // EXACT DECIMAL(18,8) sums cast to double (bit-identical in DuckDB),
+  // so the iterated centroids — and therefore every assignment — match
+  // the oracle's unrolled two iterations exactly; distances use the
+  // same left-fold (x-y)^2 formulation on both sides. Seeds = the k
+  // lowest vec_ids. An emptied cluster (possible when seed vectors tie:
+  // the CASE assigns ties to the lowest cluster) keeps its previous
+  // centroid on BOTH sides — Spark via getOrElse(seed), the oracle via
+  // COALESCE to the seed vector — so the engines cannot diverge on
+  // degenerate (duplicate-heavy) corpora.
+  private[queries] lazy val KmK = 4
+  private[queries] def kmDec = org.apache.spark.sql.types.DecimalType(18, 8)
+
+  /** x18's Lloyd iteration-2 cluster assignment — (vec_id, v, cluster)
+    * — factored out so the semantic dedup (x39) blocks on the same
+    * clusters the k-means report (x18) aggregates. See x18's comment
+    * for the tiny-state collect pattern and determinism contract. */
+  private[queries] def kmeansAssign2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // carries the RAW float embedding alongside the double working
+    // vector: the decimal determinism contract needs doubles, but x39's
+    // pair scoring wants the float array for the fused native cosine
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", $"embedding".cast("array<double>").as("v"))
+    val seeds: Array[Array[Double]] =
+      e.filter($"vec_id" < KmK).orderBy($"vec_id").select($"v")
+        .collect().map(_.getSeq[Double](0).toArray)
+    def dist2(c: Array[Double]): Column =
+      aggregate(zip_with($"v", typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val d = cents.map(dist2)
+      e.withColumn("cluster",
+        when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0)
+          .when(d(1) <= d(2) && d(1) <= d(3), 1)
+          .when(d(2) <= d(3), 2)
+          .otherwise(3))
+    }
+    def step(cents: Array[Array[Double]]): Array[Array[Double]] = {
+      val rows = assign(cents)
+        .select($"cluster", posexplode($"v"))
+        .groupBy($"cluster", $"pos")
+        .agg(sum($"col".cast(kmDec)).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(r =>
+          r.getDecimal(2).doubleValue() / r.getLong(3))
+      }
+      Array.tabulate(KmK)(c => byCluster.getOrElse(c, cents(c)))
+    }
+    val c1 = step(seeds)  // Lloyd iteration 1
+    assign(c1)            // iteration 2 assignment
+  }
+
+  /** Oracle CTE chain unrolling the same two Lloyd iterations to the
+    * `a2` assignment — shared by the x18 and x39 oracles. */
+  private[queries] lazy val KmAssign2SqlCtes: String = {
+    def dists(cs: String) = (0 until KmK).map(k =>
+      s"list_sum(list_transform(range(1, 65), i -> (v[i] - $cs.c$k[i]) * (v[i] - $cs.c$k[i]))) AS d$k")
+      .mkString(",\n              ")
+    val pick = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                       WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      consts1 AS (SELECT ${(0 until KmK).map(k =>
+        s"(SELECT v FROM e WHERE vec_id = $k) AS c$k").mkString(", ")}),
+      a1 AS (
+        SELECT vec_id, v, $pick
+        FROM (SELECT vec_id, v,
+              ${dists("k")}
+              FROM e, consts1 k)),
+      m1 AS (
+        SELECT cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cluster, unnest(v) AS x, unnest(range(1, 65)) AS pos FROM a1)
+        GROUP BY cluster, pos),
+      c1l AS (SELECT cluster, list(c ORDER BY pos) AS c FROM m1 GROUP BY cluster),
+      consts2 AS (SELECT ${(0 until KmK).map(k =>
+        s"COALESCE((SELECT c FROM c1l WHERE cluster = $k), (SELECT v FROM e WHERE vec_id = $k)) AS c$k").mkString(", ")}),
+      a2 AS (
+        SELECT vec_id, v, $pick
+        FROM (SELECT vec_id, v,
+              ${dists("k")}
+              FROM e, consts2 k))"""
+  }
+
+  lazy val x18 = Q(
+    "x18_kmeans_lloyd",
+    (s, dir) => {
+      import s.implicits._
+      val a2 = kmeansAssign2(s, dir)  // iteration-2 assignment = graded output
+      val compCols = (0 until 4).map(i =>
+        round(lit(1e6) * sum(element_at($"v", i + 1).cast(kmDec)).cast("double")
+          / count(lit(1))).cast("long").as(s"c${i + 1}_ppm"))
+      a2.groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"), compCols: _*)
+        .orderBy($"cluster")
+    },
+    Some(s"""
+      WITH $KmAssign2SqlCtes
+      SELECT cluster, COUNT(*) AS n_members,
+        ${(0 until 4).map(i =>
+          s"CAST(round(1e6 * CAST(SUM(CAST(v[${i + 1}] AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c${i + 1}_ppm")
+          .mkString(",\n        ")}
+      FROM a2 GROUP BY cluster ORDER BY cluster
+    """))
+
+  // ---------------------------------------------------------------------
+  // x19 — Z-order (Morton) curve values: the clustering key behind
+  // ops.ZOrder.clusterBy (Delta/Iceberg's OPTIMIZE ZORDER BY analogue;
+  // file-skipping effect measured in ZOrderSpec). This query checks the
+  // bit-interleave expression itself against the oracle's integer
+  // arithmetic: per 16-cell z-grid bucket of the (custkey, orderkey)
+  // space, the row count and the z range.
+  lazy val x19 = Q(
+    "x19_zorder_curve",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select(graft.ops.ZOrder.zval(
+          pmod($"o_custkey", lit(256)), pmod($"o_orderkey", lit(256)), 8).as("z"))
+        .groupBy(shiftright($"z", 12).as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min($"z").as("min_z"), max($"z").as("max_z"))
+        .orderBy($"z_bucket")
+    },
+    Some {
+      // every term fully parenthesized: DuckDB's bitwise <<, & and |
+      // share one precedence level (left-associative), so a bare
+      // `a << 1 | b << 3` chain would parse as `((a << 1) | b) << 3`
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
+        s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})"))
+      s"""
+      SELECT z >> 12 AS z_bucket, COUNT(*) AS n, MIN(z) AS min_z, MAX(z) AS max_z
+      FROM (SELECT ${terms.mkString(" | ")} AS z FROM orders)
+      GROUP BY 1 ORDER BY 1
+    """
+    })
+
+  // ---------------------------------------------------------------------
+  // x38 — int8-quantized ANN: per-vector symmetric quantization
+  // (q_i = trunc(v_i * 127 / max|v|)) with integer dot-product scoring
+  // inside the same sign-bit buckets as x06. Quantization is the
+  // standard memory/bandwidth trade for large-scale retrieval — 8x
+  // fewer bytes per vector scanned — and integer arithmetic makes the
+  // score engine-exact (the int dot and int norms are exact BIGINTs;
+  // only the final sqrt/ratio touches floats, identically on both
+  // engines). trunc-toward-zero on BOTH sides: Spark's double→int cast
+  // truncates while DuckDB's CAST rounds, so the oracle spells trunc()
+  // explicitly. Rank agreement vs the float path (x06) is asserted in
+  // ExtensionsSemanticsSpec.
+  lazy val x38 = Q(
+    "x38_int8_quant_ann",
+    (s, dir) => {
+      import s.implicits._
+      def bucket(v: Column): Column = concat(
+        Seq(1, 17, 33, 49).map(i =>
+          when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      val e = emb(s, dir)
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("maxabs", array_max(transform($"v", x => abs(x))))
+        // a zero vector has no quantization scale (and no cosine):
+        // dropped on both sides
+        .filter($"maxabs" > 0)
+        .withColumn("q", expr("transform(v, x -> cast(x * 127.0D / maxabs as int))"))
+        // |q|² ≥ 127² > 0 by construction (the max element maps to ±127)
+        .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + cast(x as bigint) * x)"))
+        .withColumn("bucket", bucket($"v"))
+      val qs = e.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"), $"bucket")
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(qs), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(q, qq, (x, y) -> cast(x as bigint) * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("cos_ppm",
+          round(lit(1e6) * $"qdot" / sqrt(($"n2" * $"qn2").cast("double"))).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"qdot", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+      ), q8 AS (
+        SELECT vec_id, bucket,
+          list_transform(v, x -> CAST(trunc(x * 127.0 / maxabs) AS INT)) AS q
+        FROM e WHERE maxabs > 0
+      ), nn AS (
+        SELECT vec_id, bucket, q,
+          CAST(list_sum(list_transform(q, x -> x::BIGINT * x)) AS BIGINT) AS n2
+        FROM q8
+      ), qs AS (
+        SELECT vec_id AS query_id, bucket, q AS qq, n2 AS qn2
+        FROM nn WHERE vec_id <= 2
+      ), scored AS (
+        SELECT q.query_id, e.vec_id,
+          CAST(list_sum(list_transform(range(1, 65), i -> e.q[i]::BIGINT * q.qq[i])) AS BIGINT) AS qdot,
+          e.n2, q.qn2
+        FROM nn e JOIN qs q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+      ), ppm AS (
+        SELECT query_id, vec_id, qdot,
+          CAST(round(1e6 * qdot / sqrt(CAST(n2 * qn2 AS DOUBLE))) AS BIGINT) AS cos_ppm
+        FROM scored
+      )
+      SELECT query_id, vec_id, qdot, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM ppm)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  // ---------------------------------------------------------------------
+  // x58 — per-label embedding dispersion: how tight each label's
+  // cluster is (mean/min cosine of members to their label centroid) —
+  // the label-quality audit run before using labels for supervised
+  // filtering, and the cluster-cohesion report SemDeDup thresholds are
+  // tuned against. Determinism contract (x18's): centroid components
+  // are EXACT DECIMAL(18,8) sums cast to double, then ONE double
+  // division by the count — bit-identical in DuckDB — so the per-vector
+  // cosine inputs (and its left-to-right double fold, matching
+  // list_dot_product) are identical bits and the ppm rounding cannot
+  // straddle. Mean-of-ppm is then pure BIGINT arithmetic. Shape: one
+  // (label, dim)-keyed aggregation (bounded: labels × 64 rows), a
+  // broadcast of the 10-row centroid table, and one label-keyed final
+  // aggregation — the corpus is scanned twice, shuffled never.
+  lazy val x58 = Q(
+    "x58_label_dispersion",
+    (s, dir) => {
+      import s.implicits._
+      val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+      val e = emb(s, dir)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      val comp = e.select($"label", posexplode($"v").as(Seq("i0", "x")))
+        .groupBy($"label", $"i0")
+        .agg((sum($"x".cast(dec8)).cast("double") / count(lit(1))).as("m"))
+      val cents = comp.groupBy($"label")
+        .agg(transform(sort_array(collect_list(struct($"i0", $"m"))),
+          e0 => e0.getField("m")).as("cv"))
+      e.join(broadcast(cents), "label")
+        .withColumn("cos_ppm",
+          round(lit(1e6) * cosine($"v", $"cv")).cast("long"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cos_ppm) div count(1)").as("mean_cos_ppm"),
+          min($"cos_ppm").as("min_cos_ppm"))
+    },
+    Some("""
+      WITH comp AS (
+        SELECT label, i,
+          CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(18,8))) AS DOUBLE)
+            / COUNT(*) AS m
+        FROM embeddings, generate_series(1, 64) t(i)
+        GROUP BY label, i),
+      cl AS (SELECT label, list(m ORDER BY i) AS cv FROM comp GROUP BY label),
+      sc AS (
+        SELECT e.label,
+          CAST(round(1e6 * (list_dot_product(e.v, cl.cv) /
+            (sqrt(list_dot_product(e.v, e.v)) *
+             sqrt(list_dot_product(cl.cv, cl.cv))))) AS BIGINT) AS cos_ppm
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e
+        JOIN cl USING (label))
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(cos_ppm) // COUNT(*) AS BIGINT) AS mean_cos_ppm,
+        MIN(cos_ppm) AS min_cos_ppm
+      FROM sc GROUP BY label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x59 — k-NN label-vote audit: classify each held-out query vector by
+  // the majority label of its 5 nearest neighbors and report per-label
+  // agreement with the true label — the standard embedding-space label
+  // consistency check (a noisy-label detector at corpus scale). The
+  // query set is a deterministic 1% sample (vec_id % 100 = 0) — eval
+  // audits run brute-force over a SAMPLED query set by design, the
+  // x05 baseline shape: the corpus streams once against a broadcast of
+  // the tiny query table, and both the top-5-per-query cut and the
+  // 1-of-votes winner run on the native TopKPerKey heap operator (≤5
+  // rows per query leave each map task; ties broken on vec_id / label
+  // so every stage is a total order).
+  lazy val x59 = Q(
+    "x59_knn_label_vote",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter(pmod($"vec_id", lit(100)) === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+          $"label".as("true_label"))
+      val scored = e.filter(pmod($"vec_id", lit(100)) =!= 0)
+        .join(broadcast(q))
+        .select($"q_id", $"true_label", $"label", $"vec_id",
+          round(lit(1e6) * cosineF($"embedding", $"qv")).cast("long")
+            .as("cos_ppm"))
+      val top5 = graft.ops.TopK.perKeyPlanned(scored, Seq("q_id"),
+        Seq(("cos_ppm", false), ("vec_id", true)), 5)
+      val votes = top5.groupBy($"q_id", $"true_label", $"label")
+        .agg(count(lit(1)).as("votes"))
+      val win = graft.ops.TopK.perKeyPlanned(votes, Seq("q_id"),
+        Seq(("votes", false), ("label", true)), 1)
+      win.groupBy($"true_label")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when($"label" === $"true_label", 1L).otherwise(0L))
+            .as("n_correct"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id % 100 = 0),
+      c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id % 100 <> 0),
+      sc AS (
+        SELECT q.q_id, q.true_label, c.label, c.vec_id,
+          CAST(round(1e6 * (list_dot_product(c.v, q.qv) /
+            (sqrt(list_dot_product(c.v, c.v)) *
+             sqrt(list_dot_product(q.qv, q.qv))))) AS BIGINT) AS cos_ppm
+        FROM c CROSS JOIN q),
+      top5 AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_ppm DESC, vec_id) AS rn
+          FROM sc) WHERE rn <= 5),
+      v AS (
+        SELECT q_id, true_label, label, COUNT(*) AS votes
+        FROM top5 GROUP BY 1, 2, 3),
+      w AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+          FROM v) WHERE rn = 1)
+      SELECT true_label, COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+      FROM w GROUP BY true_label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x61 — prefix-dimension energy audit ("how many dims do these
+  // embeddings actually need?"): for k ∈ {16, 32, 48}, the fraction of
+  // each vector's squared norm carried by its first k components —
+  // the measurement behind matryoshka-style truncation and storage
+  // down-casting decisions. Pure narrow map (explode 3 k-values per
+  // vector, two left-to-right double folds — identical bit pattern to
+  // DuckDB's list_dot_product on both the slice and the full vector)
+  // + one 3-group aggregation of ppm BIGINTs. No shuffle of vectors;
+  // the only shuffled rows are (k, ppm) pairs.
+  lazy val x61 = Q(
+    "x61_dim_energy",
+    (s, dir) => {
+      import s.implicits._
+      def en(c: Column): Column =
+        aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+      emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        // full-norm fold once per VECTOR, before the 3-way k explode
+        .withColumn("den", en($"v"))
+        .select($"vec_id", $"v", $"den",
+          explode(array(lit(16), lit(32), lit(48))).as("k"))
+        .withColumn("energy_ppm",
+          round(lit(1e6) * en(slice($"v", lit(1), $"k")) / $"den")
+            .cast("long"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(energy_ppm) div count(1)").as("mean_energy_ppm"),
+          min($"energy_ppm").as("min_energy_ppm"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (
+        SELECT vec_id, k,
+          CAST(round(1e6 * list_dot_product(v[1:k], v[1:k])
+               / list_dot_product(v, v)) AS BIGINT) AS energy_ppm
+        FROM e CROSS JOIN (SELECT unnest([16, 32, 48]) AS k) ks)
+      SELECT k, COUNT(*) AS n_vecs,
+        CAST(SUM(energy_ppm) // COUNT(*) AS BIGINT) AS mean_energy_ppm,
+        MIN(energy_ppm) AS min_energy_ppm
+      FROM x GROUP BY k
+    """))
+
+  // ---------------------------------------------------------------------
+  // x67 — embedding health audit: per-label vector counts, zero-vector
+  // tallies, and min/max squared-norm — the sanity report run before
+  // any ANN index build or semantic dedup (a batch of zero or
+  // exploded-norm vectors is how a broken encoder shows up at corpus
+  // scale). One narrow map (the per-row norm is a left-to-right fold,
+  // bit-identical to DuckDB's list_dot_product — the x58/x05 contract)
+  // then one keyed aggregation; min/max over bit-identical per-row
+  // values are order-free, so no doubles cross a group boundary.
+  lazy val x67 = Q(
+    "x67_embedding_health",
+    (s, dir) => {
+      import s.implicits._
+      emb(s, dir)
+        .select($"label", $"embedding".cast("array<double>").as("v"))
+        .withColumn("norm2_ppm",
+          round(lit(1e6) * aggregate(transform($"v", x => x * x),
+            lit(0.0), (a, x) => a + x)).cast("long"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"norm2_ppm" === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min($"norm2_ppm").as("min_norm2_ppm"),
+          max($"norm2_ppm").as("max_norm2_ppm"))
+    },
+    Some("""
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CASE WHEN norm2_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero,
+        MIN(norm2_ppm) AS min_norm2_ppm,
+        MAX(norm2_ppm) AS max_norm2_ppm
+      FROM (
+        SELECT label,
+          CAST(round(1e6 * list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+               AS BIGINT) AS norm2_ppm
+        FROM embeddings)
+      GROUP BY label
+    """))
+
+  // ---------------------------------------------------------------------
+  // x72 — product-quantization ANN (Jégou/Douze/Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): the
+  // memory-bandwidth scale path of the ANN family. The 64-dim vector is
+  // cut into M=4 subspaces of 16 dims; each subspace gets its own K=4
+  // codebook (seeded from the 4 lowest vec_ids' subvectors + one Lloyd
+  // refinement — x18's exact-decimal centroid contract, so both engines
+  // iterate to bit-identical codebooks), and every vector is ENCODED as
+  // its per-subspace nearest-centroid indexes: 4 × 2 bits = one byte
+  // replaces 256 bytes of floats. Search is asymmetric distance
+  // computation (ADC): the query stays un-quantized, its 16 distances
+  // to every codebook centroid become a broadcast lookup table (M·K
+  // doubles — driver-side literals, the same tiny-state pattern as
+  // x18), and scanning a candidate costs M table adds instead of 64
+  // multiply-accumulates. At 100 TB this is what makes exhaustive
+  // re-rank feasible: the codes table is 64× smaller than the vectors,
+  // the scan is one narrow map over it, and the codebook training
+  // touches each vector once per Lloyd round with a 256-row shuffle —
+  // IVF bucketing (x12) composes in front of it for the full IVFADC
+  // system. The train/encode/ADC machinery is the parametric
+  // [[graft.ops.ProductQuantizer]]; this query runs it at the
+  // oracle-tractable shape (M=4, K=4 — 2-bit codes unroll to readable
+  // SQL), and PqAnnSpec measures recall at a production shape (m=8,
+  // k=16) through the same code path. Determinism: codebooks via
+  // DECIMAL(18,8) sums; every distance is the same left-fold (x-y)² on
+  // both sides; nearest-centroid ties break to the lowest index in
+  // both engines; ranks order by the ROUNDED ppm (ties by vec_id) so a
+  // last-ulp double can't flip an order the oracle disagrees with.
+  private[queries] lazy val PqM = 4
+  private[queries] lazy val PqK = 4
+  private[queries] lazy val PqD = 16
+
+  lazy val x72 = Q(
+    "x72_pq_ann",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      // oracle-tractable shape: K=4 unrolls to readable SQL; the op is
+      // parametric and PqAnnSpec measures recall at a production shape
+      // (m=8, k=16) the same code path serves
+      val model = graft.ops.ProductQuantizer.train(
+        e, "vec_id", "v", dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
+      val codes = graft.ops.ProductQuantizer.encode(e, "v", model).drop("v")
+      val queryRows = e.filter($"vec_id" <= 2).orderBy($"vec_id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      // batch-query scoring shape: ONE scan of the code table whatever
+      // |queries| is — each query ships its m×k ADC LUT in a broadcast
+      // frame and every scanned code row scores against its joined LUT
+      // with m element_at adds (a per-query unionByName of literal-LUT
+      // branches would re-scan the codes and grow the driver plan per
+      // query)
+      val qdf = queryRows.toSeq.map { case (qi, q) =>
+        (qi, graft.ops.ProductQuantizer.adcLutRows(q, model))
+      }.toDF("query_id", "__lut")
+      val perQuery = codes.crossJoin(broadcast(qdf))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          concat((0 until PqM).map(m =>
+            col(s"pq_code$m").cast("string")): _*).as("pq_code"),
+          round(lit(1e6) *
+              graft.ops.ProductQuantizer.adcDistanceFromLut($"__lut", model))
+            .cast("long").as("adc_ppm"))
+      val w = Window.partitionBy($"query_id").orderBy($"adc_ppm".asc, $"vec_id")
+      perQuery.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(PqOracleSql))
+
+  private[queries] def pqOff(m: Int) = m * PqD
+
+  /** PQ oracle CTE builder — the unrolled seed-assign → decimal-mean
+    * refine → encode chain (x18's KmAssign2SqlCtes pattern at PQ
+    * shape) over `src`, a CTE exposing `(vec_id, $vcol)` with `$vcol`
+    * a 64-dim DOUBLE list. Emits `${p}e`, `${p}seeds`,
+    * `${p}a/m/cl/r$m`, and `${p}codes(vec_id, code0..3)`; the caller
+    * writes its own scoring tail referencing `${p}codes` and
+    * `${p}r$m`. Shared by x72 (raw vectors) and x75 (IVF residuals —
+    * the codebooks train on whatever `src` holds). */
+  private[queries] def pqSqlCtes(p: String, src: String, vcol: String): String = {
+    def off = pqOff _
+    // distance of v's subspace m to seed k's matching subvector
+    def dSeed(m: Int, k: Int) =
+      s"list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+      s"(v[${off(m)} + i] - k.s$k[${off(m)} + i]) * (v[${off(m)} + i] - k.s$k[${off(m)} + i])))"
+    def pick = """CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                       WHEN d2 <= d3 THEN 2 ELSE 3 END"""
+    val perSub = (0 until PqM).map { m =>
+      s"""${p}a$m AS (
+        SELECT vec_id, v, $pick AS c
+        FROM (SELECT vec_id, v,
+              ${(0 until PqK).map(k => s"${dSeed(m, k)} AS d$k").mkString(",\n              ")}
+              FROM ${p}e, ${p}seeds k)),
+      ${p}m$m AS (
+        SELECT c AS cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS cc
+        FROM (SELECT c, unnest(v[${off(m) + 1}:${off(m) + PqD}]) AS x,
+                     unnest(range(1, ${PqD + 1})) AS pos FROM ${p}a$m)
+        GROUP BY c, pos),
+      ${p}cl$m AS (SELECT cluster, list(cc ORDER BY pos) AS cc FROM ${p}m$m GROUP BY cluster),
+      ${p}r$m AS (SELECT ${(0 until PqK).map(k =>
+          s"COALESCE((SELECT cc FROM ${p}cl$m WHERE cluster = $k), " +
+          s"(SELECT v[${off(m) + 1}:${off(m) + PqD}] FROM ${p}sr WHERE rn = ${k + 1})) AS r$k")
+          .mkString(", ")})"""
+    }.mkString(",\n      ")
+    // distance of v's subspace m to refined centroid k (16-long list)
+    def dRef(m: Int, k: Int) =
+      s"list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+      s"(v[${off(m)} + i] - t$m.r$k[i]) * (v[${off(m)} + i] - t$m.r$k[i])))"
+    val codeCols = (0 until PqM).map { m =>
+      s"""CASE WHEN d${m}0 <= d${m}1 AND d${m}0 <= d${m}2 AND d${m}0 <= d${m}3 THEN 0
+               WHEN d${m}1 <= d${m}2 AND d${m}1 <= d${m}3 THEN 1
+               WHEN d${m}2 <= d${m}3 THEN 2 ELSE 3 END AS code$m"""
+    }.mkString(",\n          ")
+    val refDists = (for (m <- 0 until PqM; k <- 0 until PqK)
+      yield s"${dRef(m, k)} AS d$m$k").mkString(",\n              ")
+    s"""${p}e AS (SELECT vec_id, $vcol AS v FROM $src),
+      ${p}sr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM ${p}e),
+      ${p}seeds AS (SELECT ${(0 until PqK).map(k =>
+        s"(SELECT v FROM ${p}sr WHERE rn = ${k + 1}) AS s$k").mkString(", ")}),
+      $perSub,
+      ${p}codes AS (
+        SELECT vec_id,
+          $codeCols
+        FROM (SELECT vec_id,
+              $refDists
+              FROM ${p}e, ${p}r0 t0, ${p}r1 t1, ${p}r2 t2, ${p}r3 t3))"""
+  }
+
+  /** x72's oracle: the builder chain over the raw vectors + ADC tail. */
+  private[queries] lazy val PqOracleSql: String = {
+    def off = pqOff _
+    def adcTerm(m: Int) =
+      s"""(CASE c.code$m ${(0 until PqK).map(k =>
+          s"WHEN $k THEN list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+          s"(q.qv[${off(m)} + i] - t$m.r$k[i]) * (q.qv[${off(m)} + i] - t$m.r$k[i])))")
+          .mkString(" ")} END)"""
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ${pqSqlCtes("pq", "e", "v")},
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          (c.code0::VARCHAR || c.code1::VARCHAR || c.code2::VARCHAR || c.code3::VARCHAR) AS pq_code,
+          CAST(round(1e6 * (${(0 until PqM).map(adcTerm).mkString(" + ")})) AS BIGINT) AS adc_ppm
+        FROM pqcodes c, qs q, pqr0 t0, pqr1 t1, pqr2 t2, pqr3 t3
+        WHERE c.vec_id <> q.query_id)
+      SELECT query_id, vec_id, pq_code, adc_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_ppm, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
+  }
+
+  // ---------------------------------------------------------------------
+  // x75 — IVFADC: the full published retrieval system (Jégou/Douze/
+  // Schmid, TPAMI 2011 §IV) the ANN family builds toward — IVF coarse
+  // quantization (x12's inverted lists: SAME fixed centroids, SAME
+  // cosine assignment) in front of product quantization of the
+  // RESIDUAL v − c(list) (x72's parametric machinery, codebooks
+  // trained on residuals), scored by per-(query, probed-list) ADC:
+  // the query is residualized against each probed list's centroid
+  // before the lookup-table scan. Residuals are the paper's point —
+  // after the coarse centroid is subtracted, per-subspace variance
+  // drops and the same K covers the remainder finer than it covers
+  // raw vectors. Scale shape: the scan reads |corpus|·probes/k_coarse
+  // rows of ONE byte of codes each; codebooks, probe table, and every
+  // per-(query,list) LUT are driver literals (M·K doubles per pair).
+  // Determinism: the x72 contract end-to-end, with the query residual
+  // computed subtract-then-fold in the same order on both engines.
+  /** Shared x75/x79 pipeline up to the ADC-scored candidate frame:
+    * IVF assignment (narrow map), residual PQ train/encode, and the
+    * broadcast probe-LUT scan. Returns (e, scored) where `scored`
+    * carries (query_id, vec_id, list_id, adc_ppm) for every candidate
+    * in a probed list. */
+  private[queries] def ivfadcScored(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // map-side inverted-list assignment via the shared IVF kit (see
+    // ivfCentroidRows/ivfRanked above x12): no corpus×4 join, no
+    // window shuffle — the assignment leg is a pure narrow map
+    val centRows = ivfCentroidRows(e)
+    val assigned = e.withColumn("cs", ivfRanked(centRows, $"v"))
+      .withColumn("list_id", -element_at($"cs", 1).getField("nid"))
+    val lists = assigned.select($"vec_id", $"list_id",
+      graft.ops.IvfKit.residual(centRows, $"list_id", $"v").as("rv"))
+    val model = graft.ops.ProductQuantizer.train(
+      lists.select($"vec_id", $"rv"), "vec_id", "rv",
+      dim = PqM * PqD, m = PqM, k = PqK, rounds = 1)
+    val codes = graft.ops.ProductQuantizer.encode(lists, "rv", model)
+      .drop("rv")
+    // each query's top-2 lists through the SAME expression path (so
+    // ordering is ulp-identical), then residualized on the driver
+    val centMap = centRows.toMap
+    val probeRows = assigned.filter($"vec_id" <= 2)
+      .select($"vec_id", $"v", explode(slice($"cs", 1, IvfProbes)).as("ps"))
+      .select($"vec_id", $"v", (-$"ps.nid").as("list_id"))
+      .collect()
+      .map { r =>
+        val qv: Array[Double] = r.getSeq[Double](1).toArray
+        val li = r.getLong(2)
+        val cv = centMap(li)
+        (r.getLong(0), li,
+          Array.tabulate(qv.length)(i => qv(i) - cv(i)))
+      }
+    // each (query, probed list) pair carries its residual's m×k ADC
+    // LUT in the broadcast probe frame — ONE scan of the code table
+    // whatever the probe count, no per-pair when/coalesce chain
+    // growing the driver plan
+    val probes = probeRows.toSeq.map { case (qi, li, rq) =>
+      (qi, li, graft.ops.ProductQuantizer.adcLutRows(rq, model))
+    }.toDF("query_id", "list_id", "__lut")
+    val scored = codes
+      .join(broadcast(probes), Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc_ppm", round(lit(1e6) *
+        graft.ops.ProductQuantizer.adcDistanceFromLut($"__lut", model))
+        .cast("long"))
+      .select($"query_id", $"vec_id", $"list_id", $"adc_ppm")
+    (e, scored)
+  }
+
+  lazy val x75 = Q(
+    "x75_ivfadc",
+    (s, dir) => {
+      import s.implicits._
+      val (_, scored) = ivfadcScored(s, dir)
+      val w = Window.partitionBy($"query_id").orderBy($"adc_ppm".asc, $"vec_id")
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"list_id", $"adc_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcOracleSql))
+
+  /** Shared x75/x79 oracle CTE chain through `scored` — x12's
+    * assignment CTEs → residuals → the PQ builder chain over them →
+    * per-(query, list) residualized ADC scoring. */
+  private[queries] lazy val ivfAdcScoredSqlCtes: String = {
+    def off = pqOff _
+    def adcTerm(m: Int) =
+      s"""(CASE c.code$m ${(0 until PqK).map(k =>
+          s"WHEN $k THEN list_sum(list_transform(range(1, ${PqD + 1}), i -> " +
+          s"((p.qv[${off(m)} + i] - p.cv[${off(m)} + i]) - t$m.r$k[i]) * " +
+          s"((p.qv[${off(m)} + i] - p.cv[${off(m)} + i]) - t$m.r$k[i])))")
+          .mkString(" ")} END)"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e
+        WHERE vec_id IN (${IvfCentroids.mkString(", ")})
+      ), assign AS (
+        SELECT e.vec_id, e.v, c.cent_id, c.cv,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.cent_id) AS crank
+        FROM e, cents c
+      ), lists AS (
+        SELECT vec_id, cent_id AS list_id,
+          list_transform(range(1, ${PqM * PqD + 1}), i -> v[i] - cv[i]) AS rv
+        FROM assign WHERE crank = 1
+      ),
+      ${pqSqlCtes("rq", "lists", "rv")},
+      probes AS (
+        SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, cv
+        FROM assign WHERE vec_id <= 2 AND crank <= $IvfProbes
+      ),
+      scored AS (
+        SELECT p.query_id, c.vec_id, l.list_id,
+          CAST(round(1e6 * (${(0 until PqM).map(adcTerm).mkString(" + ")})) AS BIGINT) AS adc_ppm
+        FROM rqcodes c, lists l, probes p, rqr0 t0, rqr1 t1, rqr2 t2, rqr3 t3
+        WHERE l.vec_id = c.vec_id AND l.list_id = p.list_id
+          AND c.vec_id <> p.query_id)"""
+  }
+
+  /** x75's oracle: the shared scored chain + top-10 ADC rank tail. */
+  private[queries] lazy val IvfAdcOracleSql: String =
+    s"""
+      WITH $ivfAdcScoredSqlCtes
+      SELECT query_id, vec_id, list_id, adc_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_ppm, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
+
+  // ---------------------------------------------------------------------
+  // x78 — IVFADC answered from the PERSISTED index: the same retrieval
+  // system as x75, but the expensive half (coarse assignment, residual
+  // PQ training, corpus encode) is materialized ONCE per dataset
+  // version into a versioned commit-log table ([[graft.ops.AnnIndex]]
+  // under Staging's fingerprinted publication) and every query batch
+  // pays only a probe-LUT broadcast + one scan of the (≈32× smaller)
+  // codes table. This is the operating shape a 100 TB embedding store
+  // requires — x75 deliberately remains the self-contained pipeline
+  // (it IS the training/encode price, and its oracle grades that
+  // machinery); x78 grades that the staged index answers
+  // byte-identically (same oracle), and AnnIndexSpec pins incremental
+  // maintenance (per-batch append == full re-encode) on top.
+  lazy val x78 = Q(
+    "x78_ivfadc_staged",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val idxPath = graft.ops.Staging.ensurePath(
+          "ann_index", dir, Seq("embeddings")) { p =>
+        graft.ops.AnnIndex.build(s, p.toString, e, "vec_id", "v",
+          centroidIds = IvfCentroids, dim = PqM * PqD, m = PqM, k = PqK,
+          rounds = 1)
+        ()
+      }
+      val model = graft.ops.AnnIndex.readModel(s, idxPath)
+      val probes = graft.ops.AnnIndex.queryProbes(
+        e.filter($"vec_id" <= 2), "vec_id", "v", model, IvfProbes)
+      graft.ops.AnnIndex.adcTopK(s, idxPath, probes, model, 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcOracleSql))
+
+  // ---------------------------------------------------------------------
+  // x79 — IVFADC + exact re-rank (the paper's standard "refine" stage):
+  // ADC quantization error makes the top of the candidate list noisy —
+  // on a structure-free corpus VQ recall@10 is the family's weak face —
+  // so take the ADC top-R shortlist per query and re-rank it by EXACT
+  // cosine against the raw vectors. Cost shape: R exact distances per
+  // query (the corpus scan is filtered by a broadcast of the R·Q-row
+  // shortlist), never a corpus re-rank — the published recipe for
+  // buying back recall at a fixed small exact-compute budget.
+  // PqAnnSpec measures recall@10 strictly above plain IVFADC's on the
+  // fixture.
+  private[queries] lazy val RefineR = 30
+
+  lazy val x79 = Q(
+    "x79_ivfadc_refine",
+    (s, dir) => {
+      import s.implicits._
+      val (e, scored) = ivfadcScored(s, dir)
+      val wAdc = Window.partitionBy($"query_id")
+        .orderBy($"adc_ppm".asc, $"vec_id")
+      val shortlist = scored
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter($"adc_rank" <= RefineR)
+        .select($"query_id", $"vec_id", $"adc_ppm")
+      val qvs = e.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))
+      val wCos = Window.partitionBy($"query_id")
+        .orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(qvs), Seq("query_id"))
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"adc_ppm", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcRefineOracleSql))
+
+  /** x79's oracle: the shared scored chain + shortlist + exact-cosine
+    * re-rank tail. */
+  private[queries] lazy val IvfAdcRefineOracleSql: String =
+    s"""
+      WITH $ivfAdcScoredSqlCtes,
+      shortlist AS (
+        SELECT query_id, vec_id, adc_ppm FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_ppm, vec_id) AS adc_rank
+          FROM scored)
+        WHERE adc_rank <= $RefineR),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 2),
+      refined AS (
+        SELECT s.query_id, s.vec_id, s.adc_ppm,
+          CAST(round(1e6 * (list_dot_product(v.v, q.qv) /
+            (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.qv, q.qv)))))
+            AS BIGINT) AS cos_ppm
+        FROM shortlist s
+        JOIN e v ON v.vec_id = s.vec_id
+        JOIN qs q ON q.query_id = s.query_id)
+      SELECT query_id, vec_id, adc_ppm, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM refined)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
+
+  // ---------------------------------------------------------------------
+  // x80 — refine served from the PERSISTED index: x79's shortlist +
+  // exact-re-rank tail answered from the staged AnnIndex (x78's build,
+  // shared via the same Staging key — first consumer pays it once)
+  // instead of the self-contained train/encode pipeline. This is the
+  // production query path end-to-end: probe LUTs broadcast against the
+  // staged codes table (one scan), ADC top-R per query, R exact
+  // cosines against the raw vectors via a broadcast shortlist join.
+  // Same oracle as x79 — the staged route must be byte-identical.
+  lazy val x80 = Q(
+    "x80_ivfadc_staged_refine",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val idxPath = graft.ops.Staging.ensurePath(
+          "ann_index", dir, Seq("embeddings")) { p =>
+        graft.ops.AnnIndex.build(s, p.toString, e, "vec_id", "v",
+          centroidIds = IvfCentroids, dim = PqM * PqD, m = PqM, k = PqK,
+          rounds = 1)
+        ()
+      }
+      val model = graft.ops.AnnIndex.readModel(s, idxPath)
+      val queries = e.filter($"vec_id" <= 2)
+      val probes = graft.ops.AnnIndex.queryProbes(
+        queries, "vec_id", "v", model, IvfProbes)
+      val shortlist = graft.ops.AnnIndex
+        .adcTopK(s, idxPath, probes, model, RefineR)
+        .select($"query_id", $"vec_id", $"adc_ppm")
+      val qvs = queries.select($"vec_id".as("query_id"), $"v".as("qv"))
+      val wCos = Window.partitionBy($"query_id")
+        .orderBy($"cos_ppm".desc, $"vec_id")
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(qvs), Seq("query_id"))
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"adc_ppm", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(IvfAdcRefineOracleSql))
+
+  // ---------------------------------------------------------------------
+  // x86 — IVF retrieval from a TRAINED coarse quantizer: the production
+  // default AnnIndex.buildTrained rests on ([[graft.ops.KMeans]] —
+  // deterministic Lloyd whose ASSIGNMENT is the same cosine-desc/
+  // id-asc-tie expression the index probes with and whose UPDATE is an
+  // exact DECIMAL(18,8) mean), graded cross-engine: the oracle replays
+  // one training round symbolically (seeds = the 4 lowest-vec_id rows
+  // via ROW_NUMBER — the id-space-agnostic x72 seed contract — then
+  // cosine argmax with ties to the lowest centroid index, then the
+  // decimal-mean update with empty-cluster fallback, the x18 CTE
+  // pattern) and serves x12's inverted-list top-10 chain from the
+  // TRAINED centroids. This pins that trained-quantizer serving — not
+  // just fixture-row serving — is bit-reproducible across engines,
+  // which is what lets a drift-triggered rebuild (AnnIndex.Ingestor)
+  // replace the quantizer in production without a behavioral seam.
+  // Scale shape: identical to x12 (centroid state is k·dim doubles —
+  // kilobytes — collected once and shipped as literals; assignment is
+  // a pure narrow map; the probe join broadcasts).
+  lazy val x86 = Q(
+    "x86_ivf_trained_centroids",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).withColumn("v", $"embedding".cast("array<double>"))
+      val cents = graft.ops.KMeans.train(
+        e.select($"vec_id", $"v"), "vec_id", "v", k = 4, rounds = 1)
+      val assigned = e.withColumn("cs", ivfRanked(cents, $"v"))
+      val lists = assigned
+        .select($"vec_id", $"v",
+          (-element_at($"cs", 1).getField("nid")).as("list_id"))
+      val probes = assigned.filter($"vec_id" <= 2)
+        .select($"vec_id".as("query_id"), $"v".as("qv"),
+          explode(slice($"cs", 1, IvfProbes)).as("ps"))
+        .select($"query_id", $"qv", (-$"ps.nid").as("list_id"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos_ppm".desc, $"vec_id")
+      lists.join(broadcast(probes), Seq("list_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("cos_ppm", round(lit(1e6) * cosine($"v", $"qv")).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"vec_id", $"list_id", $"cos_ppm", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      def cosTo(ck: String) =
+        s"""list_dot_product(v, $ck) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($ck, $ck)))"""
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      -- seeds: the 4 lowest-id rows, id-space-agnostic (x72 contract)
+      sr AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e),
+      seeds AS (SELECT ${(0 until 4).map(k =>
+        s"(SELECT v FROM sr WHERE rn = ${k + 1}) AS s$k").mkString(", ")}),
+      -- one Lloyd round, COSINE assignment (argmax, ties to the lowest
+      -- centroid index — the sort_array((cos, -cid) DESC) tie rule)
+      a1 AS (
+        SELECT vec_id, v,
+          CASE WHEN cos0 >= cos1 AND cos0 >= cos2 AND cos0 >= cos3 THEN 0
+               WHEN cos1 >= cos2 AND cos1 >= cos3 THEN 1
+               WHEN cos2 >= cos3 THEN 2 ELSE 3 END AS cluster
+        FROM (SELECT vec_id, v,
+              ${(0 until 4).map(k => s"${cosTo(s"k.s$k")} AS cos$k")
+                .mkString(",\n              ")}
+              FROM e, seeds k)),
+      -- exact DECIMAL(18,8) mean per (cluster, position)
+      m1 AS (
+        SELECT cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cluster, unnest(v) AS x, unnest(range(1, 65)) AS pos
+              FROM a1)
+        GROUP BY cluster, pos),
+      c1l AS (SELECT cluster, list(c ORDER BY pos) AS c FROM m1
+              GROUP BY cluster),
+      -- an emptied cluster keeps its seed (KMeans.train contract)
+      cents AS (SELECT * FROM (${(0 until 4).map(k =>
+        s"""SELECT $k AS cent_id,
+            COALESCE((SELECT c FROM c1l WHERE cluster = $k),
+                     (SELECT s$k FROM seeds)) AS cv""").mkString(" UNION ALL ")}) u),
+      assign AS (
+        SELECT e.vec_id, e.v, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+            c.cent_id) AS crank
+        FROM e, cents c
+      ), lists AS (
+        SELECT vec_id, v, cent_id AS list_id FROM assign WHERE crank = 1
+      ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_id AS list_id
+        FROM assign WHERE vec_id <= 2 AND crank <= $IvfProbes
+      ), scored AS (
+        SELECT p.query_id, l.vec_id, l.list_id,
+          CAST(round(1e6 * list_dot_product(l.v, p.qv) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(p.qv, p.qv)))) AS BIGINT) AS cos_ppm
+        FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+      )
+      SELECT query_id, vec_id, list_id, cos_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_ppm DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """})
+
+}

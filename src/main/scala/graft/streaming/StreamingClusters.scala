@@ -117,8 +117,9 @@ object StreamingClusters {
     * path below — identical fixpoint, spec-pinned on both routes — so
     * nothing breaks when a backfill replays a huge batch. */
   def updateBatchMaintained(store: String,
-      driverFoldMaxEdges: Int = 200000)(batch: DataFrame,
-                                        batchId: Long): Unit = {
+      driverFoldMaxEdges: Int = 200000,
+      nBuckets: Int = DimStore.NumBuckets)(batch: DataFrame,
+                                           batchId: Long): Unit = {
     val spark = batch.sparkSession
     // the edge frame may be consumed by several actions below (routing
     // probe, the rep-map joins, the contraction, the upsert), and its
@@ -139,8 +140,9 @@ object StreamingClusters {
       if (head.isEmpty) ()
       else if (head.length <= driverFoldMaxEdges)
         foldDriver(spark, store,
-          head.map(r => (r.getLong(0), r.getLong(1))), batchId)
-      else updateBatchMaintainedDistributed(spark, store, incr, batchId)
+          head.map(r => (r.getLong(0), r.getLong(1))), batchId, nBuckets)
+      else updateBatchMaintainedDistributed(spark, store, incr, batchId,
+        nBuckets)
     } finally { incr.unpersist(); () }
   }
 
@@ -148,7 +150,7 @@ object StreamingClusters {
     * Semantics identical to the distributed route (component minima
     * over batch edges ∪ history star edges). */
   private def foldDriver(spark: SparkSession, store: String,
-      edges: Array[(Long, Long)], batchId: Long): Unit = {
+      edges: Array[(Long, Long)], batchId: Long, nBuckets: Int): Unit = {
     import spark.implicits._
     val endpoints = edges.iterator
       .flatMap(e => Iterator(e._1, e._2)).toSet
@@ -193,7 +195,7 @@ object StreamingClusters {
     val delta = changedMembers.fold(delta0)(_.unionByName(delta0))
     DimStore.upsert(spark, store,
       delta.withColumn("ver", lit(batchId)), pk = "id",
-      versionCol = "ver")
+      versionCol = "ver", nBuckets = nBuckets)
   }
 
   /** Component-minimum labels driver-side: path-halving union-find,
@@ -221,7 +223,8 @@ object StreamingClusters {
   }
 
   private def updateBatchMaintainedDistributed(spark: SparkSession,
-      store: String, incr: DataFrame, batchId: Long): Unit = {
+      store: String, incr: DataFrame, batchId: Long,
+      nBuckets: Int): Unit = {
     DimStore.readIfExists(spark, store)
       .map(_.select(col("id"), col("rep"))) match {
       case None =>
@@ -229,7 +232,7 @@ object StreamingClusters {
           ConnectedComponents.starContractionReleasable(incr)
         try DimStore.upsert(spark, store,
           labels.withColumn("ver", lit(batchId)), pk = "id",
-          versionCol = "ver")
+          versionCol = "ver", nBuckets = nBuckets)
         finally { labels.unpersist(); release(); () }
       case Some(old) =>
         // endpoints → serving reps (unseen ids map to themselves). The
@@ -267,7 +270,7 @@ object StreamingClusters {
           DimStore.upsert(spark, store,
             changedMembers.unionByName(newNodes)
               .withColumn("ver", lit(batchId)),
-            pk = "id", versionCol = "ver")
+            pk = "id", versionCol = "ver", nBuckets = nBuckets)
         } finally { repLabels.unpersist(); release(); () }
     }
   }

@@ -217,12 +217,16 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     val h0 = graft.ops.DimStore.history(path + "/codes")
     val m0 = AnnIndex.maintain(s, path, maxFilesPerBucket = 2,
       apply = false)
-    (m0.rebucketTo.isDefined || m0.compactRecommended) shouldBe true
+    (m0.codes.rebucketTo.isDefined || m0.codes.compactRecommended) shouldBe true
     graft.ops.DimStore.history(path + "/codes") shouldBe h0
     // applied + vacuum: layout heals, history prunes, content identical
     val m1 = AnnIndex.maintain(s, path, maxFilesPerBucket = 2,
       vacuumKeepLast = 1, vacuumGraceMillis = 0L)
-    m1.applied should not be empty
+    m1.codes.applied should not be empty
+    // the balance audit rides along: this fixture's lists are all
+    // populated and nowhere near the skew threshold
+    m1.occupancy.nLists shouldBe Cents.size
+    m1.occupancy.rows shouldBe before.size.toLong
     codeRows(AnnIndex.codes(s, path)) shouldBe before
     graft.ops.DimStore.history(path + "/codes").size shouldBe 1
     // the frozen model survives its vacuum bit-exactly
@@ -391,5 +395,49 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     val bad = AnnIndex.append(s, path, drifted, "vec_id", "v", ver = 3L)
     bad.rebuildRecommended shouldBe true
     bad.ratio.isPosInfinity shouldBe true
+  }
+
+  test("occupancy audit: a skewed coarse quantizer is flagged for " +
+       "re-train; a balanced one is not") {
+    val s = spark
+    import s.implicits._
+    // four well-separated anchor directions; the corpus piles 91 of
+    // 100 vectors onto anchor 0 — the hot-list shape a stale coarse
+    // quantizer produces when the corpus distribution narrows (at
+    // 100 TB the hot list's probe IS a partial corpus scan)
+    def anchor(a: Int, id: Long): Seq[Double] =
+      Seq.tabulate(64)(i =>
+        (if (i % 4 == a) 1.0 else 0.02) +
+          1e-3 * math.sin(id.toDouble * (i + 1)))
+    val skewed = (
+      (0 until 4).map(a => VecRow(a.toLong, anchor(a, a.toLong))) ++
+      (4 until 95).map(i => VecRow(i.toLong, anchor(0, i.toLong))) ++
+      (95 until 101).map(i => VecRow(i.toLong, anchor(1 + i % 3, i.toLong)))
+    ).toDF()
+    val skewPath = Files.createTempDirectory("ann_occ_skew").toString + "/idx"
+    AnnIndex.build(s, skewPath, skewed, "vec_id", "v",
+      centroidIds = Seq(0L, 1L, 2L, 3L), dim = 64, m = 4, k = 4,
+      rounds = 1)
+    val occ = AnnIndex.occupancy(s, skewPath, skewFactor = 3.0)
+    occ.nLists shouldBe 4
+    occ.rows shouldBe 101L
+    occ.maxRows should be >= 92L // anchor-0 list: 91 piles + centroid 0
+    occ.maxMeanRatio should be > 3.0
+    occ.retrainRecommended shouldBe true
+    // and the report rides maintain() — the cadence hook a streaming
+    // deployment actually runs
+    AnnIndex.maintain(s, skewPath, occupancySkewFactor = 3.0)
+      .occupancy.retrainRecommended shouldBe true
+
+    // balanced control: same corpus spread evenly over the anchors
+    val balanced = (0 until 100).map(i =>
+      VecRow(i.toLong, anchor(i % 4, i.toLong))).toDF()
+    val balPath = Files.createTempDirectory("ann_occ_bal").toString + "/idx"
+    AnnIndex.build(s, balPath, balanced, "vec_id", "v",
+      centroidIds = Seq(0L, 1L, 2L, 3L), dim = 64, m = 4, k = 4,
+      rounds = 1)
+    val bal = AnnIndex.occupancy(s, balPath, skewFactor = 3.0)
+    bal.maxMeanRatio should be < 1.5
+    bal.retrainRecommended shouldBe false
   }
 }

@@ -155,4 +155,137 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
       codeSet(AnnIndex.codes(s, freshPath))
     AnnIndex.fsck(s, path).consistent shouldBe true
   }
+
+  test("staged rebuild: the build window never blocks ingest — the old " +
+       "index keeps serving, during-window batches stay searchable and " +
+       "survive the flip, and the flipped index equals an inline " +
+       "rebuild over the same snapshot") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_staged").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val oldBuildVer = AnnIndex.readModel(s, path).buildVer
+
+    // the corpus snapshot a real pipeline would read at rebuild start
+    val snapshot = seed ++ rows(60 until 90) ++ drifted(1000 until 1060)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v",
+      AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4, dim = 64,
+        m = 4, k = 4, rounds = 1, kmRounds = 1, stagedRebuild = true),
+      corpus = () => snapshot.toDF())
+    // hold the build window open until the during-window ingest has
+    // been asserted — at fixture scale the train can otherwise finish
+    // before the window's ingests even run
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    ingestor.stagingDelay = () => gate.await()
+
+    // in-distribution: no trigger, no staging
+    val r1 = ingestor.ingest(rows(60 until 90).toDF())
+    r1.rebuilt shouldBe None
+    ingestor.stagingActive shouldBe false
+
+    // drift: the triggering ingest only STARTS the build — no rebuild
+    // ran inside this call, the pointer still names the old build
+    val r2 = ingestor.ingest(drifted(1000 until 1060).toDF())
+    r2.drift.rebuildRecommended shouldBe true
+    r2.rebuilt shouldBe None
+    ingestor.stagingActive shouldBe true
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+
+    // a batch ARRIVING DURING THE WINDOW: appended to the old index at
+    // append cost (searchable immediately, degraded precision), and
+    // tracked for re-encode at the flip
+    val during = rows(200 until 210)
+    val r3 = ingestor.ingest(during.toDF())
+    r3.rebuilt shouldBe None
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+    val servedIds = AnnIndex.codes(s, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (200L until 210L).foreach(id => servedIds should contain(id))
+
+    gate.countDown()
+    ingestor.awaitStaged()
+    // artifacts ready; readers STILL on the old build until an ingest
+    // pays the commit tail
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+
+    // the flip ingest: commit tail only (no train/encode of the
+    // snapshot in this call) — publishes the staged build plus every
+    // during-window batch re-encoded under the new model
+    val flipBatch = rows(300 until 310)
+    val r4 = ingestor.ingest(flipBatch.toDF())
+    val rebuilt = r4.rebuilt.getOrElse(fail("flip did not publish"))
+    rebuilt.buildVer should be > oldBuildVer
+    ingestor.stagingActive shouldBe false
+    // counter floors above the flip's catch-up appends (2 pending)
+    ingestor.peekVer shouldBe rebuilt.buildVer + 2L + 1L
+
+    // equivalence oracle: inline rebuild over the same snapshot, then
+    // the during-window batches appended under the new model
+    val refPath = Files.createTempDirectory("ann_staged_ref").toString + "/idx"
+    val ref = AnnIndex.buildTrained(s, refPath, snapshot.toDF(),
+      "vec_id", "v", nLists = 4, dim = 64, m = 4, k = 4, rounds = 1,
+      kmRounds = 1)
+    AnnIndex.append(s, refPath, during.toDF(), "vec_id", "v",
+      ver = ref.buildVer + 1L)
+    AnnIndex.append(s, refPath, flipBatch.toDF(), "vec_id", "v",
+      ver = ref.buildVer + 2L)
+    val m = AnnIndex.readModel(s, path)
+    m.centroids shouldBe ref.centroids
+    m.pq.codebooks.flatten.flatten.toSeq shouldBe
+      ref.pq.codebooks.flatten.flatten.toSeq
+    codeSet(AnnIndex.codes(s, path)) shouldBe
+      codeSet(AnnIndex.codes(s, refPath))
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    // staging debris is gone
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+  }
+
+  test("occupancy-triggered rebuild: coarse-quantizer skew fires the " +
+       "rebuild loop even when PQ fit never drifts") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_occ_trig").toString + "/idx"
+    // seed: balanced across the trained lists
+    val seed = rows(0 until 80)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    AnnIndex.occupancy(s, path, skewFactor = 2.5)
+      .retrainRecommended shouldBe false
+
+    // ingest batches drawn from the SEED distribution (PQ fit stays
+    // ~baseline — drift can never fire at factor 100) but whose ids
+    // all land in whatever list vector 7 occupies: replaying one
+    // vector's direction en masse piles its list up
+    val hot = (1 to 160).map(i =>
+      VecRow(10000L + i, vec(7L).map(_ * (1.0 + 1e-9 * i))))
+    val all = scala.collection.mutable.ArrayBuffer[VecRow](seed: _*)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v",
+      AnnIndex.RebuildPolicy(driftFactor = 100.0, nLists = 4, dim = 64,
+        m = 4, k = 4, rounds = 1, kmRounds = 1,
+        occupancyCheckEvery = 1, occupancySkewFactor = 2.5),
+      corpus = () => all.toSeq.toDF())
+    all ++= hot
+    val r = ingestor.ingest(hot.toDF())
+    // PQ fit fine, list balance not: the audit — not drift — rebuilt
+    r.drift.rebuildRecommended shouldBe false
+    r.occupancy.getOrElse(fail("no audit ran"))
+      .retrainRecommended shouldBe true
+    val rebuilt = r.rebuilt.getOrElse(fail("occupancy did not rebuild"))
+    // the rebuild is the ordinary orchestrated one: byte-identical to
+    // a fresh trained build over the same corpus authority
+    val refPath = Files.createTempDirectory("ann_occ_ref").toString + "/idx"
+    val ref = AnnIndex.buildTrained(s, refPath, all.toSeq.toDF(),
+      "vec_id", "v", nLists = 4, dim = 64, m = 4, k = 4, rounds = 1,
+      kmRounds = 1)
+    AnnIndex.readModel(s, path).centroids shouldBe ref.centroids
+    codeSet(AnnIndex.codes(s, path)) shouldBe
+      codeSet(AnnIndex.codes(s, refPath))
+    ingestor.peekVer shouldBe rebuilt.buildVer + 1L
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
 }
