@@ -53,6 +53,34 @@ object StreamBench {
   private final case class BatchStat(rows: Long, ms: Long)
   private final case class TopoResult(sec: Double, batches: Seq[BatchStat])
 
+  /** The bench's input corpus: a deterministic projection of the
+    * events fixture onto the page-log grain — mid from user_id (5k
+    * devices), ~1/3 session entries, a sprinkle of err/start records,
+    * display arrays on ~1/11 pages, and ~1% corrupt lines so the dirty
+    * diversion does real work. Columns (ts, line). Shared with the
+    * dev-side read-heavy clusters probe so its numbers are
+    * load-comparable with this bench's `clusters` leg. */
+  private[graft] def pageLogLines(spark: SparkSession,
+                                  sfDir: String): DataFrame =
+    core.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), unix_millis(col("ts")).as("ts"),
+        concat(lit("m"), pmod(col("user_id"), lit(5000))).as("mid"),
+        col("event_type").as("page_id"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("string"))
+          .otherwise(lit("prev")).as("last_page_id"))
+      .select(col("event_id"), col("ts"), to_json(struct(col("mid"), col("page_id"),
+        col("last_page_id"), col("ts"),
+        when(pmod(col("event_id"), lit(41)) === 0, lit("boom")).as("err"),
+        when(pmod(col("event_id"), lit(37)) === 0, lit("cold")).as("start"),
+        when(pmod(col("event_id"), lit(11)) === 0,
+          array(struct(lit(0).as("pos"), col("page_id").as("item")),
+                struct(lit(1).as("pos"), lit("ad").as("item"))))
+          .as("displays"))).as("line"))
+      .select(col("ts"),
+        when(pmod(col("event_id"), lit(97)) === 0,
+          concat(lit("!!not-json!!"), col("line"))).otherwise(col("line"))
+        .as("line"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,37 +110,8 @@ object StreamBench {
     import spark.implicits._
 
     // ---- input: one log line per event row, time-ordered segments ----
-    // Deterministic projection of the events fixture onto the page-log
-    // grain: mid from user_id (5k devices), ~1/3 session entries, a
-    // sprinkle of err/start records, display arrays on ~1/11 pages, and
-    // ~1% corrupt lines so the dirty diversion does real work.
-    // Segment generation is DISTRIBUTED: range-partition by event time
-    // into nSegments chunks, each executor streams its chunk straight
-    // into a staged topic segment (no driver collect — the input never
-    // materializes on the driver, so the generator scales with the
-    // fixture), then the driver publishes the staged segments with
-    // ascending mod-times so the file source replays them in event-time
-    // order — the same ordered-drain shape the old sequential producer
-    // gave a catching-up consumer.
     val nSegments = 20
-    val lineCols = core.Tables.load(spark, sfDir, "events")
-      .select(col("event_id"), unix_millis(col("ts")).as("ts"),
-        concat(lit("m"), pmod(col("user_id"), lit(5000))).as("mid"),
-        col("event_type").as("page_id"),
-        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("string"))
-          .otherwise(lit("prev")).as("last_page_id"))
-      .select(col("event_id"), col("ts"), to_json(struct(col("mid"), col("page_id"),
-        col("last_page_id"), col("ts"),
-        when(pmod(col("event_id"), lit(41)) === 0, lit("boom")).as("err"),
-        when(pmod(col("event_id"), lit(37)) === 0, lit("cold")).as("start"),
-        when(pmod(col("event_id"), lit(11)) === 0,
-          array(struct(lit(0).as("pos"), col("page_id").as("item")),
-                struct(lit(1).as("pos"), lit("ad").as("item"))))
-          .as("displays"))).as("line"))
-      .select(col("ts"),
-        when(pmod(col("event_id"), lit(97)) === 0,
-          concat(lit("!!not-json!!"), col("line"))).otherwise(col("line"))
-        .as("line"))
+    val lineCols = pageLogLines(spark, sfDir)
 
     val work = Files.createTempDirectory("stream_bench_")
     def deleteTree(p: Path): Unit = {

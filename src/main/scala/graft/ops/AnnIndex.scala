@@ -431,6 +431,20 @@ object AnnIndex {
       batch: DataFrame, idCol: String, vCol: String, ver: Long,
       driftFactor: Double, crashAfter: Option[String]): IngestDrift = {
     val ptr = resolvedPtr(spark, path)
+    // rebuild-debris guard: a rebuild that crashed between its model
+    // commit and its pointer flip leaves NEW-model commits as the
+    // tables' latest versions while the pointer pins the OLD build.
+    // Appending would merge old-model-encoded rows into the new-model
+    // codes (and the pointer advance below would publish the mix) —
+    // silently wrong ADC rankings. One commit-log metadata read makes
+    // that state loud instead; [[Ingestor]] rolls it forward/back on
+    // construction.
+    val latestModelV = DimStore.currentVersion(modelPath(path))
+    if (!latestModelV.contains(ptr.modelV)) throw new IllegalStateException(
+      s"ANN index at $path has an unpublished rebuild commit (model " +
+      s"v${latestModelV.getOrElse(-1L)} above published v${ptr.modelV}) — " +
+      "a rebuild crashed before its pointer flip; construct an Ingestor " +
+      "(which recovers orphaned rebuilds) before appending")
     val model = readModel(spark, path)
     require(ver != model.buildVer,
       s"append version $ver ties the serving build's version — " +
@@ -483,16 +497,15 @@ object AnnIndex {
     } finally { withRv.unpersist(); () }
   }
 
-  /** The frozen model, reconstructed bit-exactly from the PUBLISHED
-    * (pointer-pinned) model snapshot — one bounded collect:
-    * |centroids| + m·k rows. */
-  def readModel(spark: SparkSession, path: String): Model = {
-    val ptr = resolvedPtr(spark, path)
-    val rows = DimStore.read(spark, modelPath(path), ptr.modelV)
-      .select("key", "kind", "i1", "i2", "vals").collect()
+  /** Reconstruct a [[Model]] from its persisted row form (the
+    * [[modelRowsDf]] layout) — shared by [[readModel]] (pointer-pinned
+    * commit-log read) and the staged-rebuild flip (plain staging
+    * parquet read), so both deserialize bit-identically. */
+  private def parseModelRows(rows: Array[org.apache.spark.sql.Row],
+                             buildVer: Long, what: String): Model = {
     val shape = rows.find(_.getString(1) == "shape")
       .getOrElse(throw new IllegalStateException(
-        s"ANN index at $path has no shape row — not a built index"))
+        s"$what has no shape row — not a persisted ANN model"))
     val dim = shape.getLong(2).toInt
     val m = shape.getLong(3).toInt
     val k = shape.getSeq[Double](4).head.toInt
@@ -506,7 +519,17 @@ object AnnIndex {
     val baseline = rows.find(_.getString(1) == "stats")
       .map(_.getSeq[Double](4).head).getOrElse(Double.NaN)
     Model(cents, ProductQuantizer.PqModel(dim, m, k, cbs), baseline,
-      ptr.buildVer)
+      buildVer)
+  }
+
+  /** The frozen model, reconstructed bit-exactly from the PUBLISHED
+    * (pointer-pinned) model snapshot — one bounded collect:
+    * |centroids| + m·k rows. */
+  def readModel(spark: SparkSession, path: String): Model = {
+    val ptr = resolvedPtr(spark, path)
+    val rows = DimStore.read(spark, modelPath(path), ptr.modelV)
+      .select("key", "kind", "i1", "i2", "vals").collect()
+    parseModelRows(rows, ptr.buildVer, s"ANN index at $path")
   }
 
   /** The PUBLISHED codes snapshot (pointer-pinned):
@@ -518,12 +541,14 @@ object AnnIndex {
   }
 
   /** What one [[maintain]] pass found: the codes table's layout report
-    * plus the index-semantic audit layout maintenance can't see —
-    * inverted-list balance. `occupancy.retrainRecommended` is the
-    * re-train signal (rebucketing moves bytes, not list assignment;
-    * only [[buildTrained]] fixes a skewed coarse quantizer). */
+    * plus — when the caller opted in — the index-semantic audit layout
+    * maintenance can't see, inverted-list balance.
+    * `occupancy.exists(_.retrainRecommended)` is the re-train signal
+    * (rebucketing moves bytes, not list assignment; only
+    * [[buildTrained]] fixes a skewed coarse quantizer). `None` means
+    * the audit was not requested, not that balance is fine. */
   final case class Maintenance(codes: DimStore.Maintenance,
-                               occupancy: Occupancy)
+                               occupancy: Option[Occupancy])
 
   /** Layout + history maintenance for the index, riding the dim-store
     * policy: the codes table accretes one commit generation per
@@ -532,11 +557,15 @@ object AnnIndex {
     * ([[DimStore.maintain]]); with `vacuumKeepLast > 0` both tables'
     * histories are pruned past the grace window too (the model table
     * is tiny and frozen between rebuilds, so history is its only
-    * growth). Returns the codes table's maintenance report plus the
-    * [[occupancy]] balance audit (`occupancySkewFactor` sets its
-    * re-train threshold). Run it from the same cadence that calls
-    * [[append]] (a streaming job's every-N-batches hook, or a
-    * maintenance window). */
+    * growth). Returns the codes table's maintenance report plus, when
+    * `occupancyCheck` is set, the [[occupancy]] balance audit
+    * (`occupancySkewFactor` sets its re-train threshold). The audit
+    * SCANS the codes table, so it is opt-in — layout-only maintenance
+    * stays one scan, mirroring the Ingestor's `occupancyCheckEvery`
+    * cadence gating (at a 100 TB codes table an unconditional audit
+    * would double every maintain call's read cost). Run it from the
+    * same cadence that calls [[append]] (a streaming job's
+    * every-N-batches hook, or a maintenance window). */
   def maintain(spark: SparkSession, path: String,
                targetBucketBytes: Long = 256L * 1024 * 1024,
                targetFileBytes: Long = 128L * 1024 * 1024,
@@ -545,6 +574,7 @@ object AnnIndex {
                apply: Boolean = true,
                vacuumKeepLast: Int = 0,
                vacuumGraceMillis: Long = 24L * 3600 * 1000,
+               occupancyCheck: Boolean = false,
                occupancySkewFactor: Double = 4.0)
       : Maintenance = {
     val ptr = resolvedPtr(spark, path)
@@ -556,10 +586,15 @@ object AnnIndex {
     // rebucket/compact committed content-identical NEW versions of the
     // codes table: advance the pointer to them BEFORE any vacuum, so
     // the pinned snapshot is always inside the retention window. Also
-    // re-pins a committed-but-unpublished append left by a crash (safe:
-    // every codes version was encoded under the same frozen model).
+    // re-pins a committed-but-unpublished append left by a crash — but
+    // ONLY while the model table's latest version is the published one:
+    // a rebuild that crashed before its pointer flip leaves NEW-model
+    // codes as the latest version, and advancing to it would publish
+    // new-model codes under old codebooks (the Ingestor's recovery
+    // rolls that state forward; maintain must not paper over it).
     val latestCodes = DimStore.currentVersion(codesPath(path)).get
-    if (latestCodes != ptr.codesV)
+    if (latestCodes != ptr.codesV &&
+        DimStore.currentVersion(modelPath(path)).contains(ptr.modelV))
       bumpPtr(spark, path, ptr.modelV, latestCodes, ptr.buildVer)
     if (vacuumKeepLast > 0) {
       // never vacuum the PINNED version out from under the pointer: a
@@ -576,16 +611,22 @@ object AnnIndex {
         keepReaching(modelPath(path), cur.modelV), vacuumGraceMillis)
       DimStore.vacuum(spark, ptrPath(path), vacuumKeepLast, vacuumGraceMillis)
     }
-    Maintenance(m, occupancy(spark, path, occupancySkewFactor))
+    Maintenance(m,
+      if (occupancyCheck) Some(occupancy(spark, path, occupancySkewFactor))
+      else None)
   }
 
   /** What one orchestrated ingest did: the batch's drift report, the
     * model a triggered rebuild published (None when fit was fine, the
     * policy is report-only, or a staged rebuild is still training),
-    * and the [[Occupancy]] audit when this ingest was on the policy's
-    * check cadence. */
+    * the [[Occupancy]] audit when this ingest was on the policy's
+    * check cadence, and — staged mode only — the error of a background
+    * build that FAILED (the append itself landed and the index keeps
+    * serving the old build; the caller decides whether to re-trigger
+    * or alert, instead of the stream dying on a rebuild-side fault). */
   final case class Ingest(drift: IngestDrift, rebuilt: Option[Model],
-                          occupancy: Option[Occupancy] = None)
+                          occupancy: Option[Occupancy] = None,
+                          rebuildFailed: Option[Throwable] = None)
 
   /** When and how an [[Ingestor]] rebuilds — the DimRouter
     * [[graft.streaming.DimRouter.MaintenancePolicy]] shape for the
@@ -623,21 +664,30 @@ object AnnIndex {
                                  occupancyCheckEvery: Int = 0,
                                  occupancySkewFactor: Double = 4.0)
 
-  /** The read-only half of a staged rebuild: the trained model plus
-    * the staging directory its full re-encode landed in. No commits
-    * have happened yet — publishing is the flip's job. */
-  private final case class StagedArtifacts(
-      cents: Seq[(Long, Seq[Double])], pq: ProductQuantizer.PqModel,
-      baselineErr: Double)
+  /** Hadoop FS handle for staging-path manipulation. */
+  private def hfs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stagingRoot(path: String) = s"$path/_staging"
+  /** Marker written LAST by [[trainAndStage]]: a staging dir carrying
+    * it holds a complete (model, codes) artifact set a flip — or a
+    * restart's roll-forward — can publish. */
+  private val StagedOk = "_STAGED_OK"
 
   /** Train + re-encode WITHOUT committing: everything [[buildImpl]]
     * computes, landed as plain parquet under `stagingDir` instead of
-    * the commit log. Deterministic (same KMeans/PQ/encode path), so a
-    * flip over these artifacts publishes byte-identically to an
-    * inline [[buildTrained]] over the same corpus snapshot. */
+    * the commit log — `$stagingDir/model` (the [[modelRowsDf]] row
+    * form, build version resolved at flip time) and
+    * `$stagingDir/codes`, then the [[StagedOk]] marker. Everything the
+    * flip needs is DURABLE, so a crash between staging completion and
+    * the flip is resumable from disk on restart. Deterministic (same
+    * KMeans/PQ/encode path), so a flip over these artifacts publishes
+    * byte-identically to an inline [[buildTrained]] over the same
+    * corpus snapshot. */
   private def trainAndStage(spark: SparkSession, corpus: DataFrame,
       idCol: String, vCol: String, policy: RebuildPolicy,
-      stagingDir: String): StagedArtifacts = {
+      stagingDir: String): Unit = {
     val cents = KMeans.train(corpus.select(col(idCol), col(vCol)),
       idCol, vCol, policy.nLists, policy.kmRounds)
     val lists = corpus
@@ -650,9 +700,14 @@ object AnnIndex {
     val baseline = lists
       .agg(avg(ProductQuantizer.quantizationError(col("__rv"), pq)))
       .head().getDouble(0)
-    encodeWith(corpus, idCol, vCol, Model(cents, pq, baseline, 0L))
-      .write.mode("overwrite").parquet(stagingDir)
-    StagedArtifacts(cents, pq, baseline)
+    val model = Model(cents, pq, baseline, 0L)
+    modelRowsDf(spark, model, policy.dim, policy.m, policy.k)
+      .filter(col("kind") =!= "bver") // build version resolved at flip
+      .write.mode("overwrite").parquet(s"$stagingDir/model")
+    encodeWith(corpus, idCol, vCol, model)
+      .write.mode("overwrite").parquet(s"$stagingDir/codes")
+    hfs(spark, stagingDir).create(
+      new org.apache.hadoop.fs.Path(s"$stagingDir/$StagedOk"), true).close()
   }
 
   /** Orchestrated continuous ingest — the closure of [[append]]'s
@@ -674,9 +729,10 @@ object AnnIndex {
     *     supplier is invoked ONCE per rebuild and must return a
     *     CONSISTENT snapshot covering every batch ingested so far
     *     (a versioned table read gives this for free); batches that
-    *     arrive while a staged build trains are tracked and re-encoded
-    *     under the new model at the flip, so none are lost to the
-    *     rebuild's full-replace commit;
+    *     arrive while a staged build trains are SPILLED to the staging
+    *     dir as parquet at ingest time and re-encoded under the new
+    *     model at the flip, so none are lost to the rebuild's
+    *     full-replace commit — and a restart mid-window loses nothing;
     *  3. the counter RE-FLOORS from the rebuild's version ceiling,
     *     so the next batch orders strictly above the rebuild while a
     *     REPLAYED pre-rebuild batch (redelivered at its old version)
@@ -690,22 +746,34 @@ object AnnIndex {
                        idCol: String, vCol: String,
                        policy: RebuildPolicy,
                        corpus: () => DataFrame) {
-    private val nextVer =
-      new java.util.concurrent.atomic.AtomicLong(nextBuildVer(spark, path))
+    private val nextVer = new java.util.concurrent.atomic.AtomicLong(0L)
     private var ingests = 0L
 
     /** One in-flight staged rebuild: the background thread publishes
       * `outcome` last (volatile), so `outcome.isDefined` observed from
-      * ingest() implies the staging parquet is fully written. */
+      * ingest() implies the staging parquet (model + codes + marker)
+      * is fully written. The thread's Spark jobs run in the
+      * `ann_rebuild` scheduler pool — when the session runs
+      * `spark.scheduler.mode=FAIR` (the documented deployment for a
+      * live-ingest index), the hours-long train/re-encode shares
+      * executors FAIRLY with micro-batch appends instead of queueing
+      * ahead of them FIFO; under the default FIFO scheduler the
+      * property is inert. Local properties are per-thread, so only the
+      * staging jobs land in the pool. */
     private final class Staging(corpusSnap: DataFrame, val dir: String) {
-      val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      @volatile var outcome: Option[Either[Throwable, StagedArtifacts]] = None
+      val pendingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+      @volatile var outcome: Option[Either[Throwable, Unit]] = None
       val thread: Thread = new Thread(
-        () => outcome = Some(
-          try {
-            stagingDelay()
-            Right(trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir))
-          } catch { case t: Throwable => Left(t) }),
+        () => {
+          spark.sparkContext
+            .setLocalProperty("spark.scheduler.pool", "ann_rebuild")
+          outcome = Some(
+            try {
+              stagingDelay()
+              trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir)
+              Right(())
+            } catch { case t: Throwable => Left(t) })
+        },
         s"ann-staged-rebuild-$path".replace('/', '-'))
       thread.setDaemon(true)
     }
@@ -715,59 +783,179 @@ object AnnIndex {
       * real fixture-scale train can finish faster than the ingests the
       * window is supposed to overlap). */
     private[graft] var stagingDelay: () => Unit = () => ()
+    /** Test hook: simulates the process dying inside [[flipStaged]]
+      * after the named commit ("model" | "codes" | "pending") — pins
+      * the restart roll-forward in StreamingAnnIndexSpec. */
+    private[graft] var flipCrashAfter: Option[String] = None
+
+    // restart recovery BEFORE the counter floor: a rebuild that crashed
+    // between its commits and its pointer flip must be rolled forward
+    // (or its debris neutralized) before anything appends — see
+    // [[recoverOrphanedRebuild]]; the floor then sits above whatever
+    // recovery committed.
+    recoverOrphanedRebuild()
+    nextVer.set(nextBuildVer(spark, path))
 
     /** Test/monitoring hook: the version the next batch will commit
       * at. */
     private[graft] def peekVer: Long = nextVer.get()
     /** Test/monitoring hook: a staged rebuild is training. */
     private[graft] def stagingActive: Boolean = staging.isDefined
+    /** Test/monitoring hook: the in-flight staged build's artifacts
+      * are complete — the next ingest pays the commit tail. */
+    private[graft] def stagingReady: Boolean =
+      staging.exists(_.outcome.isDefined)
     /** Test hook: block until the in-flight staged build's artifacts
       * are ready (the flip still waits for the next ingest). */
     private[graft] def awaitStaged(): Unit =
       staging.foreach(_.thread.join())
 
-    /** Publish a completed staged build: commit model + staged codes
-      * above every committed batch, re-encode the batches that arrived
-      * during the window, then ONE pointer flip — readers stay on the
-      * old index byte-identically until the flip, and a crash anywhere
-      * before it leaves only unreferenced debris (the same guarantee
-      * as [[buildImpl]]'s crash matrix). */
-    private def flipStaged(art: StagedArtifacts,
-                           pending: Seq[DataFrame], dir: String): Model = {
+    private def fsPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    /** During-window batches spilled by ingest(), in arrival order —
+      * re-read from the staging dir at flip (or restart) time. */
+    private def pendingDirs(dir: String): Seq[String] = {
+      val fs = hfs(spark, path)
+      val p = fsPath(s"$dir/pending")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("p"))
+        .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong)
+          .toOption.map(_ -> s.getPath.toString))
+        .sortBy(_._1).map(_._2)
+    }
+
+    private def deleteStaging(dir: String): Unit = {
+      val fs = hfs(spark, path)
+      try {
+        fs.delete(fsPath(dir), true)
+        fs.delete(fsPath(stagingRoot(path)), false) // drop when now empty
+        ()
+      } catch { case _: java.io.IOException => () } // staging debris only
+    }
+
+    /** Publish a completed staged build FROM DISK: commit model +
+      * staged codes above every committed batch, re-encode the spilled
+      * during-window batches, then ONE pointer flip — readers stay on
+      * the old index byte-identically until the flip. Everything read
+      * here is durable staging parquet, so the same code path serves
+      * the live flip and a restart's roll-forward, and a crash
+      * anywhere before the flip leaves only superseded debris the next
+      * attempt commits strictly above. */
+    private def flipStaged(dir: String): Model = {
       val buildVer = nextBuildVer(spark, path)
-      val model = Model(art.cents, art.pq, art.baselineErr, buildVer)
+      val modelRows = spark.read.parquet(s"$dir/model")
+        .select("key", "kind", "i1", "i2", "vals").collect()
+      val model = parseModelRows(modelRows, buildVer,
+        s"staged ANN rebuild at $dir")
       commitFull(spark, modelPath(path),
         modelRowsDf(spark, model, policy.dim, policy.m, policy.k),
         pk = "key", ver = buildVer, nBuckets = 4)
-      commitFull(spark, codesPath(path), spark.read.parquet(dir),
+      maybeCrash(flipCrashAfter, "model")
+      commitFull(spark, codesPath(path), spark.read.parquet(s"$dir/codes"),
         pk = "vec_id", ver = buildVer, nBuckets = policy.nBuckets)
+      maybeCrash(flipCrashAfter, "codes")
       var v = buildVer
-      pending.foreach { b =>
+      pendingDirs(dir).foreach { pd =>
         v += 1L
         DimStore.upsert(spark, codesPath(path),
-          encodeWith(b, idCol, vCol, model).withColumn("__batch_ver", lit(v)),
+          encodeWith(spark.read.parquet(pd), idCol, vCol, model)
+            .withColumn("__batch_ver", lit(v)),
           pk = "vec_id", versionCol = "__batch_ver",
           nBuckets = policy.nBuckets)
       }
+      maybeCrash(flipCrashAfter, "pending")
       bumpPtr(spark, path,
         modelV = DimStore.currentVersion(modelPath(path)).get,
         codesV = DimStore.currentVersion(codesPath(path)).get,
         buildVer = buildVer)
       nextVer.set(v + 1L)
-      val p = new org.apache.hadoop.fs.Path(dir)
-      try {
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        fs.delete(p.getParent, false) // drop _staging/ when now empty
-        ()
-      } catch { case _: java.io.IOException => () } // staging debris only
+      deleteStaging(dir)
       model
+    }
+
+    /** Restart recovery: a rebuild that crashed AFTER committing to
+      * the model/codes tables but BEFORE its pointer flip leaves the
+      * tables' latest versions carrying NEW-model content while the
+      * pointer pins the OLD build — [[append]] refuses to run in that
+      * state (merging would mix models). Constructing an Ingestor
+      * repairs it:
+      *
+      *  - a COMPLETE staging dir (the [[StagedOk]] marker) → the whole
+      *    flip re-runs from the durable artifacts at a fresh version
+      *    above the debris — the staged rebuild survives the restart,
+      *    spilled during-window batches included;
+      *  - no staging, but the codes full-replace landed (an INLINE
+      *    rebuild's crash after both commits) → roll forward: flip the
+      *    pointer to the committed pair;
+      *  - no staging and only the model commit landed → roll back: the
+      *    published model content is re-committed as the new latest
+      *    (one tiny-table rewrite), so the codes chain — which was
+      *    never touched — is appendable again.
+      *
+      * Incomplete staging dirs (a failed or crashed-mid-train build)
+      * are swept in every branch; on a healthy index recovery is two
+      * commit-log metadata reads and a no-op. */
+    private def recoverOrphanedRebuild(): Unit = {
+      val fs = hfs(spark, path)
+      val rootP = fsPath(stagingRoot(path))
+      def stagingDirs: Seq[String] =
+        if (!fs.exists(rootP)) Seq.empty
+        else fs.listStatus(rootP).toSeq.filter(_.isDirectory)
+          .map(_.getPath.toString)
+      def sweepAll(): Unit = stagingDirs.foreach(deleteStaging)
+      readPtr(spark, path) match {
+        case None => sweepAll() // nothing published: debris only
+        case Some(ptr) =>
+          val latestModel = DimStore.currentVersion(modelPath(path))
+          if (latestModel.forall(_ == ptr.modelV)) sweepAll()
+          else {
+            val complete = stagingDirs
+              .find(d => fs.exists(fsPath(s"$d/$StagedOk")))
+            complete match {
+              case Some(dir) =>
+                flipStaged(dir)
+                sweepAll()
+              case None =>
+                val bver = DimStore.read(spark, modelPath(path))
+                  .filter(col("kind") === "bver")
+                  .select(col("i1")).collect().headOption.map(_.getLong(0))
+                val latestCodes = DimStore.currentVersion(codesPath(path))
+                val codesMax = DimStore.readIfExists(spark, codesPath(path))
+                  .map(_.agg(max(col("__batch_ver"))).head())
+                  .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+                (bver, latestCodes) match {
+                  case (Some(b), Some(cv)) if codesMax.exists(_ >= b) =>
+                    // both commits landed: finish the flip
+                    bumpPtr(spark, path, latestModel.get, cv, b)
+                  case _ =>
+                    // model-only debris: restore the published content
+                    val pinned =
+                      DimStore.read(spark, modelPath(path), ptr.modelV)
+                    DimStore.rewrite(spark, modelPath(path), "key")(
+                      _ => pinned)
+                    bumpPtr(spark, path,
+                      DimStore.currentVersion(modelPath(path)).get,
+                      ptr.codesV, ptr.buildVer)
+                }
+                sweepAll()
+            }
+          }
+      }
     }
 
     def ingest(batch: DataFrame): Ingest = {
       val drift = append(spark, path, batch, idCol, vCol,
         ver = nextVer.getAndIncrement(), driftFactor = policy.driftFactor)
-      staging.foreach(_.pending += batch)
+      // durable pending spill: the flip — possibly in a LATER process
+      // after a restart — re-reads the batch from the staging dir, so
+      // no prior micro-batch's DataFrame is ever re-evaluated after
+      // its epoch committed (out of contract for streaming sources)
+      // and the window's pending set lives on disk, not in heap
+      staging.foreach { st =>
+        batch.select(col(idCol), col(vCol)).write.mode("overwrite")
+          .parquet(s"${st.dir}/pending/p${st.pendingSeq.getAndIncrement()}")
+      }
       ingests += 1L
       val occ =
         if (policy.occupancyCheckEvery > 0 &&
@@ -790,18 +978,20 @@ object AnnIndex {
         case Some(st) if st.outcome.isDefined =>
           staging = None
           st.outcome.get match {
-            case Right(art) =>
-              Ingest(drift, Some(flipStaged(art, st.pending.toSeq, st.dir)),
-                occ)
-            case Left(t) => throw new IllegalStateException(
-              s"staged ANN rebuild at $path failed; index still serves " +
-              "the old build", t)
+            case Right(()) =>
+              Ingest(drift, Some(flipStaged(st.dir)), occ)
+            case Left(t) =>
+              // a failed background build must not fail the stream —
+              // the append above landed and the old build keeps
+              // serving; surface the error and clean the debris
+              deleteStaging(st.dir)
+              Ingest(drift, None, occ, rebuildFailed = Some(t))
           }
         case None if wantRebuild =>
           // staging keyed by the triggering counter value: unique per
           // rebuild under the single-maintainer contract, and a crash
           // leaves only an overwrite-safe plain-parquet dir behind
-          val st = new Staging(corpus(), s"$path/_staging/b${peekVer}")
+          val st = new Staging(corpus(), s"${stagingRoot(path)}/b${peekVer}")
           staging = Some(st)
           st.thread.start()
           Ingest(drift, None, occ)

@@ -71,11 +71,12 @@ object MaintainProbe {
     def batch(nEdges: Long): DataFrame = {
       val nChain = nEdges / 2
       val base = 4L * seedN // clear of every seed id
+      // integer division: `/` on longs is DOUBLE division in Spark SQL
+      val grp = floor(col("id") / segLen).cast("long")
+      val off = pmod(col("id"), lit(segLen))
       val chain = spark.range(0L, nChain).select(
-        (lit(base) + (col("id") / segLen) * (segLen + 1L) +
-          pmod(col("id"), lit(segLen))).as("keeperId"),
-        (lit(base) + (col("id") / segLen) * (segLen + 1L) +
-          pmod(col("id"), lit(segLen)) + 1L).as("dupId"))
+        (lit(base) + grp * (segLen + 1L) + off).as("keeperId"),
+        (lit(base) + grp * (segLen + 1L) + off + 1L).as("dupId"))
       val nComp = seedN / 4L
       val merge = spark.range(0L, nEdges - nChain).select(
         (pmod(col("id") * 2654435761L, lit(nComp)) * 4L).as("keeperId"),

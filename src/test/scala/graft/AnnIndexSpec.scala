@@ -221,12 +221,15 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     graft.ops.DimStore.history(path + "/codes") shouldBe h0
     // applied + vacuum: layout heals, history prunes, content identical
     val m1 = AnnIndex.maintain(s, path, maxFilesPerBucket = 2,
-      vacuumKeepLast = 1, vacuumGraceMillis = 0L)
+      vacuumKeepLast = 1, vacuumGraceMillis = 0L, occupancyCheck = true)
     m1.codes.applied should not be empty
-    // the balance audit rides along: this fixture's lists are all
-    // populated and nowhere near the skew threshold
-    m1.occupancy.nLists shouldBe Cents.size
-    m1.occupancy.rows shouldBe before.size.toLong
+    // the balance audit rides along WHEN ASKED FOR (it scans the codes
+    // table, so layout-only maintenance defaults it off): this
+    // fixture's lists are all populated, nowhere near the threshold
+    m0.occupancy shouldBe None // default: no audit, no extra scan
+    val occ1 = m1.occupancy.getOrElse(fail("requested audit missing"))
+    occ1.nLists shouldBe Cents.size
+    occ1.rows shouldBe before.size.toLong
     codeRows(AnnIndex.codes(s, path)) shouldBe before
     graft.ops.DimStore.history(path + "/codes").size shouldBe 1
     // the frozen model survives its vacuum bit-exactly
@@ -426,8 +429,9 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     occ.retrainRecommended shouldBe true
     // and the report rides maintain() — the cadence hook a streaming
     // deployment actually runs
-    AnnIndex.maintain(s, skewPath, occupancySkewFactor = 3.0)
-      .occupancy.retrainRecommended shouldBe true
+    AnnIndex.maintain(s, skewPath, occupancyCheck = true,
+        occupancySkewFactor = 3.0)
+      .occupancy.exists(_.retrainRecommended) shouldBe true
 
     // balanced control: same corpus spread evenly over the anchors
     val balanced = (0 until 100).map(i =>

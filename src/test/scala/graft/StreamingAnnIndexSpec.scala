@@ -245,6 +245,173 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
     new java.io.File(s"$path/_staging").exists() shouldBe false
   }
 
+  test("staged rebuild survives a mid-flip crash: append refuses the " +
+       "orphaned-commit state, and a NEW Ingestor (the restart) rolls " +
+       "the flip forward from the durable staging artifacts — spilled " +
+       "during-window batches included") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_flip_crash").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val oldBuildVer = AnnIndex.readModel(s, path).buildVer
+
+    val snapshot = seed ++ rows(60 until 90) ++ drifted(1000 until 1060)
+    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4,
+      dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1,
+      stagedRebuild = true)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    // hold the build window open so the during-window batch really
+    // lands inside it (fixture-scale trains finish in milliseconds)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    ingestor.stagingDelay = () => gate.await()
+    ingestor.ingest(rows(60 until 90).toDF())
+    ingestor.ingest(drifted(1000 until 1060).toDF()) // triggers staging
+    val during = rows(200 until 210)
+    ingestor.ingest(during.toDF()) // spilled to the staging dir
+    gate.countDown()
+    ingestor.awaitStaged()
+
+    // the flip ingest dies AFTER the codes full-replace commit, BEFORE
+    // the pending re-encodes and the pointer — the exact window where
+    // the tables' latest versions carry NEW-model content while the
+    // pointer still pins the old build
+    ingestor.flipCrashAfter = Some("codes")
+    val flipBatch = rows(300 until 310)
+    an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+      ingestor.ingest(flipBatch.toDF())
+    // readers are untouched (pointer never moved)...
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+    // ...but a raw append must REFUSE: merging into the debris codes
+    // version would mix old-model rows into new-model codes
+    an[IllegalStateException] should be thrownBy
+      AnnIndex.append(s, path, rows(400 until 405).toDF(), "vec_id", "v",
+        ver = 999L)
+
+    // the restart: a fresh Ingestor detects the orphaned rebuild and
+    // re-runs the whole flip from the durable staging artifacts
+    val restarted = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    val m = AnnIndex.readModel(s, path)
+    m.buildVer should be > oldBuildVer
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+
+    // equivalence oracle: inline rebuild over the same snapshot plus
+    // the spilled batches appended under the new model — the crashed
+    // flip batch included (it was spilled before the crash)
+    val refPath = Files.createTempDirectory("ann_flip_ref").toString + "/idx"
+    val ref = AnnIndex.buildTrained(s, refPath, snapshot.toDF(),
+      "vec_id", "v", nLists = 4, dim = 64, m = 4, k = 4, rounds = 1,
+      kmRounds = 1)
+    AnnIndex.append(s, refPath, during.toDF(), "vec_id", "v",
+      ver = ref.buildVer + 1L)
+    AnnIndex.append(s, refPath, flipBatch.toDF(), "vec_id", "v",
+      ver = ref.buildVer + 2L)
+    m.centroids shouldBe ref.centroids
+    codeSet(AnnIndex.codes(s, path)) shouldBe
+      codeSet(AnnIndex.codes(s, refPath))
+    // and the recovered ingestor keeps ingesting above everything
+    restarted.ingest(rows(500 until 505).toDF())
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
+  test("restart recovery repairs an orphaned INLINE rebuild too: " +
+       "roll-forward when both commits landed, roll-back (published " +
+       "model restored) when only the model commit did") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_inline_crash").toString + "/idx"
+    val seed = rows(0 until 60).toDF()
+    AnnIndex.build(s, path, seed, "vec_id", "v",
+      centroidIds = Seq(10L, 20L, 30L, 40L), dim = 64, m = 4, k = 4,
+      rounds = 1)
+    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4,
+      dim = 64, m = 4, k = 4, rounds = 1, applyRebuild = false)
+
+    // crash AFTER both commits (the pre-existing inline hole): append
+    // refuses; the restart rolls the rebuild forward
+    val corpus2 = rows(0 until 80).toDF()
+    val cents2 = Seq(5L, 25L, 45L, 65L)
+    an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+      AnnIndex.buildCrashing(s, path, corpus2, "vec_id", "v", cents2,
+        dim = 64, m = 4, k = 4, rounds = 1, crashAfter = "codes")
+    an[IllegalStateException] should be thrownBy
+      AnnIndex.append(s, path, rows(90 until 95).toDF(), "vec_id", "v",
+        ver = 999L)
+    new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => corpus2)
+    AnnIndex.readModel(s, path).centroids.map(_._1) shouldBe cents2
+    AnnIndex.codes(s, path).count() shouldBe 80L
+    AnnIndex.fsck(s, path).consistent shouldBe true
+
+    // crash AFTER only the model commit: nothing to roll forward — the
+    // restart restores the PUBLISHED model as the latest version, so
+    // the untouched codes chain is appendable again
+    val rolledForward = AnnIndex.readModel(s, path)
+    an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+      AnnIndex.buildCrashing(s, path, corpus2, "vec_id", "v",
+        Seq(1L, 2L, 3L, 4L), dim = 64, m = 4, k = 4, rounds = 1,
+        crashAfter = "model")
+    an[IllegalStateException] should be thrownBy
+      AnnIndex.append(s, path, rows(90 until 95).toDF(), "vec_id", "v",
+        ver = 999L)
+    new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => corpus2)
+    val restored = AnnIndex.readModel(s, path)
+    restored.centroids shouldBe rolledForward.centroids
+    restored.pq.codebooks.flatten.flatten.toSeq shouldBe
+      rolledForward.pq.codebooks.flatten.flatten.toSeq
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    // appends flow again
+    AnnIndex.append(s, path, rows(90 until 95).toDF(), "vec_id", "v",
+      ver = AnnIndex.readModel(s, path).buildVer + 100L)
+    AnnIndex.codes(s, path).count() shouldBe 85L
+  }
+
+  test("a FAILED staged build does not fail the stream: the append " +
+       "lands, the error is returned (not thrown), the staging debris " +
+       "is cleaned, and the next drift re-triggers") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_staged_fail").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val oldBuildVer = AnnIndex.readModel(s, path).buildVer
+    val snapshot = seed ++ drifted(1000 until 1060)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v",
+      AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4, dim = 64,
+        m = 4, k = 4, rounds = 1, kmRounds = 1, stagedRebuild = true),
+      corpus = () => snapshot.toDF())
+    ingestor.stagingDelay = () => sys.error("injected train failure")
+
+    ingestor.ingest(drifted(1000 until 1030).toDF()) // triggers staging
+    ingestor.awaitStaged()
+    val r = ingestor.ingest(drifted(1030 until 1060).toDF())
+    // the failure surfaced, the batch itself landed, old build serves
+    r.rebuildFailed.map(_.getMessage) shouldBe Some("injected train failure")
+    r.rebuilt shouldBe None
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+    AnnIndex.codes(s, path).count() shouldBe 120L
+    // no debris accumulates across repeated failures
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+    // with the fault gone, the still-drifting stream re-triggers and
+    // completes the rebuild end-to-end
+    ingestor.stagingDelay = () => ()
+    ingestor.ingest(drifted(1000 until 1030).toDF()) // re-triggers
+    ingestor.awaitStaged()
+    val done = ingestor.ingest(drifted(1030 until 1060).toDF())
+    done.rebuilt should not be empty
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
   test("occupancy-triggered rebuild: coarse-quantizer skew fires the " +
        "rebuild loop even when PQ fit never drifts") {
     val s = spark
