@@ -33,13 +33,14 @@ import graft.ops.AnnIndex
   * baseline (the build window never BLOCKS ingest), and the flip cost
   * is commit-tail-sized, not train-sized.
   *
-  * Usage: runMain graft.tools.StagedRebuildProbe [nRows] [batchRows] [warm]
+  * Usage: runMain graft.tools.StagedRebuildProbe [nRows] [batchRows] [warm] [nLists]
   */
 object StagedRebuildProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
     val b = args.lift(1).map(_.toLong).getOrElse(2000L)
     val warm = args.lift(2).map(_.toInt).getOrElse(4)
+    val nLists = args.lift(3).map(_.toInt).getOrElse(4)
     val sched = sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR") match {
       case s @ ("FAIR" | "FIFO") => s
       case other => sys.error(s"unknown SPARK_GRAFT_SCHED '$other'")
@@ -64,7 +65,15 @@ object StagedRebuildProbe {
         transform(sequence(lit(1), lit(64)),
           i => sin(col("id") * i + i) * scale).as("v"))
 
-    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 16,
+    // nLists is an arg because this probe FOUND the expression-shape
+    // ceiling: the pre-round-15 literal-unrolled coarse ranking
+    // livelocked Catalyst's runtime common-subexpression elimination
+    // at nLists=16 (EquivalentExpressions.updateCommonExprs, 780+ s of
+    // CPU per task in deep-equals) — see SCALEPROBE "IVF nLists
+    // expression ceiling". IvfKit now ranks through one array-literal
+    // + transform lambda, O(1)-in-nLists; run this probe at 16+ to
+    // confirm the ceiling stays gone.
+    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = nLists,
       dim = 64, m = 8, k = 16, rounds = 1, kmRounds = 1, nBuckets = 64,
       stagedRebuild = true)
     AnnIndex.buildTrained(spark, path, vecs(0L, n), "vec_id", "v",
@@ -116,6 +125,7 @@ object StagedRebuildProbe {
     def mx(xs: Seq[Double]): Double = xs.foldLeft(0.0)(math.max)
     val rows = AnnIndex.codes(spark, path).count()
     println(s"""{"probe":"staged_rebuild","n":$n,"batch":$b,""" +
+      s""""n_lists":$nLists,""" +
       s""""sched":"$sched","baseline_p50":${num(p50(baseline))},""" +
       s""""baseline_max":${num(mx(baseline))},""" +
       s""""trigger_sec":${num(trigger)},""" +
