@@ -44,16 +44,37 @@ object ProductQuantizer {
 
   private val SumDec = DecimalType(18, 8)
 
-  /** L2² of `v`'s m-th slice against a centroid literal — the shared
-    * left-fold formulation. */
-  private def dist2(v: Column, mi: Int, subDim: Int, c: Array[Double]): Column =
-    aggregate(zip_with(slice(v, mi * subDim + 1, subDim), typedlit(c.toSeq),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  /** Above this codebook size the unrolled distance arrays switch to
+    * the array-literal + lambda form. Small k unrolls — Catalyst's
+    * runtime subexpression elimination then evaluates the shared
+    * `slice` once per row across the k subtrees, and CSE's setup cost
+    * is negligible. Large k (the documented 256 operating point) needs
+    * the O(1)-in-k tree: CSE's pairwise deep-equals over unrolled
+    * subtrees is quadratic in k·subDim — the livelock measured on the
+    * analogous IVF coarse-ranking shape (SCALEPROBE round 15). Both
+    * forms compute identical doubles in identical order. */
+  private val UnrollMaxK = 16
+
+  /** L2² of `v`'s m-th slice against EVERY centroid of one codebook,
+    * as a k-array column, through the same zip_with left-fold on both
+    * routes — assignment, error, and ADC are bit-identical either
+    * way. */
+  private def dist2Arr(v: Column, mi: Int, subDim: Int,
+                       cb: Array[Array[Double]]): Column = {
+    val sv = slice(v, mi * subDim + 1, subDim)
+    def fold(c: Column): Column =
+      aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    if (cb.length <= UnrollMaxK)
+      array(cb.toIndexedSeq.map(c => fold(typedlit(c.toSeq))): _*)
+    else
+      transform(typedlit(cb.toIndexedSeq.map(_.toSeq)), fold(_))
+  }
 
   /** 0-based index of the nearest centroid (first minimum on ties). */
   private def nearest(v: Column, mi: Int, subDim: Int,
                       cb: Array[Array[Double]]): Column = {
-    val d = array(cb.toIndexedSeq.map(c => dist2(v, mi, subDim, c)): _*)
+    val d = dist2Arr(v, mi, subDim, cb)
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
@@ -125,8 +146,7 @@ object ProductQuantizer {
     * distribution the frozen codebooks no longer cover. */
   def quantizationError(v: Column, model: PqModel): Column =
     (0 until model.m).map { mi =>
-      array_min(array(model.codebooks(mi).toIndexedSeq.map(c =>
-        dist2(v, mi, model.subDim, c)): _*))
+      array_min(dist2Arr(v, mi, model.subDim, model.codebooks(mi)))
     }.reduce(_ + _)
 
   /** Append `pq_code0..pq_code{m-1}` int columns — the stored index. */
@@ -138,7 +158,7 @@ object ProductQuantizer {
   /** The m×k ADC lookup table for one query as plain data —
     * `luts(mi)(ki)` is the L2² of q's mi-th subvector to codebook
     * centroid (mi, ki), computed with the same sequential fold as
-    * [[dist2]]. Feeds both the literal form ([[adcDistance]]) and the
+    * [[dist2Arr]]. Feeds both the literal form ([[adcDistance]]) and the
     * broadcast-frame form ([[adcDistanceFromLut]]), so the two score
     * identically to the last ulp. */
   def adcLutRows(q: Array[Double], model: PqModel): Seq[Seq[Double]] =
@@ -157,7 +177,7 @@ object ProductQuantizer {
 
   /** The m×k ADC lookup table as a COLUMN — [[adcLutRows]] computed
     * EXECUTOR-side per row (`array<array<double>>`), through the same
-    * [[dist2]] left-fold the driver loop runs, so the two forms are
+    * [[dist2Arr]] left-fold the driver loop runs, so the two forms are
     * bit-identical (spec-pinned). This is the distributed LUT build
     * for large query batches: the per-query LUT is a pure narrow map
     * over the query frame, so nothing query-sized ever lands on the
@@ -165,8 +185,7 @@ object ProductQuantizer {
     * the probe path's scale ceiling. */
   def adcLut(v: Column, model: PqModel): Column =
     array((0 until model.m).map { mi =>
-      array(model.codebooks(mi).toIndexedSeq.map(c =>
-        dist2(v, mi, model.subDim, c)): _*)
+      dist2Arr(v, mi, model.subDim, model.codebooks(mi))
     }: _*)
 
   /** ADC L2² column for one raw query vector over the code columns —
