@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{IvfKit, ProductQuantizer}
+
+/** Pins the LARGE-set expression routes. IvfKit and ProductQuantizer
+  * switch expression shape on set size (unrolled + CSE-shared below
+  * `UnrollMaxLists`/`UnrollMaxK`, array-literal + lambda above — the
+  * shape that survives Catalyst's quadratic subexpression-elimination
+  * setup at 100 TB list counts, SCALEPROBE round 15). Every other spec
+  * and oracle runs at fixture-scale set sizes, i.e. the UNROLLED
+  * route; this spec drives the lambda route past both thresholds and
+  * asserts bit-identity against exact driver-side references built
+  * from the same left-to-right IEEE fold — the adcLutRows/adcLut
+  * precedent: same ops in the same order produce the same doubles, so
+  * equality is exact, no tolerance. */
+class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def vec(id: Long, dim: Int = 64): Seq[Double] =
+    Seq.tabulate(dim)(i => math.sin(id.toDouble * (i + 1) + (i + 1)))
+
+  /** Exact reference of IvfKit's cosine: left fold dot, ‖a‖·‖b‖ order,
+    * null on zero norm. */
+  private def refCos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    val dot = a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+    val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x))
+    if (na * nb > 0) Some(dot / (na * nb)) else None
+  }
+
+  test("ranked/residual on the lambda route (nLists > UnrollMaxLists) " +
+       "are bit-identical to the exact driver reference") {
+    val s = spark
+    import s.implicits._
+    val nLists = 12 // > UnrollMaxLists = 8: the array-literal route
+    val cents: Seq[(Long, Seq[Double])] =
+      (0L until nLists.toLong).map(c => c -> vec(1000L + c))
+    val rows = (0L until 40L).map(i => (i, vec(i)))
+    val df = rows.toDF("vec_id", "v")
+
+    val got = df.select(col("vec_id"),
+        IvfKit.ranked(cents, col("v")).as("cs"),
+        IvfKit.residual(cents, lit(5L), col("v")).as("rv"),
+        IvfKit.residual(cents, lit(99L), col("v")).as("rv_unknown"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Row](1),
+        r.getSeq[Double](2), r.isNullAt(3))).sortBy(_._1)
+
+    got.foreach { case (id, cs, rv, unknownIsNull) =>
+      val v = rows(id.toInt)._2
+      // reference ranking: (cos, -cid) sorted DESC lexicographically,
+      // exactly sort_array(asc = false) on struct(c, nid)
+      val want = cents.map { case (cid, cv) =>
+        (refCos(v, cv).get, -cid) } // fixture has no zero vectors
+        .sorted(Ordering.Tuple2(Ordering[Double].reverse,
+          Ordering[Long].reverse))
+      cs.map(r => (r.getDouble(0), r.getLong(1))) shouldBe want
+      // residual: v − cents(5), elementwise, exact
+      rv shouldBe v.lazyZip(cents(5)._2).map(_ - _).toSeq
+      // unknown list id → NULL (the documented semantics on BOTH routes)
+      unknownIsNull shouldBe true
+    }
+  }
+
+  test("PQ encode/error/adcLut on the lambda route (k > UnrollMaxK) " +
+       "are bit-identical to the exact driver reference") {
+    val s = spark
+    import s.implicits._
+    val (dim, m, k) = (64, 4, 32) // k > UnrollMaxK = 16: lambda route
+    val subDim = dim / m
+    val rows = (0L until 60L).map(i => (i, vec(i)))
+    val df = rows.toDF("vec_id", "v")
+    val model = ProductQuantizer.train(df, "vec_id", "v", dim, m, k,
+      rounds = 1)
+
+    def refDist2(v: Seq[Double], mi: Int, c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val d = v(mi * subDim + i) - c(i)
+        acc = acc + d * d
+        i += 1
+      }
+      acc
+    }
+    def refNearest(v: Seq[Double], mi: Int): Int = {
+      val d = model.codebooks(mi).map(refDist2(v, mi, _))
+      d.indexOf(d.min) // first minimum, like array_position(array_min)
+    }
+
+    val got = ProductQuantizer.encode(df, "v", model)
+      .withColumn("err", ProductQuantizer.quantizationError(col("v"), model))
+      .withColumn("lut", ProductQuantizer.adcLut(col("v"), model))
+      .collect().map { r =>
+        (r.getLong(0),
+          (0 until m).map(mi => r.getInt(r.fieldIndex(s"pq_code$mi"))),
+          r.getDouble(r.fieldIndex("err")),
+          r.getSeq[Seq[Double]](r.fieldIndex("lut")))
+      }.sortBy(_._1)
+
+    got.foreach { case (id, codes, err, lut) =>
+      val v = rows(id.toInt)._2
+      codes shouldBe (0 until m).map(refNearest(v, _))
+      // quantizationError = Σ_mi min_k dist2 — same fold, exact
+      err shouldBe (0 until m).map(mi =>
+        model.codebooks(mi).map(refDist2(v, mi, _)).min).sum
+      // executor-side LUT == the driver loop (the adcLutRows contract,
+      // now exercised on the k=32 lambda route)
+      lut shouldBe ProductQuantizer.adcLutRows(v.toArray, model)
+    }
+  }
+}
