@@ -848,8 +848,11 @@ object AnnIndex {
         .select("key", "kind", "i1", "i2", "vals").collect()
       val model = parseModelRows(modelRows, buildVer,
         s"staged ANN rebuild at $dir")
+      // shape comes from the STAGED artifacts, not the (possibly
+      // re-configured after a restart) policy — the artifacts are the
+      // authority on what was trained
       commitFull(spark, modelPath(path),
-        modelRowsDf(spark, model, policy.dim, policy.m, policy.k),
+        modelRowsDf(spark, model, model.pq.dim, model.pq.m, model.pq.k),
         pk = "key", ver = buildVer, nBuckets = 4)
       maybeCrash(flipCrashAfter, "model")
       commitFull(spark, codesPath(path), spark.read.parquet(s"$dir/codes"),
