@@ -1,0 +1,303 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, SQLOrderingUtil}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd IVF/PQ kernels for LARGE centroid/codebook sets —
+  * the 100 TB route of [[graft.ops.IvfKit]] / [[graft.ops.ProductQuantizer]].
+  *
+  * Why a custom `Expression` tier exists here (SURVEY §7.3): the
+  * per-centroid-unrolled fold forms livelock Catalyst's runtime
+  * subexpression elimination past ~16 lists (quadratic pairwise
+  * deep-equals over nLists·dim-sized subtrees — measured 780+ s of
+  * task-setup CPU, SCALEPROBE round 15), and the round-15 replacement
+  * (one `transform` lambda over a centroid array literal) fixed the
+  * tree size but pays at RUN time: higher-order functions evaluate
+  * interpreted — no whole-stage codegen — and nothing hoists ‖v‖ out
+  * of the lambda body, so the ranking cost grew linear-in-nLists per
+  * row with a big constant (measured 494 s staged-train window at
+  * nLists=16 vs 119 s at 4). These expressions are the third shape:
+  * ONE tree node (no CSE surface at any list count), one compiled
+  * loop per row (no per-element Catalyst eval), query norm and
+  * centroid norms computed once. A broadcast centroid-table join was
+  * considered and rejected: the join itself broadcasts fine, but
+  * reducing the exploded |corpus|×nLists pairs back to a per-row
+  * argmax needs a corpus-wide shuffle — this stays a narrow map.
+  *
+  * Bit-identity contract (pinned by IvfRouteSpec, zero tolerance):
+  * every fold below runs the SAME IEEE ops in the SAME left-to-right
+  * order as the unrolled small-set forms, so switching routes on set
+  * size is invisible to every oracle — dot folds v·c ascending, the
+  * norm product is ‖v‖·‖c‖, L2² folds (x−y)² ascending, ranking
+  * sorts (cosine DESC, centroid id ASC on ties) with NULL cosines
+  * last, exactly `sort_array(struct(c, nid), asc = false)`.
+  *
+  * The centroid/codebook payload is baked into the expression node
+  * (kilobytes-to-megabytes, the broadcast-as-literal pattern the
+  * query layer already uses); `IndexedSeq` fields keep case-class
+  * equality structural, the flattened hot-loop arrays are transient
+  * and rebuilt per executor.
+  */
+object IvfNative {
+  /** Descending (c, nid)-struct comparison matching
+    * `sort_array(asc = false)` over `struct(c: double, nid: long)`:
+    * struct fields compare in order with SQL double semantics
+    * (`SQLOrderingUtil.compareDoubles`: -0.0 == 0.0, NaN largest) and
+    * a null field smallest — reversed, so null cosines land LAST and
+    * nid descending (= centroid id ascending) breaks ties. */
+  private[functions] def rankCompare(cosA: Double, nullA: Boolean, nidA: Long,
+                                     cosB: Double, nullB: Boolean, nidB: Long): Int =
+    if (nullA && nullB) java.lang.Long.compare(nidB, nidA)
+    else if (nullA) 1
+    else if (nullB) -1
+    else {
+      val c = SQLOrderingUtil.compareDoubles(cosA, cosB)
+      if (c != 0) -c else java.lang.Long.compare(nidB, nidA)
+    }
+}
+
+/** Per-row coarse ranking: the top-`keep` of `struct(c, nid)` over the
+  * baked centroid set, cosine DESC / id ASC, NULL-cosine (zero-norm,
+  * null-element, or length-mismatch — the `zip_with`-pad semantics)
+  * structs ranked last. Returns `array<struct<c: double, nid: bigint>>`
+  * exactly like the unrolled `sort_array` form; never NULL itself (a
+  * NULL input vector ranks every cosine NULL, as the literal forms
+  * do). */
+case class IvfCoarseRank(child: Expression, ids: IndexedSeq[Long],
+                         cents: IndexedSeq[IndexedSeq[Double]], keep: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ivf_coarse_rank requires array<double>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("c", DoubleType, nullable = true),
+    StructField("nid", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "ivf_coarse_rank"
+
+  @transient private lazy val n = cents.length
+  @transient private lazy val dims: Array[Int] = cents.map(_.length).toArray
+  @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+  @transient private lazy val offs: Array[Int] = dims.scanLeft(0)(_ + _)
+  /** ‖c‖ per centroid, same left-to-right fold + sqrt as the literal
+    * `sqrt(aggregate(transform(c, x*x)))` — per-centroid constants, so
+    * hoisting them off the per-row path changes no bits. */
+  @transient private lazy val normC: Array[Double] = Array.tabulate(n) { j =>
+    var s = 0.0
+    var i = offs(j)
+    while (i < offs(j + 1)) { s += flat(i) * flat(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def eval(input: InternalRow): Any =
+    rankAny(child.eval(input).asInstanceOf[ArrayData])
+
+  def rankAny(v: ArrayData): ArrayData = {
+    val cos = new Array[Double](n)
+    val isNull = new Array[Boolean](n)
+    if (v == null) java.util.Arrays.fill(isNull, true)
+    else {
+      val nv = v.numElements()
+      // ‖v‖: null-poisoned by any null element (the literal form's
+      // aggregate over transform(v, x*x))
+      var vNull = false
+      var nrmV = 0.0
+      var i = 0
+      while (i < nv && !vNull) {
+        if (v.isNullAt(i)) vNull = true
+        else { val x = v.getDouble(i); nrmV += x * x }
+        i += 1
+      }
+      val normV = math.sqrt(nrmV)
+      var j = 0
+      while (j < n) {
+        if (vNull || nv != dims(j)) isNull(j) = true
+        else {
+          var dot = 0.0
+          var k = 0
+          val o = offs(j)
+          while (k < nv) { dot += v.getDouble(k) * flat(o + k); k += 1 }
+          val np = normV * normC(j)
+          if (np > 0) cos(j) = dot / np else isNull(j) = true
+        }
+        j += 1
+      }
+    }
+    val order = new Array[Integer](n)
+    var j = 0
+    while (j < n) { order(j) = Integer.valueOf(j); j += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int =
+        IvfNative.rankCompare(cos(a), isNull(a), -ids(a),
+          cos(b), isNull(b), -ids(b))
+    })
+    val m = math.min(keep, n)
+    val out = new Array[Any](m)
+    j = 0
+    while (j < m) {
+      val p = order(j).intValue()
+      out(j) = new GenericInternalRow(Array[Any](
+        if (isNull(p)) null else java.lang.Double.valueOf(cos(p)), -ids(p)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfRank", this, classOf[IvfCoarseRank].getName)
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      $javaType ${ev.value} = $ref.rankAny(
+        ${childGen.isNull} ? null :
+        (org.apache.spark.sql.catalyst.util.ArrayData) ${childGen.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCoarseRank =
+    copy(child = newChild)
+}
+
+/** Per-row residual `v − c(listId)` against the baked centroid set:
+  * O(1) id lookup + one compiled elementwise subtract, replacing the
+  * interpreted `try_element_at(filter(centsLit, …))` scan that cost
+  * O(nLists) per row. NULL on unknown/null list id or null vector;
+  * element-level nulls follow `zip_with`'s pad semantics (result
+  * length is max of the two, null where either side is missing or
+  * null). */
+case class IvfResidual(left: Expression, right: Expression,
+                       ids: IndexedSeq[Long],
+                       cents: IndexedSeq[IndexedSeq[Double]])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ivf_residual requires (array<double>, bigint), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_residual"
+
+  @transient private lazy val byId: java.util.HashMap[Long, Array[Double]] = {
+    val m = new java.util.HashMap[Long, Array[Double]](ids.length * 2)
+    ids.indices.foreach(j => m.put(ids(j), cents(j).toArray))
+    m
+  }
+
+  override protected def nullSafeEval(v: Any, listId: Any): Any =
+    residualOf(v.asInstanceOf[ArrayData], listId.asInstanceOf[Long])
+
+  def residualOf(v: ArrayData, listId: Long): ArrayData = {
+    val c = byId.get(listId)
+    if (c == null) return null
+    val nv = v.numElements()
+    val m = math.max(nv, c.length)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) =
+        if (i >= nv || i >= c.length || v.isNullAt(i)) null
+        else java.lang.Double.valueOf(v.getDouble(i) - c(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfRes", this, classOf[IvfResidual].getName)
+    nullSafeCodeGen(ctx, ev, (v, id) => s"""
+      ${ev.value} = $ref.residualOf(
+        (org.apache.spark.sql.catalyst.util.ArrayData) $v, $id);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2² of `v`'s subvector `[offset, offset + subDim)` against every
+  * centroid of one PQ codebook, as a `k`-element double array — the
+  * large-`k` route of [[graft.ops.ProductQuantizer]]'s `dist2Arr`,
+  * one compiled (x−y)² left-fold per codeword. Element nulls follow
+  * the `slice` + `zip_with` semantics of the literal forms: when the
+  * subrange is incomplete or carries a null, EVERY element is null
+  * (and a NULL input vector yields the all-null array, not NULL). */
+case class PqSubspaceDist2(child: Expression, offset: Int,
+                           codebook: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pq_subspace_dist2 requires array<double>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "pq_subspace_dist2"
+
+  @transient private lazy val k = codebook.length
+  @transient private lazy val subDim = if (k == 0) 0 else codebook.head.length
+  @transient private lazy val flat: Array[Double] = codebook.flatten.toArray
+
+  override def eval(input: InternalRow): Any =
+    dist2Any(child.eval(input).asInstanceOf[ArrayData])
+
+  def dist2Any(v: ArrayData): ArrayData = {
+    var bad = v == null || v.numElements() < offset + subDim
+    if (!bad) {
+      var i = offset
+      while (i < offset + subDim && !bad) { bad = v.isNullAt(i); i += 1 }
+    }
+    val out = new Array[Any](k)
+    if (!bad) {
+      var ki = 0
+      while (ki < k) {
+        var s = 0.0
+        var i = 0
+        val o = ki * subDim
+        while (i < subDim) {
+          val d = v.getDouble(offset + i) - flat(o + i)
+          s += d * d
+          i += 1
+        }
+        out(ki) = java.lang.Double.valueOf(s)
+        ki += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqDist", this, classOf[PqSubspaceDist2].getName)
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${childGen.code}
+      $javaType ${ev.value} = $ref.dist2Any(
+        ${childGen.isNull} ? null :
+        (org.apache.spark.sql.catalyst.util.ArrayData) ${childGen.value});
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqSubspaceDist2 =
+    copy(child = newChild)
+}

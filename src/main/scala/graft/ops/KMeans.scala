@@ -38,8 +38,7 @@ object KMeans {
       seeds.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     for (_ <- 0 until rounds) {
       val stats = df
-        .withColumn("__list",
-          -element_at(IvfKit.ranked(cents, col(vCol)), 1).getField("nid"))
+        .withColumn("__list", IvfKit.assign(cents, col(vCol)))
         .select(col("__list"), posexplode(col(vCol)).as(Seq("__p", "__x")))
         .groupBy(col("__list"), col("__p"))
         .agg(sum(col("__x").cast(SumDec)).as("sx"), count(lit(1)).as("n"))

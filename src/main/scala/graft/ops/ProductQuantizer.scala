@@ -45,14 +45,18 @@ object ProductQuantizer {
   private val SumDec = DecimalType(18, 8)
 
   /** Above this codebook size the unrolled distance arrays switch to
-    * the array-literal + lambda form. Small k unrolls — Catalyst's
-    * runtime subexpression elimination then evaluates the shared
-    * `slice` once per row across the k subtrees, and CSE's setup cost
-    * is negligible. Large k (the documented 256 operating point) needs
-    * the O(1)-in-k tree: CSE's pairwise deep-equals over unrolled
-    * subtrees is quadratic in k·subDim — the livelock measured on the
-    * analogous IVF coarse-ranking shape (SCALEPROBE round 15). Both
-    * forms compute identical doubles in identical order. */
+    * the native codegen'd [[graft.functions.PqSubspaceDist2]]. Small k
+    * unrolls — Catalyst's runtime subexpression elimination then
+    * evaluates the shared `slice` once per row across the k subtrees,
+    * and CSE's setup cost is negligible. Large k (the documented 256
+    * operating point) needs the O(1)-in-k tree: CSE's pairwise
+    * deep-equals over unrolled subtrees is quadratic in k·subDim — the
+    * livelock measured on the analogous IVF coarse-ranking shape
+    * (SCALEPROBE round 15) — and the round-15 lambda interim ran
+    * interpreted, linear-in-k per row with no codegen (SCALEPROBE
+    * round 16). The native node is one compiled (x−y)² fold per
+    * codeword. All forms compute identical doubles in identical
+    * order. */
   private val UnrollMaxK = 16
 
   /** L2² of `v`'s m-th slice against EVERY centroid of one codebook,
@@ -61,14 +65,18 @@ object ProductQuantizer {
     * way. */
   private def dist2Arr(v: Column, mi: Int, subDim: Int,
                        cb: Array[Array[Double]]): Column = {
-    val sv = slice(v, mi * subDim + 1, subDim)
-    def fold(c: Column): Column =
-      aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    if (cb.length <= UnrollMaxK)
+    if (cb.length <= UnrollMaxK) {
+      val sv = slice(v, mi * subDim + 1, subDim)
+      def fold(c: Column): Column =
+        aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
       array(cb.toIndexedSeq.map(c => fold(typedlit(c.toSeq))): _*)
-    else
-      transform(typedlit(cb.toIndexedSeq.map(_.toSeq)), fold(_))
+    } else
+      org.apache.spark.sql.GraftPlanBridge.col(
+        graft.functions.PqSubspaceDist2(
+          org.apache.spark.sql.GraftPlanBridge.expr(v),
+          offset = mi * subDim,
+          codebook = cb.toIndexedSeq.map(_.toIndexedSeq)))
   }
 
   /** 0-based index of the nearest centroid (first minimum on ties). */

@@ -9,15 +9,20 @@ import graft.ops.{IvfKit, ProductQuantizer}
 
 /** Pins the LARGE-set expression routes. IvfKit and ProductQuantizer
   * switch expression shape on set size (unrolled + CSE-shared below
-  * `UnrollMaxLists`/`UnrollMaxK`, array-literal + lambda above — the
-  * shape that survives Catalyst's quadratic subexpression-elimination
-  * setup at 100 TB list counts, SCALEPROBE round 15). Every other spec
-  * and oracle runs at fixture-scale set sizes, i.e. the UNROLLED
-  * route; this spec drives the lambda route past both thresholds and
-  * asserts bit-identity against exact driver-side references built
-  * from the same left-to-right IEEE fold — the adcLutRows/adcLut
-  * precedent: same ops in the same order produce the same doubles, so
-  * equality is exact, no tolerance. */
+  * `UnrollMaxLists`/`UnrollMaxK`, the NATIVE codegen'd kernels
+  * `functions.IvfCoarseRank`/`IvfResidual`/`PqSubspaceDist2` above —
+  * one tree node, so Catalyst's quadratic subexpression-elimination
+  * setup never sees a per-centroid surface at 100 TB list counts, and
+  * one compiled loop per row, so the route costs codegen'd arithmetic
+  * instead of the round-15 interpreted lambda, SCALEPROBE rounds
+  * 15–16). Every other spec and oracle runs at fixture-scale set
+  * sizes, i.e. the UNROLLED route; this spec drives the native route
+  * past both thresholds and asserts bit-identity against exact
+  * driver-side references built from the same left-to-right IEEE
+  * fold — the adcLutRows/adcLut precedent: same ops in the same order
+  * produce the same doubles, so equality is exact, no tolerance.
+  * The last test forces CODEGEN_ONLY so a silently-interpreted
+  * fallback (a doGenCode that fails to compile) cannot pass. */
 class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   private def vec(id: Long, dim: Int = 64): Seq[Double] =
@@ -32,7 +37,7 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
     if (na * nb > 0) Some(dot / (na * nb)) else None
   }
 
-  test("ranked/residual on the lambda route (nLists > UnrollMaxLists) " +
+  test("ranked/residual on the native route (nLists > UnrollMaxLists) " +
        "are bit-identical to the exact driver reference") {
     val s = spark
     import s.implicits._
@@ -65,7 +70,7 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
-  test("PQ encode/error/adcLut on the lambda route (k > UnrollMaxK) " +
+  test("PQ encode/error/adcLut on the native route (k > UnrollMaxK) " +
        "are bit-identical to the exact driver reference") {
     val s = spark
     import s.implicits._
@@ -110,6 +115,47 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
       // executor-side LUT == the driver loop (the adcLutRows contract,
       // now exercised on the k=32 lambda route)
       lut shouldBe ProductQuantizer.adcLutRows(v.toArray, model)
+    }
+  }
+
+  test("the native route really COMPILES — CODEGEN_ONLY with fallback " +
+       "disabled, so an interpreted-fallback doGenCode cannot hide") {
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val keys = Seq("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val nLists = 12
+      val cents: Seq[(Long, Seq[Double])] =
+        (0L until nLists.toLong).map(c => c -> vec(1000L + c))
+      val rows = (0L until 60L).map(i => (i, vec(i)))
+      val df = rows.toDF("vec_id", "v")
+      val got = df.select(col("vec_id"),
+          (-element_at(IvfKit.ranked(cents, $"v", keep = 1), 1)
+            .getField("nid")).as("list_id"),
+          IvfKit.residual(cents, lit(3L), $"v").as("rv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(_._1)
+      got.foreach { case (id, listId, rv) =>
+        val v = rows(id.toInt)._2
+        val want = cents.map { case (cid, cv) => (refCos(v, cv).get, -cid) }
+          .sorted(Ordering.Tuple2(Ordering[Double].reverse,
+            Ordering[Long].reverse))
+        listId shouldBe -want.head._2
+        rv shouldBe v.lazyZip(cents(3)._2).map(_ - _).toSeq
+      }
+      // PQ side: an encode at k > UnrollMaxK through the same forced-
+      // codegen session
+      val (dim, m, k) = (64, 4, 32)
+      val model = ProductQuantizer.train(df, "vec_id", "v", dim, m, k,
+        rounds = 1)
+      ProductQuantizer.encode(df, "v", model).collect().length shouldBe 60
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 }
