@@ -768,12 +768,20 @@ object AnnIndex {
         () => {
           spark.sparkContext
             .setLocalProperty("spark.scheduler.pool", "ann_rebuild")
-          outcome = Some(
-            try {
-              stagingDelay()
-              trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir)
-              Right(())
-            } catch { case t: Throwable => Left(t) })
+          try {
+            stagingDelay()
+            trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir)
+            outcome = Some(Right(()))
+          } catch {
+            // NonFatal ONLY: a fatal JVM error (OutOfMemoryError,
+            // StackOverflowError) on the background train must
+            // propagate — reporting it as a recoverable
+            // Ingest.rebuildFailed would keep the stream committing
+            // batches inside a JVM that may already be corrupted.
+            // The thread dies, `outcome` stays None, and the default
+            // uncaught-exception handler gets the error.
+            case scala.util.control.NonFatal(t) => outcome = Some(Left(t))
+          }
         },
         s"ann-staged-rebuild-$path".replace('/', '-'))
       thread.setDaemon(true)
@@ -788,6 +796,17 @@ object AnnIndex {
       * after the named commit ("model" | "codes" | "pending") — pins
       * the restart roll-forward in StreamingAnnIndexSpec. */
     private[graft] var flipCrashAfter: Option[String] = None
+    /** Test hook: a TRANSIENT (non-fatal, process-survives) fault
+      * inside [[flipStaged]] after the named commit — one-shot, so
+      * the in-process recovery retry succeeds. Pins the
+      * flip-fault-does-not-wedge-the-stream contract. */
+    private[graft] var flipFaultAfter: Option[String] = None
+    private def maybeFault(at: String): Unit =
+      if (flipFaultAfter.contains(at)) {
+        flipFaultAfter = None
+        throw new RuntimeException(
+          s"injected transient flip fault after '$at' commit")
+      }
 
     // restart recovery BEFORE the counter floor: a rebuild that crashed
     // between its commits and its pointer flip must be rolled forward
@@ -856,9 +875,11 @@ object AnnIndex {
         modelRowsDf(spark, model, model.pq.dim, model.pq.m, model.pq.k),
         pk = "key", ver = buildVer, nBuckets = 4)
       maybeCrash(flipCrashAfter, "model")
+      maybeFault("model")
       commitFull(spark, codesPath(path), spark.read.parquet(s"$dir/codes"),
         pk = "vec_id", ver = buildVer, nBuckets = policy.nBuckets)
       maybeCrash(flipCrashAfter, "codes")
+      maybeFault("codes")
       var v = buildVer
       pendingDirs(dir).foreach { pd =>
         v += 1L
@@ -897,9 +918,18 @@ object AnnIndex {
       *    (one tiny-table rewrite), so the codes chain — which was
       *    never touched — is appendable again.
       *
+      * A COMPLETE staging dir found under a HEALTHY pointer (a crash
+      * anywhere between staging completion and the flip's first
+      * commit — the widest restart window) is PUBLISHED, not swept:
+      * the artifacts are valid (pending spills cover every
+      * during-window batch, and nothing can have been ingested
+      * between crash and restart), and at the motivating scale the
+      * train they hold is hours of work.
+      *
       * Incomplete staging dirs (a failed or crashed-mid-train build)
-      * are swept in every branch; on a healthy index recovery is two
-      * commit-log metadata reads and a no-op. */
+      * are swept in every branch; on a healthy index with no staging
+      * debris recovery is two commit-log metadata reads and a
+      * no-op. */
     private def recoverOrphanedRebuild(): Unit = {
       val fs = hfs(spark, path)
       val rootP = fsPath(stagingRoot(path))
@@ -912,10 +942,15 @@ object AnnIndex {
         case None => sweepAll() // nothing published: debris only
         case Some(ptr) =>
           val latestModel = DimStore.currentVersion(modelPath(path))
-          if (latestModel.forall(_ == ptr.modelV)) sweepAll()
-          else {
-            val complete = stagingDirs
-              .find(d => fs.exists(fsPath(s"$d/$StagedOk")))
+          val complete = stagingDirs
+            .find(d => fs.exists(fsPath(s"$d/$StagedOk")))
+          if (latestModel.forall(_ == ptr.modelV)) {
+            // healthy pointer: a complete staged build whose flip
+            // never started resumes here — publish it, then sweep
+            // whatever else is debris
+            complete.foreach(flipStaged)
+            sweepAll()
+          } else {
             complete match {
               case Some(dir) =>
                 flipStaged(dir)
@@ -983,7 +1018,27 @@ object AnnIndex {
           staging = None
           st.outcome.get match {
             case Right(()) =>
-              Ingest(drift, Some(flipStaged(st.dir)), occ)
+              try Ingest(drift, Some(flipStaged(st.dir)), occ)
+              catch {
+                case t: InjectedCrash => throw t // simulated process death
+                case scala.util.control.NonFatal(t) =>
+                  // A flip-side fault (e.g. a transient FS error
+                  // between the model and codes commits) must not
+                  // wedge the stream: the append above landed, the
+                  // staging artifacts are durable, and any commit the
+                  // partial flip left behind is superseded debris.
+                  // Re-run the exact restart-recovery path a process
+                  // death would take — it re-publishes from the
+                  // staged artifacts and leaves the index appendable
+                  // (without this, every later ingest dies on
+                  // appendImpl's orphaned-rebuild guard until an
+                  // operator restarts the process). Only if the
+                  // retry ALSO fails does the batch error propagate.
+                  recoverOrphanedRebuild()
+                  nextVer.set(nextBuildVer(spark, path))
+                  Ingest(drift, Some(readModel(spark, path)), occ,
+                    rebuildFailed = Some(t))
+              }
             case Left(t) =>
               // a failed background build must not fail the stream —
               // the append above landed and the old build keeps

@@ -320,6 +320,102 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
     AnnIndex.fsck(s, path).consistent shouldBe true
   }
 
+  test("a crash BETWEEN staging completion and the flip's first commit " +
+       "(healthy pointer, complete artifacts — the widest restart " +
+       "window) resumes on restart: the new Ingestor publishes the " +
+       "finished staged build instead of discarding the train") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_preflip_crash").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val oldBuildVer = AnnIndex.readModel(s, path).buildVer
+
+    val snapshot = seed ++ rows(60 until 90) ++ drifted(1000 until 1060)
+    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4,
+      dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1,
+      stagedRebuild = true)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    // hold the build window open so the during-window batch really
+    // lands inside it (fixture-scale trains finish in milliseconds)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    ingestor.stagingDelay = () => gate.await()
+    ingestor.ingest(rows(60 until 90).toDF())
+    ingestor.ingest(drifted(1000 until 1060).toDF()) // triggers staging
+    val during = rows(200 until 210)
+    ingestor.ingest(during.toDF()) // spilled to the staging dir
+    gate.countDown()
+    ingestor.awaitStaged()
+    // artifacts complete, pointer healthy, flip never ran — the
+    // process "dies" here (the first ingestor is simply abandoned)
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+
+    val restarted = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    // construction published the staged build — train NOT re-paid,
+    // spilled during-window batch re-encoded under the new model
+    val m = AnnIndex.readModel(s, path)
+    m.buildVer should be > oldBuildVer
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+    val refPath = Files.createTempDirectory("ann_preflip_ref").toString + "/idx"
+    val ref = AnnIndex.buildTrained(s, refPath, snapshot.toDF(),
+      "vec_id", "v", nLists = 4, dim = 64, m = 4, k = 4, rounds = 1,
+      kmRounds = 1)
+    AnnIndex.append(s, refPath, during.toDF(), "vec_id", "v",
+      ver = ref.buildVer + 1L)
+    m.centroids shouldBe ref.centroids
+    codeSet(AnnIndex.codes(s, path)) shouldBe
+      codeSet(AnnIndex.codes(s, refPath))
+    // and the restarted ingestor orders above everything
+    restarted.ingest(rows(500 until 505).toDF())
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
+  test("a TRANSIENT flip fault self-heals in-process: the batch " +
+       "reports the fault, the staged build still publishes (from the " +
+       "durable artifacts), and the stream is NOT wedged") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_flip_fault").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val oldBuildVer = AnnIndex.readModel(s, path).buildVer
+
+    val snapshot = seed ++ drifted(1000 until 1060)
+    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4,
+      dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1,
+      stagedRebuild = true)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    ingestor.ingest(drifted(1000 until 1060).toDF()) // triggers staging
+    ingestor.awaitStaged()
+    // the flip ingest hits a transient fault AFTER the model commit —
+    // the exact window that used to orphan the index until a process
+    // restart (every subsequent append throwing IllegalStateException)
+    ingestor.flipFaultAfter = Some("model")
+    val r = ingestor.ingest(rows(300 until 310).toDF())
+    r.rebuildFailed.map(_.getMessage) shouldBe
+      Some("injected transient flip fault after 'model' commit")
+    // ...but the in-process recovery re-published from the durable
+    // staging artifacts: the rebuild landed in the SAME call
+    val m = r.rebuilt.getOrElse(fail("recovery did not publish"))
+    m.buildVer should be > oldBuildVer
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+    // the stream keeps flowing — no wedge, no restart needed
+    ingestor.ingest(rows(400 until 405).toDF()).rebuildFailed shouldBe None
+    AnnIndex.codes(s, path).count() shouldBe 135L
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
   test("restart recovery repairs an orphaned INLINE rebuild too: " +
        "roll-forward when both commits landed, roll-back (published " +
        "model restored) when only the model commit did") {
