@@ -676,20 +676,69 @@ object AnnIndex {
     * it holds a complete (model, codes) artifact set a flip — or a
     * restart's roll-forward — can publish. */
   private val StagedOk = "_STAGED_OK"
+  /** Staging metadata written before [[StagedOk]]: the RESERVED build
+    * version baked into the staged codes files and the bucket fan-out
+    * they were laid out with — what lets the flip (possibly a
+    * restart's, under a re-configured policy) ADOPT the files
+    * as-written instead of rewriting the corpus through the commit
+    * log. */
+  private val StagedMeta = "_STAGED_META"
+
+  /** How far above the triggering ingest's counter a staged rebuild
+    * RESERVES its build version. Baking the version into the staged
+    * codes at train time is what makes the flip an O(metadata +
+    * pending) file adoption instead of an O(corpus) rewrite — but the
+    * version must still dominate every append committed during the
+    * build window, so the reservation leaves headroom for 2^20
+    * during-window batches (a week of 100ms micro-batches; a window
+    * that outlives it falls back to the rewrite commit, correct but
+    * corpus-priced). Versions are LWW ordinals, not sequence numbers
+    * — gaps are meaningless to every reader. */
+  private val VersionHeadroom = 1L << 20
+
+  private def writeSmall(spark: SparkSession, p: String, body: String): Unit = {
+    val out = hfs(spark, p).create(new org.apache.hadoop.fs.Path(p), true)
+    out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readStagedMeta(spark: SparkSession,
+                             dir: String): Option[(Long, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$StagedMeta")
+    val fs = hfs(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val kv = body.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v.trim)
+          case _ => None
+        }
+      }.toMap
+      for (v <- kv.get("ver"); b <- kv.get("buckets"))
+        yield (v.toLong, b.toInt)
+    }
+  }
 
   /** Train + re-encode WITHOUT committing: everything [[buildImpl]]
-    * computes, landed as plain parquet under `stagingDir` instead of
-    * the commit log — `$stagingDir/model` (the [[modelRowsDf]] row
-    * form, build version resolved at flip time) and
-    * `$stagingDir/codes`, then the [[StagedOk]] marker. Everything the
-    * flip needs is DURABLE, so a crash between staging completion and
-    * the flip is resumable from disk on restart. Deterministic (same
-    * KMeans/PQ/encode path), so a flip over these artifacts publishes
-    * byte-identically to an inline [[buildTrained]] over the same
-    * corpus snapshot. */
+    * computes, landed under `stagingDir` instead of the commit log —
+    * `$stagingDir/model` (the [[modelRowsDf]] row form, build version
+    * resolved at flip time) and `$stagingDir/codes` written in the
+    * codes TABLE'S physical format (bucketed by the dim-store's own
+    * hash layout, `__batch_ver` pre-baked at the reserved version),
+    * then [[StagedMeta]] and the [[StagedOk]] marker. Staging in
+    * table format is what makes the flip adopt files instead of
+    * rewriting the corpus; everything the flip needs is DURABLE, so a
+    * crash between staging completion and the flip is resumable from
+    * disk on restart. Deterministic (same KMeans/PQ/encode path), so
+    * a flip over these artifacts publishes byte-identically to an
+    * inline [[buildTrained]] over the same corpus snapshot. */
   private def trainAndStage(spark: SparkSession, corpus: DataFrame,
       idCol: String, vCol: String, policy: RebuildPolicy,
-      stagingDir: String): Unit = {
+      stagingDir: String, reservedVer: Long): Unit = {
     val cents = KMeans.train(corpus.select(col(idCol), col(vCol)),
       idCol, vCol, policy.nLists, policy.kmRounds)
     val lists = corpus
@@ -705,8 +754,15 @@ object AnnIndex {
     modelRowsDf(spark, model, policy.dim, policy.m, policy.k)
       .filter(col("kind") =!= "bver") // build version resolved at flip
       .write.mode("overwrite").parquet(s"$stagingDir/model")
+    val bcol = DimStore.bucketColName
     encodeWith(corpus, idCol, vCol, model)
-      .write.mode("overwrite").parquet(s"$stagingDir/codes")
+      .withColumn("__batch_ver", lit(reservedVer))
+      .withColumn(bcol, DimStore.bucketColumn("vec_id", policy.nBuckets))
+      .repartition(col(bcol))
+      .write.mode("overwrite").partitionBy(bcol)
+      .parquet(s"$stagingDir/codes")
+    writeSmall(spark, s"$stagingDir/$StagedMeta",
+      s"ver=$reservedVer\nbuckets=${policy.nBuckets}\n")
     hfs(spark, stagingDir).create(
       new org.apache.hadoop.fs.Path(s"$stagingDir/$StagedOk"), true).close()
   }
@@ -761,7 +817,8 @@ object AnnIndex {
       * ahead of them FIFO; under the default FIFO scheduler the
       * property is inert. Local properties are per-thread, so only the
       * staging jobs land in the pool. */
-    private final class Staging(corpusSnap: DataFrame, val dir: String) {
+    private final class Staging(corpusSnap: DataFrame, val dir: String,
+                                val reservedVer: Long) {
       val pendingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
       @volatile var outcome: Option[Either[Throwable, Unit]] = None
       val thread: Thread = new Thread(
@@ -770,7 +827,8 @@ object AnnIndex {
             .setLocalProperty("spark.scheduler.pool", "ann_rebuild")
           try {
             stagingDelay()
-            trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir)
+            trainAndStage(spark, corpusSnap, idCol, vCol, policy, dir,
+              reservedVer)
             outcome = Some(Right(()))
           } catch {
             // NonFatal ONLY: a fatal JVM error (OutOfMemoryError,
@@ -854,16 +912,36 @@ object AnnIndex {
       } catch { case _: java.io.IOException => () } // staging debris only
     }
 
-    /** Publish a completed staged build FROM DISK: commit model +
-      * staged codes above every committed batch, re-encode the spilled
-      * during-window batches, then ONE pointer flip — readers stay on
-      * the old index byte-identically until the flip. Everything read
-      * here is durable staging parquet, so the same code path serves
-      * the live flip and a restart's roll-forward, and a crash
-      * anywhere before the flip leaves only superseded debris the next
-      * attempt commits strictly above. */
+    /** Publish a completed staged build FROM DISK: commit the model,
+      * ADOPT the staged codes files into the commit log (they were
+      * written in the table's physical format at the RESERVED
+      * version, so the commit is O(files) metadata — hard links plus
+      * one manifest — not an O(corpus) rewrite), re-encode the
+      * spilled during-window batches, then ONE pointer flip — readers
+      * stay on the old index byte-identically until the flip.
+      * Everything read here is durable staging parquet, so the same
+      * code path serves the live flip and a restart's roll-forward,
+      * and a crash anywhere before the flip leaves only superseded
+      * debris. Re-running after a partial flip is safe AT THE SAME
+      * reserved version: both tables are full-replace commits and the
+      * pending upserts re-merge identical rows (deterministic LWW
+      * tie-break), so the retry converges on identical content.
+      *
+      * Adoption requires the reserved version to dominate every
+      * committed append. Under the single-maintainer contract the
+      * only commits that can sit above it are a crashed flip's own
+      * debris (reserved..reserved+pendings), so the check is
+      * `nextBuildVer ≤ reserved + pendings + 1`; a window that
+      * somehow burned through the 2^20 headroom falls back to the
+      * corpus-priced rewrite commit — correct, just not
+      * metadata-cheap. */
     private def flipStaged(dir: String): Model = {
-      val buildVer = nextBuildVer(spark, path)
+      val meta = readStagedMeta(spark, dir)
+      val pending = pendingDirs(dir)
+      val floor = nextBuildVer(spark, path)
+      val adopted = meta.filter { case (rv, _) =>
+        floor <= rv + pending.size + 1L }
+      val buildVer = adopted.map(_._1).getOrElse(floor)
       val modelRows = spark.read.parquet(s"$dir/model")
         .select("key", "kind", "i1", "i2", "vals").collect()
       val model = parseModelRows(modelRows, buildVer,
@@ -876,12 +954,25 @@ object AnnIndex {
         pk = "key", ver = buildVer, nBuckets = 4)
       maybeCrash(flipCrashAfter, "model")
       maybeFault("model")
-      commitFull(spark, codesPath(path), spark.read.parquet(s"$dir/codes"),
-        pk = "vec_id", ver = buildVer, nBuckets = policy.nBuckets)
+      adopted match {
+        case Some((_, buckets)) =>
+          DimStore.adoptFullReplace(spark, codesPath(path),
+            s"$dir/codes", buckets)
+        case None =>
+          // headroom exhausted (or a pre-meta staging dir): re-bake
+          // the staged content through the commit log at `floor` —
+          // the staged files carry the stale reserved version and the
+          // physical bucket column, both replaced here
+          val staged = spark.read.parquet(s"$dir/codes")
+            .drop(DimStore.bucketColName).drop("__batch_ver")
+          commitFull(spark, codesPath(path), staged,
+            pk = "vec_id", ver = buildVer,
+            nBuckets = meta.map(_._2).getOrElse(policy.nBuckets))
+      }
       maybeCrash(flipCrashAfter, "codes")
       maybeFault("codes")
       var v = buildVer
-      pendingDirs(dir).foreach { pd =>
+      pending.foreach { pd =>
         v += 1L
         DimStore.upsert(spark, codesPath(path),
           encodeWith(spark.read.parquet(pd), idCol, vCol, model)
@@ -1049,8 +1140,13 @@ object AnnIndex {
         case None if wantRebuild =>
           // staging keyed by the triggering counter value: unique per
           // rebuild under the single-maintainer contract, and a crash
-          // leaves only an overwrite-safe plain-parquet dir behind
-          val st = new Staging(corpus(), s"${stagingRoot(path)}/b${peekVer}")
+          // leaves only an overwrite-safe plain-parquet dir behind.
+          // The build version is RESERVED here — far enough above the
+          // counter that every during-window append stays below it —
+          // so the staged codes bake it in and the flip adopts files
+          // instead of rewriting the corpus.
+          val st = new Staging(corpus(), s"${stagingRoot(path)}/b${peekVer}",
+            reservedVer = peekVer + VersionHeadroom)
           staging = Some(st)
           st.thread.start()
           Ingest(drift, None, occ)

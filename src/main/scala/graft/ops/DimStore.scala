@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{col, hash, lit, pmod, row_number, struct}
 
@@ -112,6 +112,12 @@ object DimStore {
 
   private def bucketOf(pk: String, n: Int) =
     pmod(hash(col(pk)), lit(n)).cast("int")
+
+  /** The store's physical bucketing expression and partition-column
+    * name — for builders laying out [[adoptFullReplace]] input in the
+    * table's exact on-disk format. */
+  private[ops] def bucketColumn(pk: String, n: Int): Column = bucketOf(pk, n)
+  private[ops] def bucketColName: String = BucketCol
 
   // -------------------------------------------------------------------
   // commit log — all IO through the LogStore seam. PosixLogStore's
@@ -913,6 +919,65 @@ object DimStore {
         attempt += 1
         if (attempt > 50) throw new java.util.ConcurrentModificationException(
           s"lost the rebucket commit race $attempt times at $path")
+      }
+    }
+  }
+
+  /** ADOPT a pre-bucketed directory tree as the FULL content of the
+    * table — one commit of O(files) METADATA, no data rewrite: the
+    * Delta add-file pattern, for a builder that already laid its
+    * output out in this store's physical format
+    * (`__bucket=k/part-*.parquet`, files carrying every table column
+    * except the bucket, which the dir name encodes — exactly what
+    * `df.write.partitionBy(bucketColName)` produces). The caller owns
+    * three invariants the normal write paths enforce physically: rows
+    * bucketed by `pmod(hash(pk), buckets)` ([[bucketColumn]]), at
+    * most one row per pk, and file schemas matching the table's.
+    *
+    * The staged tree is CLONED into the generation — hard links on
+    * posix, so the commit costs directory metadata however many bytes
+    * the table holds, and the SOURCE stays intact for crash-retry (a
+    * crash anywhere leaves the table at its old version plus at worst
+    * an unreferenced generation for vacuum, the standard crash
+    * contract). A remote fs pays a real copy (the cloneTree trade the
+    * root projection already documents); an HDFS deployment that
+    * can't afford it would rename-adopt and accept that a pre-commit
+    * crash consumes the staging. Optimistic loser-retries commit like
+    * every other committer; a fan-out different from the current
+    * manifest's is recorded per manifest, exactly as [[rebucket]]
+    * does. */
+  private[ops] def adoptFullReplace(spark: SparkSession, path: String,
+                                    stagedDir: String, buckets: Int): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, fs, path)
+    val st = store(path)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val v = currentVersion(path).map(_ + 1L).getOrElse(1L)
+      st.mkdirs(gensDir(path))
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val genName = f"g$v%020d-$nonce"
+      val tmp = s"${gensDir(path)}/.w-$genName"
+      st.deleteTree(tmp)
+      st.cloneTree(stagedDir, tmp)
+      st.rename(tmp, s"${gensDir(path)}/$genName")
+      val dirs = bucketDirsOf(path, genName)
+      if (dirs.isEmpty) {
+        st.deleteTree(s"${gensDir(path)}/$genName")
+        throw new IllegalArgumentException(
+          s"nothing to adopt at $stagedDir (no $BucketCol= dirs)")
+      }
+      val m = Manifest(v, buckets, dirs.map(_ -> genName).toMap)
+      if (tryCommit(path, m)) {
+        writeBucketCount(fs, path, buckets)
+        syncView(spark, path)
+        done = true
+      } else {
+        st.deleteTree(s"${gensDir(path)}/$genName")
+        attempt += 1
+        if (attempt > 50) throw new java.util.ConcurrentModificationException(
+          s"lost the adopt commit race $attempt times at $path")
       }
     }
   }

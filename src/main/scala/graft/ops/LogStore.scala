@@ -180,7 +180,10 @@ private[graft] object PosixLogStore extends LogStore {
   }
 
   def cloneTree(src: String, dst: String): Unit =
-    Staging.linkClone(src, nio(dst))
+    // normalize BOTH ends: callers hand scheme-qualified `file:` URIs
+    // here too (Hadoop Path.toString round-trips), and linkClone walks
+    // the source with raw nio
+    Staging.linkClone(nio(src).toString, nio(dst))
 }
 
 private[graft] object HadoopLogStore extends LogStore {

@@ -212,12 +212,39 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
     // artifacts ready; readers STILL on the old build until an ingest
     // pays the commit tail
     AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+    // capture the staged codes part-files: the flip must ADOPT these
+    // into the commit log (names and sizes preserved under _gens —
+    // O(metadata), the add-file pattern), not rewrite the corpus
+    // (which would mint fresh part-file names)
+    def partFiles(root: String): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val w = Files.walk(p)
+        try w.iterator().asScala
+          .filter(f => f.getFileName.toString.startsWith("part-"))
+          .map(f => (f.getFileName.toString, Files.size(f))).toSet
+        finally w.close()
+      }
+    }
+    val stagedCodesFiles = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(java.nio.file.Paths.get(s"$path/_staging"))
+      val dirs = try st.iterator().asScala.toSeq finally st.close()
+      dirs.map(d => partFiles(s"$d/codes")).reduce(_ ++ _)
+    }
+    stagedCodesFiles should not be empty
 
     // the flip ingest: commit tail only (no train/encode of the
     // snapshot in this call) — publishes the staged build plus every
     // during-window batch re-encoded under the new model
     val flipBatch = rows(300 until 310)
     val r4 = ingestor.ingest(flipBatch.toDF())
+    // the staged files were adopted verbatim into the codes table's
+    // generation store
+    val genFiles = partFiles(s"$path/codes/_gens")
+    stagedCodesFiles.subsetOf(genFiles) shouldBe true
     val rebuilt = r4.rebuilt.getOrElse(fail("flip did not publish"))
     rebuilt.buildVer should be > oldBuildVer
     ingestor.stagingActive shouldBe false
