@@ -20,10 +20,11 @@ import org.apache.spark.sql.types.DecimalType
   * 32× smaller than the raw vectors), which is what makes exhaustive
   * re-rank over 100 TB of embeddings feasible. Compose IVF bucketing
   * ([[graft.queries.Extensions]] x12) in front for the full IVFADC
-  * system. Everything stays inside whole-stage codegen: distances are
-  * `aggregate`/`zip_with` folds, code assignment is
+  * system. Everything stays inside whole-stage codegen: subspace
+  * distances are one native compiled kernel per codebook
+  * ([[graft.functions.PqSubspaceDist2]]), code assignment is
   * `array_position(d, array_min(d))`, ADC is `element_at` on a literal
-  * array — no UDFs.
+  * array — no UDFs, no interpreted higher-order functions.
   *
   * Determinism (the x18/x72 contract): centroid updates are exact
   * DECIMAL(18,8) sums cast to double, distance folds are the same
@@ -44,40 +45,23 @@ object ProductQuantizer {
 
   private val SumDec = DecimalType(18, 8)
 
-  /** Above this codebook size the unrolled distance arrays switch to
-    * the native codegen'd [[graft.functions.PqSubspaceDist2]]. Small k
-    * unrolls — Catalyst's runtime subexpression elimination then
-    * evaluates the shared `slice` once per row across the k subtrees,
-    * and CSE's setup cost is negligible. Large k (the documented 256
-    * operating point) needs the O(1)-in-k tree: CSE's pairwise
-    * deep-equals over unrolled subtrees is quadratic in k·subDim — the
-    * livelock measured on the analogous IVF coarse-ranking shape
-    * (SCALEPROBE round 15) — and the round-15 lambda interim ran
-    * interpreted, linear-in-k per row with no codegen (SCALEPROBE
-    * round 16). The native node is one compiled (x−y)² fold per
-    * codeword. All forms compute identical doubles in identical
-    * order. */
-  private val UnrollMaxK = 16
-
   /** L2² of `v`'s m-th slice against EVERY centroid of one codebook,
-    * as a k-array column, through the same zip_with left-fold on both
-    * routes — assignment, error, and ADC are bit-identical either
-    * way. */
+    * as a k-array column — one native codegen'd (x−y)² left-fold per
+    * codeword ([[graft.functions.PqSubspaceDist2]]), so assignment,
+    * error, and ADC share one compiled kernel. The per-codeword
+    * unrolled `slice`+`zip_with` forms this replaces computed the
+    * same doubles in the same order (bit-identity pinned by
+    * IvfRouteSpec's driver references) but paid interpreted HOF eval
+    * per row — measured x75 2.57→1.07 s isolated on the switch — and
+    * livelocked Catalyst's runtime CSE setup past k≈16 (SCALEPROBE
+    * round 15). */
   private def dist2Arr(v: Column, mi: Int, subDim: Int,
-                       cb: Array[Array[Double]]): Column = {
-    if (cb.length <= UnrollMaxK) {
-      val sv = slice(v, mi * subDim + 1, subDim)
-      def fold(c: Column): Column =
-        aggregate(zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      array(cb.toIndexedSeq.map(c => fold(typedlit(c.toSeq))): _*)
-    } else
-      org.apache.spark.sql.GraftPlanBridge.col(
-        graft.functions.PqSubspaceDist2(
-          org.apache.spark.sql.GraftPlanBridge.expr(v),
-          offset = mi * subDim,
-          codebook = cb.toIndexedSeq.map(_.toIndexedSeq)))
-  }
+                       cb: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftPlanBridge.col(
+      graft.functions.PqSubspaceDist2(
+        org.apache.spark.sql.GraftPlanBridge.expr(v),
+        offset = mi * subDim,
+        codebook = cb.toIndexedSeq.map(_.toIndexedSeq)))
 
   /** 0-based index of the nearest centroid (first minimum on ties). */
   private def nearest(v: Column, mi: Int, subDim: Int,

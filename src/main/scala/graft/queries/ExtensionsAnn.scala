@@ -116,15 +116,16 @@ private[queries] trait ExtensionsAnn { this: Extensions.type =>
   private[queries] lazy val IvfProbes = 2
 
   /** IVF coarse-quantizer kit shared by x12 and x75: the 4 centroid
-    * vectors are COLLECTED once (the x18 tiny-state pattern) and come
-    * back as literals, so per-row ranking is 4 cosine folds + one
-    * 4-element sort_array — a PURE NARROW MAP with no corpus×4 join
-    * and no per-vec_id window shuffle (the original join+window
-    * formulation shuffled the whole ×4-amplified corpus just to pick
-    * each row's argmax). Structs sort DESC on (ccos, -cent_id), which
-    * reproduces the oracle's ROW_NUMBER (ccos DESC, cent_id ASC) tie
-    * semantics exactly; the ccos values are the same [[cosine]] fold,
-    * so the ordering is ulp-identical to the joined form. */
+    * vectors are COLLECTED once (the x18 tiny-state pattern) and bake
+    * into IvfKit's native ranking kernel, so per-row ranking is one
+    * compiled cosine loop + a 4-element sort — a PURE NARROW MAP with
+    * no corpus×4 join and no per-vec_id window shuffle (the original
+    * join+window formulation shuffled the whole ×4-amplified corpus
+    * just to pick each row's argmax). The kernel ranks DESC on
+    * (ccos, -cent_id), which reproduces the oracle's ROW_NUMBER
+    * (ccos DESC, cent_id ASC) tie semantics exactly; the ccos values
+    * are the same [[cosine]] left-to-right fold, so the ordering is
+    * ulp-identical to the joined form. */
   private[queries] def ivfCentroidRows(e: DataFrame): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.sql.functions.col
     e.filter(col("vec_id").isin(IvfCentroids: _*)).orderBy(col("vec_id"))

@@ -65,14 +65,15 @@ object StagedRebuildProbe {
         transform(sequence(lit(1), lit(64)),
           i => sin(col("id") * i + i) * scale).as("v"))
 
-    // nLists is an arg because this probe FOUND the expression-shape
-    // ceiling: the pre-round-15 literal-unrolled coarse ranking
-    // livelocked Catalyst's runtime common-subexpression elimination
-    // at nLists=16 (EquivalentExpressions.updateCommonExprs, 780+ s of
-    // CPU per task in deep-equals) — see SCALEPROBE "IVF nLists
-    // expression ceiling". IvfKit now ranks through one array-literal
-    // + transform lambda, O(1)-in-nLists; run this probe at 16+ to
-    // confirm the ceiling stays gone.
+    // nLists is an arg because this probe FOUND two expression-shape
+    // ceilings in turn: the pre-round-15 literal-unrolled coarse
+    // ranking livelocked Catalyst's runtime common-subexpression
+    // elimination at nLists=16, dim=64 (780+ s of CPU per task in
+    // EquivalentExpressions deep-equals), and the round-15 lambda
+    // interim ran interpreted, linear-in-nLists per row (494 s train
+    // window at 16 lists vs 119 at 4). IvfKit now ranks through ONE
+    // native codegen'd kernel (functions/IvfNative) -- run this probe
+    // at 16+ to confirm both ceilings stay gone (round 16: 55 s).
     val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = nLists,
       dim = 64, m = 8, k = 16, rounds = 1, kmRounds = 1, nBuckets = 64,
       stagedRebuild = true)

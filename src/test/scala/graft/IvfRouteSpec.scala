@@ -7,20 +7,20 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.ops.{IvfKit, ProductQuantizer}
 
-/** Pins the LARGE-set expression routes. IvfKit and ProductQuantizer
-  * switch expression shape on set size (unrolled + CSE-shared below
-  * `UnrollMaxLists`/`UnrollMaxK`, the NATIVE codegen'd kernels
-  * `functions.IvfCoarseRank`/`IvfResidual`/`PqSubspaceDist2` above —
-  * one tree node, so Catalyst's quadratic subexpression-elimination
-  * setup never sees a per-centroid surface at 100 TB list counts, and
-  * one compiled loop per row, so the route costs codegen'd arithmetic
-  * instead of the round-15 interpreted lambda, SCALEPROBE rounds
-  * 15–16). Every other spec and oracle runs at fixture-scale set
-  * sizes, i.e. the UNROLLED route; this spec drives the native route
-  * past both thresholds and asserts bit-identity against exact
-  * driver-side references built from the same left-to-right IEEE
-  * fold — the adcLutRows/adcLut precedent: same ops in the same order
-  * produce the same doubles, so equality is exact, no tolerance.
+/** Pins the NATIVE IVF/PQ kernels — `functions.IvfCoarseRank` /
+  * `IvfResidual` / `PqSubspaceDist2`, the single expression route
+  * every coarse-ranking, residual, and subspace-distance path rides
+  * (one tree node, so Catalyst's quadratic subexpression-elimination
+  * setup never sees a per-centroid surface at 100 TB list counts;
+  * one compiled loop per row, so nothing runs as an interpreted
+  * higher-order function — SCALEPROBE rounds 15–16 hold the history
+  * of the two expression shapes these replaced). The kernels must
+  * compute EXACTLY the doubles the original literal `sort_array` /
+  * `zip_with`-fold formulations computed, in the same left-to-right
+  * IEEE order — that contract is what keeps every oracle untouched —
+  * so this spec asserts bit-identity against exact driver-side
+  * references built from the same folds: same ops in the same order
+  * produce the same doubles, equality is exact, no tolerance.
   * The last test forces CODEGEN_ONLY so a silently-interpreted
   * fallback (a doGenCode that fails to compile) cannot pass. */
 class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
@@ -37,11 +37,11 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
     if (na * nb > 0) Some(dot / (na * nb)) else None
   }
 
-  test("ranked/residual on the native route (nLists > UnrollMaxLists) " +
+  test("ranked/residual native kernels (nLists = 12) " +
        "are bit-identical to the exact driver reference") {
     val s = spark
     import s.implicits._
-    val nLists = 12 // > UnrollMaxLists = 8: the array-literal route
+    val nLists = 12
     val cents: Seq[(Long, Seq[Double])] =
       (0L until nLists.toLong).map(c => c -> vec(1000L + c))
     val rows = (0L until 40L).map(i => (i, vec(i)))
@@ -70,11 +70,11 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
-  test("PQ encode/error/adcLut on the native route (k > UnrollMaxK) " +
+  test("PQ encode/error/adcLut native kernel (k = 32) " +
        "are bit-identical to the exact driver reference") {
     val s = spark
     import s.implicits._
-    val (dim, m, k) = (64, 4, 32) // k > UnrollMaxK = 16: lambda route
+    val (dim, m, k) = (64, 4, 32)
     val subDim = dim / m
     val rows = (0L until 60L).map(i => (i, vec(i)))
     val df = rows.toDF("vec_id", "v")
@@ -113,7 +113,7 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
       err shouldBe (0 until m).map(mi =>
         model.codebooks(mi).map(refDist2(v, mi, _)).min).sum
       // executor-side LUT == the driver loop (the adcLutRows contract,
-      // now exercised on the k=32 lambda route)
+      // exercised here at k=32)
       lut shouldBe ProductQuantizer.adcLutRows(v.toArray, model)
     }
   }
@@ -147,7 +147,7 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
         listId shouldBe -want.head._2
         rv shouldBe v.lazyZip(cents(3)._2).map(_ - _).toSeq
       }
-      // PQ side: an encode at k > UnrollMaxK through the same forced-
+      // PQ side: an encode through the same forced-
       // codegen session
       val (dim, m, k) = (64, 4, 32)
       val model = ProductQuantizer.train(df, "vec_id", "v", dim, m, k,
