@@ -971,12 +971,21 @@ object AnnIndex {
       }
       maybeCrash(flipCrashAfter, "codes")
       maybeFault("codes")
-      var v = buildVer
-      pending.foreach { pd =>
-        v += 1L
+      // all spilled during-window batches re-encode in ONE LWW commit:
+      // per-ROW versions (buildVer + arrival index + 1) preserve the
+      // arrival order a sequence of per-batch upserts would — a vec_id
+      // re-ingested in a later pending wins by version, so the merged
+      // commit converges on the identical final state while the flip
+      // stays a constant number of commits however long the window
+      // was. Chunked so the union plan stays bounded under a
+      // pathological backlog.
+      val v = buildVer + pending.size
+      pending.zipWithIndex.map { case (pd, i) =>
+        encodeWith(spark.read.parquet(pd), idCol, vCol, model)
+          .withColumn("__batch_ver", lit(buildVer + i + 1L))
+      }.grouped(64).foreach { chunk =>
         DimStore.upsert(spark, codesPath(path),
-          encodeWith(spark.read.parquet(pd), idCol, vCol, model)
-            .withColumn("__batch_ver", lit(v)),
+          chunk.reduce(_ unionByName _),
           pk = "vec_id", versionCol = "__batch_ver",
           nBuckets = policy.nBuckets)
       }
