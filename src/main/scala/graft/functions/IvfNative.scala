@@ -170,6 +170,68 @@ case class IvfCoarseRank(child: Expression, ids: IndexedSeq[Long],
     copy(child = newChild)
 }
 
+/** Cosine similarity over two `array<double>` columns with
+  * [[graft.ops.IvfKit]]'s exact semantics — the pair-scoring kernel
+  * for double-vector joins (x12/x39 candidate scoring), where the
+  * `aggregate`/`zip_with` formulation paid three interpreted
+  * array-walks per candidate pair. One compiled pass; NULL on a null
+  * element, a length mismatch (the `zip_with`-pad semantics), or a
+  * zero norm product (`dot / when(na·nb > 0, na·nb)` — never an ANSI
+  * divide error). Each accumulator folds left-to-right, so the value
+  * is bit-identical to the three-fold literal form. Distinct from
+  * [[VecCosine]] (float vectors, plain division) — embedding columns
+  * cast to double for decimal-exact centroid work ride this one. */
+case class VecCosineD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_cosine_d requires two array<double> arguments, got " +
+        s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_cosine_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    cosineOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def cosineOf(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val np = math.sqrt(na) * math.sqrt(nb)
+    if (np > 0) java.lang.Double.valueOf(dot / np) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosD", this, classOf[VecCosineD].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object result = $ref.cosineOf(
+        (org.apache.spark.sql.catalyst.util.ArrayData) $a,
+        (org.apache.spark.sql.catalyst.util.ArrayData) $b);
+      if (result == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) result).doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosineD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-row residual `v − c(listId)` against the baked centroid set:
   * O(1) id lookup + one compiled elementwise subtract, replacing the
   * interpreted `try_element_at(filter(centsLit, …))` scan that cost

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, GraftPlanBridge}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{IvfCoarseRank, IvfResidual}
+import graft.functions.{IvfCoarseRank, IvfResidual, VecCosineD}
 
 /** The ONE formulation of IVF coarse assignment shared by the query
   * layer (x12/x75, `queries/Extensions`) and the persisted index
@@ -39,14 +39,14 @@ private[graft] object IvfKit {
 
   /** Cosine similarity between two double-array columns, computed as
     * a left-to-right fold so Spark and DuckDB produce identical
-    * doubles. A zero vector has no defined cosine: NULL (ranked last
-    * downstream) instead of an ANSI divide-by-zero error. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na  = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb  = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / when(na * nb > 0, na * nb)
-  }
+    * doubles — one compiled pass ([[graft.functions.VecCosineD]]; the
+    * `aggregate`/`zip_with` formulation this replaces computed the
+    * same doubles through three interpreted array walks per pair). A
+    * zero vector has no defined cosine: NULL (ranked last downstream)
+    * instead of an ANSI divide-by-zero error. */
+  def cosine(a: Column, b: Column): Column =
+    GraftPlanBridge.col(VecCosineD(
+      GraftPlanBridge.expr(a), GraftPlanBridge.expr(b)))
 
   /** Centroids ranked per row as a sorted struct array — cosine DESC,
     * centroid id ASC on ties (struct sort on (cos, -id) DESC): a pure

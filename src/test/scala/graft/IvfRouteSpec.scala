@@ -50,11 +50,12 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
     val got = df.select(col("vec_id"),
         IvfKit.ranked(cents, col("v")).as("cs"),
         IvfKit.residual(cents, lit(5L), col("v")).as("rv"),
-        IvfKit.residual(cents, lit(99L), col("v")).as("rv_unknown"))
+        IvfKit.residual(cents, lit(99L), col("v")).as("rv_unknown"),
+        IvfKit.cosine(col("v"), typedlit(cents(2)._2)).as("cos2"))
       .collect().map(r => (r.getLong(0), r.getSeq[Row](1),
-        r.getSeq[Double](2), r.isNullAt(3))).sortBy(_._1)
+        r.getSeq[Double](2), r.isNullAt(3), r.getDouble(4))).sortBy(_._1)
 
-    got.foreach { case (id, cs, rv, unknownIsNull) =>
+    got.foreach { case (id, cs, rv, unknownIsNull, cos2) =>
       val v = rows(id.toInt)._2
       // reference ranking: (cos, -cid) sorted DESC lexicographically,
       // exactly sort_array(asc = false) on struct(c, nid)
@@ -67,7 +68,17 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
       rv shouldBe v.lazyZip(cents(5)._2).map(_ - _).toSeq
       // unknown list id → NULL (the documented semantics on BOTH routes)
       unknownIsNull shouldBe true
+      // the pair-scoring cosine kernel: same fold, same doubles
+      cos2 shouldBe refCos(v, cents(2)._2).get
     }
+
+    // cosine NULL semantics: zero norm and length mismatch
+    val edge = Seq((0L, Seq.fill(64)(0.0)), (1L, Seq(1.0, 2.0)))
+      .toDF("vec_id", "v")
+    val e = edge.select(
+        IvfKit.cosine(col("v"), typedlit(vec(7L))).as("c"))
+      .collect().map(_.isNullAt(0))
+    e shouldBe Array(true, true)
   }
 
   test("PQ encode/error/adcLut native kernel (k = 32) " +
@@ -136,16 +147,19 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
       val got = df.select(col("vec_id"),
           (-element_at(IvfKit.ranked(cents, $"v", keep = 1), 1)
             .getField("nid")).as("list_id"),
-          IvfKit.residual(cents, lit(3L), $"v").as("rv"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+          IvfKit.residual(cents, lit(3L), $"v").as("rv"),
+          IvfKit.cosine($"v", typedlit(cents(1)._2)).as("c1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2), r.getDouble(3)))
         .sortBy(_._1)
-      got.foreach { case (id, listId, rv) =>
+      got.foreach { case (id, listId, rv, c1) =>
         val v = rows(id.toInt)._2
         val want = cents.map { case (cid, cv) => (refCos(v, cv).get, -cid) }
           .sorted(Ordering.Tuple2(Ordering[Double].reverse,
             Ordering[Long].reverse))
         listId shouldBe -want.head._2
         rv shouldBe v.lazyZip(cents(3)._2).map(_ - _).toSeq
+        c1 shouldBe refCos(v, cents(1)._2).get
       }
       // PQ side: an encode through the same forced-
       // codegen session
