@@ -931,14 +931,24 @@ object AnnIndex {
       * committed append. Under the single-maintainer contract the
       * only commits that can sit above it are a crashed flip's own
       * debris (reserved..reserved+pendings), so the check is
-      * `nextBuildVer ≤ reserved + pendings + 1`; a window that
-      * somehow burned through the 2^20 headroom falls back to the
+      * `floor ≤ reserved + pendings + 1`; a window that somehow
+      * burned through the 2^20 headroom falls back to the
       * corpus-priced rewrite commit — correct, just not
-      * metadata-cheap. */
-    private def flipStaged(dir: String): Model = {
+      * metadata-cheap.
+      *
+      * `floor` is the next unclaimed build version. On the live
+      * ingest path the counter IS that number (floored at
+      * construction, advanced by every append/rebuild — single
+      * maintainer), so the flip never re-derives it with
+      * [[nextBuildVer]]'s max-over-the-codes-table scan: that agg is
+      * column-pruned but still O(corpus rows), the one corpus-sized
+      * term this flip exists to not pay. Recovery paths (counter not
+      * yet floored) pass the scanned value explicitly. */
+    private def flipStaged(dir: String,
+                           floorOverride: Option[Long] = None): Model = {
       val meta = readStagedMeta(spark, dir)
       val pending = pendingDirs(dir)
-      val floor = nextBuildVer(spark, path)
+      val floor = floorOverride.getOrElse(nextVer.get())
       val adopted = meta.filter { case (rv, _) =>
         floor <= rv + pending.size + 1L }
       val buildVer = adopted.map(_._1).getOrElse(floor)
@@ -1048,12 +1058,13 @@ object AnnIndex {
             // healthy pointer: a complete staged build whose flip
             // never started resumes here — publish it, then sweep
             // whatever else is debris
-            complete.foreach(flipStaged)
+            complete.foreach(
+              flipStaged(_, Some(nextBuildVer(spark, path))))
             sweepAll()
           } else {
             complete match {
               case Some(dir) =>
-                flipStaged(dir)
+                flipStaged(dir, Some(nextBuildVer(spark, path)))
                 sweepAll()
               case None =>
                 val bver = DimStore.read(spark, modelPath(path))
