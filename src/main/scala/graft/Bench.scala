@@ -10,8 +10,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192]: same bench, tasks in
+    // separate executor JVMs (multi-JVM serialization/shuffle evidence).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -24,7 +27,10 @@ object Bench {
       // state faster than incidental GCs collect it (observed as 10-90x
       // late-registry inflation on an identical-code rerun).
       .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder0.config("spark.executor.extraClassPath",
+        sys.props("java.class.path"))
+    val spark = builder0.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =

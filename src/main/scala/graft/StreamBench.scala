@@ -331,9 +331,17 @@ object StreamBench {
         s"""{"sf":"$sfDir","events":$nEvents,"pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
       catch { case _: java.io.IOException => () }
       val calBest = math.min(p1("calibrate").sec, p2("calibrate").sec)
+      // normalized = leg events_per_sec ÷ calibration events_per_sec
+      // (the nEvents cancel: calibration sec / leg sec). This is the
+      // environment-proof number to diff ACROSS round artifacts — the
+      // calibration leg prices the window (box load, JIT, FS cache),
+      // so raw cross-round deltas divide it out.
+      val normalized = names.map(n =>
+        s""""$n":${num(calBest / math.min(p1(n).sec, p2(n).sec))}""")
+        .mkString("{", ",", "}")
       println(s"""{"metric":"stream_total","value":${num(total)},"unit":"sec","events":$nEvents,"topologies":{${
         names.map(topoJson).mkString(",")}},"calibration":{"sec":${num(calBest)},"events_per_sec":${
-        num(nEvents / calBest)}},"spread":$spread,"clusters_found":${
+        num(nEvents / calBest)}},"normalized":$normalized,"spread":$spread,"clusters_found":${
         clustersFound.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
     } finally {
       deleteTree(work)

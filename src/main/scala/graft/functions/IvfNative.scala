@@ -218,12 +218,19 @@ case class VecCosineD(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cosD", this, classOf[VecCosineD].getName)
+    // freshName, NOT a fixed local: when both children are
+    // non-nullable, nullSafeExec emits this block without enclosing
+    // braces, so two instances in one codegen scope with a fixed name
+    // would produce a duplicate-variable javac error (silent
+    // whole-stage fallback in production, hard fail under the spec's
+    // CODEGEN_ONLY mode).
+    val res = ctx.freshName("cosResult")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object result = $ref.cosineOf(
+      Object $res = $ref.cosineOf(
         (org.apache.spark.sql.catalyst.util.ArrayData) $a,
         (org.apache.spark.sql.catalyst.util.ArrayData) $b);
-      if (result == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Double) result).doubleValue(); }
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $res).doubleValue(); }
     """)
   }
 

@@ -831,14 +831,21 @@ object AnnIndex {
               reservedVer)
             outcome = Some(Right(()))
           } catch {
-            // NonFatal ONLY: a fatal JVM error (OutOfMemoryError,
-            // StackOverflowError) on the background train must
-            // propagate — reporting it as a recoverable
-            // Ingest.rebuildFailed would keep the stream committing
-            // batches inside a JVM that may already be corrupted.
-            // The thread dies, `outcome` stays None, and the default
-            // uncaught-exception handler gets the error.
-            case scala.util.control.NonFatal(t) => outcome = Some(Left(t))
+            // Record EVERY outcome — then rethrow fatals. A fatal JVM
+            // error (OutOfMemoryError, StackOverflowError) on the
+            // background train still propagates to the thread's
+            // uncaught-exception handler, but `outcome` no longer
+            // stays None forever: without the record, the main stream
+            // keeps committing with staging=Some wedged — every later
+            // ingest spills its batch to the pending dir unbounded
+            // and no rebuild can ever trigger again until a process
+            // restart. Recording first restores the wedge-free
+            // contract (the next ingest surfaces rebuildFailed and
+            // sweeps the debris) while the rethrow preserves the
+            // must-propagate intent.
+            case t: Throwable =>
+              outcome = Some(Left(t))
+              if (!scala.util.control.NonFatal(t)) throw t
           }
         },
         s"ann-staged-rebuild-$path".replace('/', '-'))
@@ -903,13 +910,35 @@ object AnnIndex {
         .sortBy(_._1).map(_._2)
     }
 
+    /** Sweep a staging dir. The `_STAGED_OK` marker goes FIRST — a
+      * one-file delete is far more likely to succeed than the tree
+      * delete, and once the marker is gone a partially-swept dir can
+      * never be mistaken for a publishable build by a later restart's
+      * [[recoverOrphanedRebuild]] (leftover complete dirs are live
+      * ammunition, not just a space leak: absent the marker+freshness
+      * veto they would re-publish a stale model). A failed delete is
+      * LOUD (retried once, then logged) rather than swallowed. */
     private def deleteStaging(dir: String): Unit = {
       val fs = hfs(spark, path)
-      try {
+      def attempt(): Unit = {
+        fs.delete(fsPath(s"$dir/$StagedOk"), false) // disarm first
         fs.delete(fsPath(dir), true)
         fs.delete(fsPath(stagingRoot(path)), false) // drop when now empty
         ()
-      } catch { case _: java.io.IOException => () } // staging debris only
+      }
+      try attempt()
+      catch {
+        case _: java.io.IOException =>
+          try attempt()
+          catch {
+            case e: java.io.IOException =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"ANN staging sweep failed twice for $dir — leftover " +
+                s"debris is neutralized by the removed $StagedOk marker " +
+                s"and the recovery freshness veto, but the space leaks " +
+                s"until the next sweep", e)
+          }
+      }
     }
 
     /** Publish a completed staged build FROM DISK: commit the model,
@@ -1000,6 +1029,19 @@ object AnnIndex {
           nBuckets = policy.nBuckets)
       }
       maybeCrash(flipCrashAfter, "pending")
+      // Disarm the staged dir BEFORE the pointer flip: with every
+      // commit landed, removing the one-file _STAGED_OK marker
+      // persists "this build is published" durably — so even if the
+      // post-flip tree sweep fails (or the process dies between here
+      // and the sweep), no later restart can mistake the leftover
+      // tree for an unpublished build. A crash between this delete
+      // and bumpPtr is still safe: recovery's complete=None branch
+      // rolls the committed (model, codes) pair forward by version
+      // witness, needing no staged artifacts. Best-effort — the
+      // recovery freshness veto is the backstop if even this one-file
+      // delete fails.
+      try { hfs(spark, path).delete(fsPath(s"$dir/$StagedOk"), false); () }
+      catch { case _: java.io.IOException => () }
       bumpPtr(spark, path,
         modelV = DimStore.currentVersion(modelPath(path)).get,
         codesV = DimStore.currentVersion(codesPath(path)).get,
@@ -1048,23 +1090,41 @@ object AnnIndex {
         else fs.listStatus(rootP).toSeq.filter(_.isDirectory)
           .map(_.getPath.toString)
       def sweepAll(): Unit = stagingDirs.foreach(deleteStaging)
+      // FRESHNESS VETO: a complete staging dir is publishable ONLY if
+      // its reserved version still dominates every committed append —
+      // `nextBuildVer(scan) <= reservedVer + pendings + 1` holds for a
+      // build whose window covers everything committed (its pending
+      // spills ARE the post-snapshot batches), and fails the moment
+      // any append landed after the build was (or would have been)
+      // published: those rows are not in the dir's pending spills, so
+      // publishing would silently drop them and regress the model. A
+      // stale complete dir is reachable when a post-flip sweep failed
+      // (delete errors are best-effort on object stores); without the
+      // veto a later restart would re-publish it. No-meta dirs are
+      // never publishable from recovery (nothing proves their codes'
+      // baked version). The scan is O(corpus rows) column-pruned —
+      // recovery-path-only, the live flip never pays it.
+      def freshComplete(scanned: Long): Option[String] = stagingDirs
+        .filter(d => fs.exists(fsPath(s"$d/$StagedOk")))
+        .find(d => readStagedMeta(spark, d).exists { case (rv, _) =>
+          scanned <= rv + pendingDirs(d).size + 1L })
       readPtr(spark, path) match {
         case None => sweepAll() // nothing published: debris only
         case Some(ptr) =>
           val latestModel = DimStore.currentVersion(modelPath(path))
-          val complete = stagingDirs
-            .find(d => fs.exists(fsPath(s"$d/$StagedOk")))
           if (latestModel.forall(_ == ptr.modelV)) {
-            // healthy pointer: a complete staged build whose flip
-            // never started resumes here — publish it, then sweep
-            // whatever else is debris
-            complete.foreach(
-              flipStaged(_, Some(nextBuildVer(spark, path))))
+            // healthy pointer: a complete FRESH staged build whose
+            // flip never started resumes here — publish it, then
+            // sweep whatever else is debris (stale complete dirs
+            // included: under a healthy pointer they are superseded)
+            val scanned = nextBuildVer(spark, path)
+            freshComplete(scanned).foreach(flipStaged(_, Some(scanned)))
             sweepAll()
           } else {
-            complete match {
+            val scanned = nextBuildVer(spark, path)
+            freshComplete(scanned) match {
               case Some(dir) =>
-                flipStaged(dir, Some(nextBuildVer(spark, path)))
+                flipStaged(dir, Some(scanned))
                 sweepAll()
               case None =>
                 val bver = DimStore.read(spark, modelPath(path))

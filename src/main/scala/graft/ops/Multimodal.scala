@@ -57,6 +57,37 @@ object Multimodal {
     }
   }
 
+  /** STUB "decode + downscale to a fixed luminance plane" for the
+    * perceptual-hash path ([[PHash]]): a real build decodes the blob
+    * and resizes to an 8×8 grayscale plane (the classic aHash/pHash
+    * input); the stub produces a deterministic fake with the same
+    * shape — a `bins`-cell histogram of a polynomial byte-trigram hash
+    * `(b0·31² + b1·31 + b2) mod bins` over the raw payload (unsigned
+    * bytes). Like a real luminance plane it captures GLOBAL content
+    * structure (robust to local reordering, divergent across unrelated
+    * payloads) — the property the downstream mean-threshold hash
+    * needs — and unlike a positional sample it is reproducible in the
+    * SQL oracle. Partition-local, no shuffle; `n` is the trigram count
+    * (the plane's mass) used by the threshold. */
+  def luminancePlane(ds: Dataset[MediaIn], bins: Int = 64): Dataset[MediaPlane] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder/scaler setup would go here
+      it.map { r =>
+        val g = new Array[Int](bins)
+        val m = r.media
+        var i = 0
+        while (i + 2 < m.length) {
+          val v = ((m(i) & 0xFF) * 961 + (m(i + 1) & 0xFF) * 31 +
+            (m(i + 2) & 0xFF)) % bins
+          g(v) += 1
+          i += 1
+        }
+        MediaPlane(r.doc_id, g, math.max(m.length - 2, 0).toLong)
+      }
+    }
+  }
+
   /** Frame sampling: each media blob fans out to every `stride`-th
     * "frame" (STUB: a frame is a fixed-size byte window — a real build
     * swaps the windowing for codec frame extraction and keeps the
@@ -77,6 +108,10 @@ object Multimodal {
     }
   }
 }
+
+/** A media record's fixed-size luminance plane (stub: byte-trigram
+  * histogram) + its mass `n` (Σ g). */
+final case class MediaPlane(doc_id: Long, g: Array[Int], n: Long)
 
 /** One sampled frame of a media blob. */
 final case class MediaFrame(

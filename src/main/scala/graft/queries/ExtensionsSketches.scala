@@ -79,6 +79,75 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
     """))
 
   // ---------------------------------------------------------------------
+  // x87 — perceptual-hash near-dup over the media columns (the
+  // multimodal pillar's dedup operator): media blob → fixed 64-cell
+  // luminance plane (graft.ops.Multimodal.luminancePlane — the decode/
+  // downscale stub; a real build yields an 8×8 grayscale plane and
+  // keeps every downstream step) → 64-bit average-hash (mean-threshold
+  // bits, integer-exact) → 4×16-bit banded candidate join (pigeonhole-
+  // EXACT at hamming ≤ 3 — PHashSpec pins the recall guarantee and the
+  // bucket-locality) → capped-bucket pair generation → bit_count(xor)
+  // verification on candidates only. Never all-pairs; at sf0.01 every
+  // band bucket holds ≤ 22 docs (cap 64), so the plain-join SQL oracle
+  // is exact — same fixture contract as x02's cap note. ASCII
+  // normalization (1 byte = 1 char) keeps the DuckDB oracle, which
+  // must walk chars, byte-exact with the Spark side's raw-byte stub.
+  lazy val x87 = Q(
+    "x87_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select($"doc_id",
+          regexp_replace($"text", "[^\\x00-\\x7F]", "?").as("t"))
+        .filter(length($"t") >= 64)
+        .select($"doc_id", $"t".cast("binary").as("media"))
+        .as[graft.ops.MediaIn]
+      graft.ops.PHash
+        .neardupPairs(graft.ops.Multimodal.luminancePlane(media),
+          maxHamming = 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+        FROM documents
+      ),
+      ok AS (SELECT doc_id, t FROM d WHERE len(t) >= 64),
+      tri AS (
+        SELECT doc_id,
+          (ord(substr(t, i, 1)) * 961 + ord(substr(t, i + 1, 1)) * 31
+            + ord(substr(t, i + 2, 1))) % 64 AS bin,
+          len(t) - 2 AS n
+        FROM ok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+      ),
+      hist AS (SELECT doc_id, bin, n, COUNT(*) AS cnt FROM tri GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT doc_id, bin // 16 AS band,
+               SUM(CASE WHEN cnt * 64 > n THEN 1 << (bin % 16) ELSE 0 END) AS k1
+        FROM hist GROUP BY 1, 2
+      ),
+      bands AS (
+        SELECT o.doc_id, bb.band, CAST(COALESCE(b.k1, 0) AS BIGINT) AS k1
+        FROM ok o CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+        LEFT JOIN bits b ON b.doc_id = o.doc_id AND b.band = bb.band
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.doc_id < b.doc_id
+      ),
+      ham AS (
+        SELECT c.doc_a, c.doc_b, SUM(bit_count(xor(ba.k1, bb.k1))) AS hamming
+        FROM cand c
+        JOIN bands ba ON ba.doc_id = c.doc_a
+        JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
   // x20 — stratified sampling: per-language keep rates from a broadcast
   // config, membership decided by a deterministic integer hash of the
   // document id (Knuth multiplicative constant) — NOT rand(), so the

@@ -143,15 +143,22 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
       val cents: Seq[(Long, Seq[Double])] =
         (0L until nLists.toLong).map(c => c -> vec(1000L + c))
       val rows = (0L until 60L).map(i => (i, vec(i)))
-      val df = rows.toDF("vec_id", "v")
-      val got = df.select(col("vec_id"),
+      // repartition(1): without it ConvertToLocalRelation folds the
+      // projection interpreted during optimization and CODEGEN_ONLY
+      // never engages — the "really compiles" claim would be hollow
+      val df = rows.toDF("vec_id", "v").repartition(1)
+      val q = df.select(col("vec_id"),
           (-element_at(IvfKit.ranked(cents, $"v", keep = 1), 1)
             .getField("nid")).as("list_id"),
           IvfKit.residual(cents, lit(3L), $"v").as("rv"),
           IvfKit.cosine($"v", typedlit(cents(1)._2)).as("c1"))
-        .collect().map(r => (r.getLong(0), r.getLong(1),
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1),
           r.getSeq[Double](2), r.getDouble(3)))
         .sortBy(_._1)
+      // the kernels really are inside a compiled span ("*(n)" is
+      // WholeStageCodegenExec's tree-string rendering)
+      q.queryExecution.executedPlan.toString should include regex
+        """\*\(\d+\) Project"""
       got.foreach { case (id, listId, rv, c1) =>
         val v = rows(id.toInt)._2
         val want = cents.map { case (cid, cv) => (refCos(v, cv).get, -cid) }
@@ -167,6 +174,49 @@ class IvfRouteSpec extends AnyFunSuite with Matchers with SparkFixture {
       val model = ProductQuantizer.train(df, "vec_id", "v", dim, m, k,
         rounds = 1)
       ProductQuantizer.encode(df, "v", model).collect().length shouldBe 60
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("TWO cosine kernels over NON-NULLABLE children in one codegen " +
+       "scope compile — nullSafeExec emits braceless blocks there, so " +
+       "a fixed-name local would be a duplicate-variable javac error " +
+       "(silent interpreted fallback in production; hard fail here " +
+       "under CODEGEN_ONLY)") {
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val keys = Seq("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // primitive (non-nullable) doubles → CreateArray of non-nullable
+      // children is itself non-nullable AND non-foldable (a foldable
+      // pair would constant-fold away before codegen ever ran).
+      // repartition(1) blocks ConvertToLocalRelation from evaluating
+      // the projection interpreted at OPTIMIZATION time — without it
+      // this test never reaches codegen at all (verified: a planted
+      // fixed-name local passed the un-repartitioned form).
+      val rows = Seq((1.0, 2.0), (3.0, 4.0), (-0.5, 0.25))
+      val q = rows.toDF("x", "y").repartition(1).select(
+          graft.ops.IvfKit.cosine(
+            array($"x", $"y"), array($"y", $"x")).as("c1"),
+          graft.ops.IvfKit.cosine(
+            array($"x" + 1.0, $"y"), array($"y", $"x" - 1.0)).as("c2"))
+      val got = q.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        .sortBy(_._1)
+      // the projection really IS inside a compiled span ("*(n)" is
+      // WholeStageCodegenExec's tree-string rendering)
+      q.queryExecution.executedPlan.toString should include regex
+        """\*\(\d+\) Project"""
+      got.zip(rows.sortBy(r => refCos(Seq(r._1, r._2),
+          Seq(r._2, r._1)).get)).foreach { case ((c1, c2), (x, y)) =>
+        c1 shouldBe refCos(Seq(x, y), Seq(y, x)).get
+        c2 shouldBe refCos(Seq(x + 1.0, y), Seq(y, x - 1.0)).get
+      }
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

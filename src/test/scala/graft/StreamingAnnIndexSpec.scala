@@ -403,6 +403,107 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
     AnnIndex.fsck(s, path).consistent shouldBe true
   }
 
+  test("a STALE complete staging dir (a failed post-flip sweep) is " +
+       "SWEPT on restart, never re-published: the freshness veto " +
+       "detects the appends committed after the build's window and " +
+       "refuses a publication that would silently drop them") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_stale_stage").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val snapshot = seed ++ drifted(1000 until 1060)
+    val policy = AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4,
+      dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1,
+      stagedRebuild = true)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    ingestor.ingest(drifted(1000 until 1060).toDF()) // triggers staging
+    ingestor.awaitStaged()
+
+    // snapshot the COMPLETE staging dir (artifacts + meta + marker) —
+    // the bytes a failed post-flip tree delete would leave behind
+    val stagingRoot = java.nio.file.Paths.get(s"$path/_staging")
+    val stagedDir = Files.list(stagingRoot).iterator().next()
+    val aside = Files.createTempDirectory("ann_stale_copy")
+      .resolve(stagedDir.getFileName)
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val it = Files.walk(from).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+      }
+    }
+    copyTree(stagedDir, aside)
+
+    // the flip publishes the build, then appends land AFTER it — rows
+    // a stale re-publication would silently drop
+    val flipped = ingestor.ingest(rows(60 until 70).toDF())
+      .rebuilt.getOrElse(fail("staged build did not flip"))
+    ingestor.ingest(rows(70 until 80).toDF())
+    AnnIndex.codes(s, path).count() shouldBe 140L
+
+    // simulate the failed sweep: the complete dir reappears verbatim
+    copyTree(aside, stagingRoot.resolve(stagedDir.getFileName))
+
+    // restart: the veto MUST refuse — nextBuildVer(scan) now exceeds
+    // reservedVer + pendings + 1 — and sweep the dir as debris
+    val restarted = new AnnIndex.Ingestor(s, path, "vec_id", "v", policy,
+      corpus = () => snapshot.toDF())
+    AnnIndex.readModel(s, path).buildVer shouldBe flipped.buildVer
+    AnnIndex.codes(s, path).count() shouldBe 140L // post-flip rows kept
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    restarted.ingest(rows(80 until 85).toDF())
+    AnnIndex.codes(s, path).count() shouldBe 145L
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
+  test("a FATAL error on the staging thread is RECORDED, not a wedge: " +
+       "the next ingest surfaces it as rebuildFailed, the debris is " +
+       "swept, and a later drift re-triggers a rebuild") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_fatal_stage").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val oldBuildVer = AnnIndex.readModel(s, path).buildVer
+    val snapshot = seed ++ drifted(1000 until 1060)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v",
+      AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4, dim = 64,
+        m = 4, k = 4, rounds = 1, kmRounds = 1, stagedRebuild = true),
+      corpus = () => snapshot.toDF())
+    // a LinkageError is fatal to NonFatal — pre-fix, outcome stayed
+    // None forever: staging=Some wedged, every later batch spilled to
+    // pending unbounded, no rebuild could ever trigger again
+    ingestor.stagingDelay =
+      () => throw new AbstractMethodError("injected fatal train error")
+
+    ingestor.ingest(drifted(1000 until 1030).toDF()) // triggers staging
+    ingestor.awaitStaged()
+    val r = ingestor.ingest(drifted(1030 until 1060).toDF())
+    r.rebuildFailed.map(_.getMessage) shouldBe
+      Some("injected fatal train error")
+    r.rebuilt shouldBe None
+    AnnIndex.readModel(s, path).buildVer shouldBe oldBuildVer
+    new java.io.File(s"$path/_staging").exists() shouldBe false
+    // un-wedged: the still-drifting stream re-triggers and completes
+    ingestor.stagingDelay = () => ()
+    ingestor.ingest(drifted(1000 until 1030).toDF()) // re-triggers
+    ingestor.awaitStaged()
+    ingestor.ingest(drifted(1030 until 1060).toDF())
+      .rebuilt should not be empty
+    AnnIndex.fsck(s, path).consistent shouldBe true
+  }
+
   test("a TRANSIENT flip fault self-heals in-process: the batch " +
        "reports the fault, the staged build still publishes (from the " +
        "durable artifacts), and the stream is NOT wedged") {
