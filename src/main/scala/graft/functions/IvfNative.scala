@@ -38,13 +38,81 @@ import org.apache.spark.sql.types._
   * sorts (cosine DESC, centroid id ASC on ties) with NULL cosines
   * last, exactly `sort_array(struct(c, nid), asc = false)`.
   *
-  * The centroid/codebook payload is baked into the expression node
-  * (kilobytes-to-megabytes, the broadcast-as-literal pattern the
-  * query layer already uses); `IndexedSeq` fields keep case-class
-  * equality structural, the flattened hot-loop arrays are transient
-  * and rebuilt per executor.
+  * The centroid/codebook payload rides a real `Broadcast` HANDLE, not
+  * a baked literal (round 17): the baked-`IndexedSeq` form was
+  * measured fine at the fixtures' 64×64 shape (~60 KB) but at a real
+  * index shape (4096 lists × 1024 dims) the boxed payload serialized
+  * to 56 MB costing ~2.3 s to write and ~1.0 s to read PER STAGE,
+  * with `semanticEquals` walking 4M boxed doubles per candidate pair
+  * (IvfPayloadProbe, SCALEPROBE round 17). The broadcast form ships a
+  * flat PRIMITIVE payload ONCE per query (TorrentBroadcast: executors
+  * fetch once and cache, every later stage reuses it), the plan
+  * carries an O(1) handle, and canonicalization/equality are O(1)
+  * reference compares — false-negative equality only, which can skip
+  * a CSE reuse but never miscompile. Per-centroid norms are
+  * precomputed driver-side INTO the payload with the same fold as
+  * before (per-centroid constants — no bit changes; IvfRouteSpec's
+  * exact references re-pin the route). One route at every size: a
+  * small-set threshold would reintroduce the route split round 16
+  * deleted.
   */
 object IvfNative {
+  /** Flat-primitive broadcast payload of a coarse centroid set:
+    * `flat` concatenates the centroid vectors, `offs(j)..offs(j+1)`
+    * brackets centroid j, `normC(j)` its precomputed ‖c‖ (same
+    * left-to-right fold + sqrt as the literal
+    * `sqrt(aggregate(transform(c, x*x)))` — a per-centroid constant,
+    * so hoisting it driver-side changes no bits). Primitive arrays
+    * serialize as bulk writes — measured 56→34 MB and seconds→tens of
+    * ms on the 4096×1024 shape vs the boxed nested `IndexedSeq`s. */
+  final class CentroidPayload(val ids: Array[Long], val dims: Array[Int],
+                              val offs: Array[Int], val flat: Array[Double],
+                              val normC: Array[Double]) extends Serializable {
+    def n: Int = ids.length
+  }
+
+  def centroidPayload(ids: IndexedSeq[Long],
+                      cents: IndexedSeq[IndexedSeq[Double]]): CentroidPayload = {
+    val n = cents.length
+    val dims = new Array[Int](n)
+    var j = 0
+    while (j < n) { dims(j) = cents(j).length; j += 1 }
+    val offs = dims.scanLeft(0)(_ + _)
+    val flat = new Array[Double](offs(n))
+    j = 0
+    while (j < n) {
+      val c = cents(j)
+      var i = 0
+      while (i < c.length) { flat(offs(j) + i) = c(i); i += 1 }
+      j += 1
+    }
+    val normC = Array.tabulate(n) { jj =>
+      var s = 0.0
+      var i = offs(jj)
+      while (i < offs(jj + 1)) { s += flat(i) * flat(i); i += 1 }
+      math.sqrt(s)
+    }
+    new CentroidPayload(ids.toArray, dims, offs, flat, normC)
+  }
+
+  /** Flat-primitive broadcast payload of ONE PQ subspace codebook
+    * (k codewords × subDim). */
+  final class CodebookPayload(val k: Int, val subDim: Int,
+                              val flat: Array[Double]) extends Serializable
+
+  def codebookPayload(codebook: IndexedSeq[IndexedSeq[Double]]): CodebookPayload = {
+    val k = codebook.length
+    val subDim = if (k == 0) 0 else codebook.head.length
+    val flat = new Array[Double](k * subDim)
+    var ki = 0
+    while (ki < k) {
+      val c = codebook(ki)
+      var i = 0
+      while (i < subDim) { flat(ki * subDim + i) = c(i); i += 1 }
+      ki += 1
+    }
+    new CodebookPayload(k, subDim, flat)
+  }
   /** Descending (c, nid)-struct comparison matching
     * `sort_array(asc = false)` over `struct(c: double, nid: long)`:
     * struct fields compare in order with SQL double semantics
@@ -69,8 +137,9 @@ object IvfNative {
   * exactly like the unrolled `sort_array` form; never NULL itself (a
   * NULL input vector ranks every cosine NULL, as the literal forms
   * do). */
-case class IvfCoarseRank(child: Expression, ids: IndexedSeq[Long],
-                         cents: IndexedSeq[IndexedSeq[Double]], keep: Int)
+case class IvfCoarseRank(child: Expression,
+                         bc: org.apache.spark.broadcast.Broadcast[IvfNative.CentroidPayload],
+                         keep: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -86,24 +155,19 @@ case class IvfCoarseRank(child: Expression, ids: IndexedSeq[Long],
   override def nullable: Boolean = false
   override def prettyName: String = "ivf_coarse_rank"
 
-  @transient private lazy val n = cents.length
-  @transient private lazy val dims: Array[Int] = cents.map(_.length).toArray
-  @transient private lazy val flat: Array[Double] = cents.flatten.toArray
-  @transient private lazy val offs: Array[Int] = dims.scanLeft(0)(_ + _)
-  /** ‖c‖ per centroid, same left-to-right fold + sqrt as the literal
-    * `sqrt(aggregate(transform(c, x*x)))` — per-centroid constants, so
-    * hoisting them off the per-row path changes no bits. */
-  @transient private lazy val normC: Array[Double] = Array.tabulate(n) { j =>
-    var s = 0.0
-    var i = offs(j)
-    while (i < offs(j + 1)) { s += flat(i) * flat(i); i += 1 }
-    math.sqrt(s)
-  }
+  // one broadcast dereference per task-thread lifetime, not per row
+  @transient private lazy val p: IvfNative.CentroidPayload = bc.value
 
   override def eval(input: InternalRow): Any =
     rankAny(child.eval(input).asInstanceOf[ArrayData])
 
   def rankAny(v: ArrayData): ArrayData = {
+    val n = p.n
+    val ids = p.ids
+    val dims = p.dims
+    val offs = p.offs
+    val flat = p.flat
+    val normC = p.normC
     val cos = new Array[Double](n)
     val isNull = new Array[Boolean](n)
     if (v == null) java.util.Arrays.fill(isNull, true)
@@ -146,9 +210,9 @@ case class IvfCoarseRank(child: Expression, ids: IndexedSeq[Long],
     val out = new Array[Any](m)
     j = 0
     while (j < m) {
-      val p = order(j).intValue()
+      val q = order(j).intValue()
       out(j) = new GenericInternalRow(Array[Any](
-        if (isNull(p)) null else java.lang.Double.valueOf(cos(p)), -ids(p)))
+        if (isNull(q)) null else java.lang.Double.valueOf(cos(q)), -ids(q)))
       j += 1
     }
     new GenericArrayData(out)
@@ -247,8 +311,7 @@ case class VecCosineD(left: Expression, right: Expression)
   * length is max of the two, null where either side is missing or
   * null). */
 case class IvfResidual(left: Expression, right: Expression,
-                       ids: IndexedSeq[Long],
-                       cents: IndexedSeq[IndexedSeq[Double]])
+                       bc: org.apache.spark.broadcast.Broadcast[IvfNative.CentroidPayload])
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -264,8 +327,14 @@ case class IvfResidual(left: Expression, right: Expression,
   override def prettyName: String = "ivf_residual"
 
   @transient private lazy val byId: java.util.HashMap[Long, Array[Double]] = {
-    val m = new java.util.HashMap[Long, Array[Double]](ids.length * 2)
-    ids.indices.foreach(j => m.put(ids(j), cents(j).toArray))
+    val p = bc.value
+    val m = new java.util.HashMap[Long, Array[Double]](p.n * 2)
+    var j = 0
+    while (j < p.n) {
+      m.put(p.ids(j),
+        java.util.Arrays.copyOfRange(p.flat, p.offs(j), p.offs(j + 1)))
+      j += 1
+    }
     m
   }
 
@@ -310,7 +379,7 @@ case class IvfResidual(left: Expression, right: Expression,
   * subrange is incomplete or carries a null, EVERY element is null
   * (and a NULL input vector yields the all-null array, not NULL). */
 case class PqSubspaceDist2(child: Expression, offset: Int,
-                           codebook: IndexedSeq[IndexedSeq[Double]])
+                           bc: org.apache.spark.broadcast.Broadcast[IvfNative.CodebookPayload])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -323,14 +392,15 @@ case class PqSubspaceDist2(child: Expression, offset: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "pq_subspace_dist2"
 
-  @transient private lazy val k = codebook.length
-  @transient private lazy val subDim = if (k == 0) 0 else codebook.head.length
-  @transient private lazy val flat: Array[Double] = codebook.flatten.toArray
+  @transient private lazy val p: IvfNative.CodebookPayload = bc.value
 
   override def eval(input: InternalRow): Any =
     dist2Any(child.eval(input).asInstanceOf[ArrayData])
 
   def dist2Any(v: ArrayData): ArrayData = {
+    val k = p.k
+    val subDim = p.subDim
+    val flat = p.flat
     var bad = v == null || v.numElements() < offset + subDim
     if (!bad) {
       var i = offset

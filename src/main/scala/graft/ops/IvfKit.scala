@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, GraftPlanBridge}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{IvfCoarseRank, IvfResidual, VecCosineD}
+import graft.functions.{IvfCoarseRank, IvfNative, IvfResidual, VecCosineD}
 
 /** The ONE formulation of IVF coarse assignment shared by the query
   * layer (x12/x75, `queries/Extensions`) and the persisted index
@@ -48,6 +48,36 @@ private[graft] object IvfKit {
     GraftPlanBridge.col(VecCosineD(
       GraftPlanBridge.expr(a), GraftPlanBridge.expr(b)))
 
+  /** One `Broadcast` of the flat-primitive centroid payload per
+    * centroid-set INSTANCE per context (weak identity cache):
+    * assign/ranked/residual over the same model share one payload, so
+    * a query plan carries O(1) handles instead of re-shipping the
+    * nLists×dim doubles inside every stage's task binary — the round-
+    * 17 payload fix (IvfPayloadProbe measured the baked form at
+    * ~3.3 s ser+deser PER STAGE at 4096 lists × 1024 dims). A cache
+    * miss (fresh set, or the entry's context was stopped — tests
+    * recycle sessions) pays one driver-side flatten + broadcast
+    * write; executors fetch once and reuse across stages. Weak keys:
+    * the entry lives exactly as long as the caller's centroid Seq. */
+  private val bcCache =
+    new java.util.WeakHashMap[AnyRef, (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[IvfNative.CentroidPayload])]()
+
+  private[graft] def centroidBc(cents: Seq[(Long, Seq[Double])])
+      : org.apache.spark.broadcast.Broadcast[IvfNative.CentroidPayload] =
+    bcCache.synchronized {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val hit = bcCache.get(cents)
+      if (hit != null && (hit._1 eq sc) && !sc.isStopped) hit._2
+      else {
+        val bc = sc.broadcast(IvfNative.centroidPayload(
+          cents.map(_._1).toIndexedSeq,
+          cents.map(_._2.toIndexedSeq).toIndexedSeq))
+        bcCache.put(cents, (sc, bc))
+        bc
+      }
+    }
+
   /** Centroids ranked per row as a sorted struct array — cosine DESC,
     * centroid id ASC on ties (struct sort on (cos, -id) DESC): a pure
     * narrow map, no corpus×centroids join. `keep` truncates to the
@@ -58,9 +88,7 @@ private[graft] object IvfKit {
   def ranked(cents: Seq[(Long, Seq[Double])], v: Column,
              keep: Int = Int.MaxValue): Column =
     GraftPlanBridge.col(IvfCoarseRank(GraftPlanBridge.expr(v),
-      cents.map(_._1).toIndexedSeq,
-      cents.map(_._2.toIndexedSeq).toIndexedSeq,
-      math.min(keep, cents.size)))
+      centroidBc(cents), math.min(keep, cents.size)))
 
   /** The assigned inverted list: id of the top-ranked centroid —
     * `-ranked(...)[1].nid` with only the winner materialized. */
@@ -72,7 +100,5 @@ private[graft] object IvfKit {
   def residual(cents: Seq[(Long, Seq[Double])], listId: Column,
                v: Column): Column =
     GraftPlanBridge.col(IvfResidual(GraftPlanBridge.expr(v),
-      GraftPlanBridge.expr(listId),
-      cents.map(_._1).toIndexedSeq,
-      cents.map(_._2.toIndexedSeq).toIndexedSeq))
+      GraftPlanBridge.expr(listId), centroidBc(cents)))
 }

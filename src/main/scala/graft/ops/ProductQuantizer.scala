@@ -55,13 +55,36 @@ object ProductQuantizer {
     * per row — measured x75 2.57→1.07 s isolated on the switch — and
     * livelocked Catalyst's runtime CSE setup past k≈16 (SCALEPROBE
     * round 15). */
+  /** One `Broadcast` of the flat-primitive codebook payload per
+    * codebook-array INSTANCE per context — same round-17 payload
+    * policy as [[IvfKit.centroidBc]]: the plan carries an O(1) handle,
+    * executors fetch the k×subDim doubles once, and assignment/error/
+    * ADC over the same model share one payload. */
+  private val cbCache =
+    new java.util.WeakHashMap[AnyRef, (org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[graft.functions.IvfNative.CodebookPayload])]()
+
+  private def codebookBc(cb: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.IvfNative.CodebookPayload] =
+    cbCache.synchronized {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val hit = cbCache.get(cb)
+      if (hit != null && (hit._1 eq sc) && !sc.isStopped) hit._2
+      else {
+        val bc = sc.broadcast(graft.functions.IvfNative.codebookPayload(
+          cb.toIndexedSeq.map(_.toIndexedSeq)))
+        cbCache.put(cb, (sc, bc))
+        bc
+      }
+    }
+
   private def dist2Arr(v: Column, mi: Int, subDim: Int,
                        cb: Array[Array[Double]]): Column =
     org.apache.spark.sql.GraftPlanBridge.col(
       graft.functions.PqSubspaceDist2(
         org.apache.spark.sql.GraftPlanBridge.expr(v),
         offset = mi * subDim,
-        codebook = cb.toIndexedSeq.map(_.toIndexedSeq)))
+        bc = codebookBc(cb)))
 
   /** 0-based index of the nearest centroid (first minimum on ties). */
   private def nearest(v: Column, mi: Int, subDim: Int,

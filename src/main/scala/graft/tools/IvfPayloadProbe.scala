@@ -69,18 +69,24 @@ object IvfPayloadProbe {
       val cents: Seq[(Long, Seq[Double])] = (0L until nLists.toLong).map(
         c => c -> Seq.tabulate(dim)(i => math.sin(c.toDouble * (i + 1) + i)))
 
-      // --- driver-side terms on the raw expression node ---
-      val mkExpr = () => graft.functions.IvfCoarseRank(
-        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = true),
-        cents.map(_._1).toIndexedSeq,
-        cents.map(_._2.toIndexedSeq).toIndexedSeq, keep = 8)
-      val e1 = mkExpr(); val e2 = mkExpr()
+      // --- driver-side terms on the expression node (round 17: the
+      // payload rides a Broadcast handle, so ser/deser/canon/semeq
+      // price the HANDLE; bcast_ms prices the one-per-query payload
+      // write the handle replaces the per-stage shipping with) ---
       def timeMs[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val a = f
         (a, (System.nanoTime() - t0) / 1e6)
       }
+      val (bc, bcastMs) = timeMs(
+        spark.sparkContext.broadcast(graft.functions.IvfNative
+          .centroidPayload(cents.map(_._1).toIndexedSeq,
+            cents.map(_._2.toIndexedSeq).toIndexedSeq)))
+      val mkExpr = () => graft.functions.IvfCoarseRank(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true),
+        bc, keep = 8)
+      val e1 = mkExpr(); val e2 = mkExpr()
       val (bytes, serMs) = timeMs {
         val bo = new java.io.ByteArrayOutputStream()
         val oo = new java.io.ObjectOutputStream(bo)
@@ -92,7 +98,7 @@ object IvfPayloadProbe {
       }
       val (_, canonMs) = timeMs(e1.canonicalized)
       val (semeq, semeqMs) = timeMs(e1.semanticEquals(e2))
-      require(semeq, "structurally-equal kernels must be semanticEquals")
+      require(semeq, "same-broadcast kernels must be semanticEquals")
 
       // --- plan + execution over a real scan ---
       def vecs(n: Long): DataFrame =
@@ -116,7 +122,8 @@ object IvfPayloadProbe {
       val job2 = runOnce()
       val nsPerCell = job2 * 1e9 / (rows.toDouble * nLists * dim)
       println(s"""{"probe":"ivf_payload","n_lists":$nLists,"dim":$dim,""" +
-        s""""payload_mb":${num(bytes.length / 1048576.0)},""" +
+        s""""handle_kb":${num(bytes.length / 1024.0)},""" +
+        s""""bcast_ms":${num(bcastMs)},""" +
         s""""ser_ms":${num(serMs)},"deser_ms":${num(deserMs)},""" +
         s""""canon_ms":${num(canonMs)},"semeq_ms":${num(semeqMs)},""" +
         s""""plan_ms":${num(planMs)},"rows":$rows,""" +
