@@ -88,6 +88,38 @@ object Multimodal {
     }
   }
 
+  /** Per-FRAME luminance planes for the video near-dup path: each
+    * consecutive `frameBytes`-byte window of the blob becomes one
+    * [[FramePlane]] (STUB decode, same byte-trigram histogram as
+    * [[luminancePlane]] but scoped to the frame's bytes — a real build
+    * decodes each video frame and downscales it to the 8×8 grayscale
+    * plane). One row in, O(frames) rows out, partition-local, no
+    * shuffle; trailing partial frames are dropped (their plane mass
+    * differs, so their hashes would never be comparable). */
+  def framePlanes(ds: Dataset[MediaIn], frameBytes: Int = 100,
+                  bins: Int = 64): Dataset[FramePlane] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder setup would go here (once, not per row)
+      it.flatMap { r =>
+        val m = r.media
+        val nFrames = m.length / frameBytes
+        (0 until nFrames).iterator.map { idx =>
+          val g = new Array[Int](bins)
+          var i = idx * frameBytes
+          val end = (idx + 1) * frameBytes - 2
+          while (i < end) {
+            val v = ((m(i) & 0xFF) * 961 + (m(i + 1) & 0xFF) * 31 +
+              (m(i + 2) & 0xFF)) % bins
+            g(v) += 1
+            i += 1
+          }
+          FramePlane(r.doc_id, idx, g, (frameBytes - 2).toLong)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: each media blob fans out to every `stride`-th
     * "frame" (STUB: a frame is a fixed-size byte window — a real build
     * swaps the windowing for codec frame extraction and keeps the
@@ -112,6 +144,10 @@ object Multimodal {
 /** A media record's fixed-size luminance plane (stub: byte-trigram
   * histogram) + its mass `n` (Σ g). */
 final case class MediaPlane(doc_id: Long, g: Array[Int], n: Long)
+
+/** One frame's fixed-size luminance plane (stub: byte-trigram histogram
+  * over the frame's bytes) + its mass `n`. */
+final case class FramePlane(doc_id: Long, frame_idx: Int, g: Array[Int], n: Long)
 
 /** One sampled frame of a media blob. */
 final case class MediaFrame(

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Perceptual-hash near-duplicate detection over media columns — the
@@ -35,19 +36,27 @@ object PHash {
     * mean — ties BELOW, matching `cnt·cells > n`). A pure map: the
     * whole 64-term threshold compare is statically unrolled, no
     * higher-order functions on the hot path. */
-  def bandedHashes(planes: Dataset[MediaPlane], nBands: Int = 4): DataFrame = {
+  /** The packed band-value expressions over `g`/`n` columns — shared by
+    * the whole-record hash ([[bandedHashes]]) and the per-frame hash
+    * ([[frameHashKeys]]). Band j packs plane cells `[j·w, (j+1)·w)` as
+    * bits (bit i = cell strictly above the plane mean — ties BELOW,
+    * i.e. `cnt·cells > n`, integer-exact so SQL oracles match bit-for-
+    * bit). */
+  private def bandVals(nBands: Int): IndexedSeq[org.apache.spark.sql.Column] = {
     val cells = 64
     require(cells % nBands == 0, s"$nBands bands must divide $cells cells")
     val w = cells / nBands
     require(w <= 62, "band wider than a positive long")
-    def bandVal(j: Int) =
+    (0 until nBands).map { j =>
       (0 until w).map { i =>
         when(element_at(col("g"), j * w + i + 1).cast("long") * cells >
           col("n"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    planes.toDF().select(col("doc_id"),
-      array((0 until nBands).map(j => bandVal(j)): _*).as("bv"))
+    }
   }
+
+  def bandedHashes(planes: Dataset[MediaPlane], nBands: Int = 4): DataFrame =
+    planes.toDF().select(col("doc_id"), array(bandVals(nBands): _*).as("bv"))
 
   /** Near-duplicate pairs (doc_a < doc_b) within `maxHamming` of the
     * 64-bit aHash, with the exact distance attached. `maxHamming <
@@ -76,5 +85,81 @@ object PHash {
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Per-frame perceptual-hash keys for the VIDEO near-dup path: each
+    * frame's 64-bit aHash packed as two 32-bit-range longs
+    * `(k1, k2) = (b0·2¹⁶ + b1, b2·2¹⁶ + b3)` — two keys instead of one
+    * so the SQL oracle never multiplies past 2⁶³, and exactly the
+    * `(k1, k2)` shape [[Blocking.cappedBandPairs]] buckets on. DISTINCT
+    * per doc: the video's fingerprint is its SET of frame hashes, which
+    * is what makes the match shift-invariant (a re-cut or prepended
+    * intro moves frame indices but not their hashes). */
+  def frameHashKeys(planes: Dataset[FramePlane]): DataFrame = {
+    val bv = bandVals(nBands = 4)
+    planes.toDF()
+      .select(col("doc_id"),
+        (bv(0) * 65536L + bv(1)).as("k1"),
+        (bv(2) * 65536L + bv(3)).as("k2"))
+      .distinct()
+  }
+
+  /** Video near-duplicate pairs (doc_a < doc_b) by HAMMING-TOLERANT
+    * mutual frame coverage. Exact frame-hash equality is the wrong
+    * match unit — per-frame noise (a lossy re-encode) flips a couple of
+    * threshold-adjacent aHash bits in most frames, so two copies of the
+    * same video would share almost no exact hashes. Instead two frames
+    * MATCH when their 64-bit aHashes are within `maxHamming`, and two
+    * videos near-dup by mutual coverage `cover_ppm = 1e6·(mA+mB)/
+    * (nA+nB)`, where mA = |a's distinct frame hashes with a
+    * ≤ maxHamming match in b| (symmetrically mB), nA/nB the
+    * distinct-hash counts.
+    *
+    * Plan shape — the same contract as every dedup operator here:
+    *  - `(k1, k2)` pack the 4 aHash bands bit-aligned, so frame hamming
+    *    is `bit_count(k1a⊕k1b) + bit_count(k2a⊕k2b)` — no arrays on the
+    *    candidate path;
+    *  - CANDIDATE doc pairs come from the 16-bit band buckets through
+    *    [[Blocking.cappedBandPairs]] (pigeonhole: two frames within
+    *    `maxHamming < 4` agree exactly on some band, so their docs
+    *    share that bucket — full recall at the threshold; boilerplate
+    *    buckets degrade to star pairs, never |bucket|²);
+    *  - VERIFICATION runs only on candidates, against attached per-doc
+    *    hash-set arrays (bounded by frame count): the coverage counts
+    *    are exact regardless of bucket caps or collisions. */
+  def videoNeardupPairs(planes: Dataset[FramePlane],
+                        maxHamming: Int = 3,
+                        minCoverPpm: Long = 500000L,
+                        cap: Int = Blocking.DefaultBlockCap): DataFrame = {
+    require(maxHamming < 4,
+      s"maxHamming=$maxHamming needs more than the 4 bands the two-key " +
+      "packing carries for exact banded recall")
+    val fh = frameHashKeys(planes) // distinct (doc_id, k1, k2)
+    // per-doc distinct band-bucket memberships — bit-aligned slices
+    val buckets = fh.select(col("doc_id"),
+        posexplode(array(
+          shiftright(col("k1"), 16), col("k1").bitwiseAND(65535L),
+          shiftright(col("k2"), 16), col("k2").bitwiseAND(65535L))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("k1"),
+        lit(0L).as("k2"))
+      .distinct()
+    val cand = Blocking.cappedBandPairs(buckets, cap)
+    val sets = fh.groupBy(col("doc_id"))
+      .agg(collect_set(struct(col("k1"), col("k2"))).as("fs"))
+    def ham(x: Column, y: Column): Column =
+      bit_count(x.getField("k1").bitwiseXOR(y.getField("k1"))) +
+        bit_count(x.getField("k2").bitwiseXOR(y.getField("k2")))
+    val ma = size(filter(col("fa"), x =>
+      exists(col("fb"), y => ham(x, y) <= maxHamming)))
+    val mb = size(filter(col("fb"), y =>
+      exists(col("fa"), x => ham(x, y) <= maxHamming)))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("fs").as("fa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("fs").as("fb")), "doc_b")
+      .withColumn("cover_ppm",
+        round(lit(1e6) * (ma + mb) / (size(col("fa")) + size(col("fb"))))
+          .cast("long"))
+      .filter(col("cover_ppm") >= minCoverPpm)
+      .select(col("doc_a"), col("doc_b"), col("cover_ppm"))
   }
 }

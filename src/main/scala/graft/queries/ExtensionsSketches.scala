@@ -148,6 +148,185 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
     """))
 
   // ---------------------------------------------------------------------
+  // x88 — audio landmark fingerprint match (constellation hashing, the
+  // public Shazam shape): stub "FFT" per 32-byte window keeps the
+  // top-two byte-class histogram bins (graft.ops.AudioFingerprint —
+  // a real build swaps in a spectrogram peak-picker and keeps every
+  // downstream step), windows pair with the next 3 windows into
+  // (f1, f2, Δt) landmark hashes, and recordings match by the size of
+  // their shared landmark SET — time-delta keyed, so a shared segment
+  // matches wherever it sits in either recording (the property x14's
+  // positional frame checksums lack). STOP-LANDMARKS — hashes carried
+  // by more than max(16, N/200) recordings — are dropped from every
+  // fingerprint first (the IDF analogue of Shazam's hash-entropy
+  // pruning): a ubiquitous motif says nothing about any pair, and the
+  // df bound also caps every inverted-index bucket BY CONSTRUCTION, so
+  // the capped candidate join is exact here (the cap's star-degrade
+  // only ever fires when maxDf is configured above it). Candidates
+  // ride the landmark inverted index (capped equi-join, never
+  // all-pairs); the shared count verifies on candidates only, so
+  // caps/collisions can add or drop candidates but never corrupt a
+  // count. ASCII normalization keeps the char-walking DuckDB oracle
+  // byte-exact with the raw-byte stub, as in x87.
+  lazy val x88 = Q(
+    "x88_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select($"doc_id",
+          regexp_replace($"text", "[^\\x00-\\x7F]", "?")
+            .cast("binary").as("media"))
+        .as[graft.ops.MediaIn]
+      val nDocs = corpusCounts.computeIfAbsent(
+        (System.identityHashCode(s), dir),
+        _ => java.lang.Long.valueOf(docs(s, dir).count())).longValue
+      val feats = graft.ops.AudioFingerprint.windowFeatures(media)
+      graft.ops.AudioFingerprint
+        .matchPairs(
+          graft.ops.AudioFingerprint.rareLandmarks(
+            graft.ops.AudioFingerprint.landmarks(feats),
+            maxDf = math.max(16L, nDocs / 200L)),
+          minShared = 8)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+        FROM documents
+      ),
+      pos AS (
+        SELECT doc_id, (i - 1) // 32 AS w, ord(substr(t, i, 1)) % 64 AS band
+        FROM d, LATERAL (SELECT unnest(range(1, (len(t) // 32) * 32 + 1)) AS i)
+      ),
+      hist AS (SELECT doc_id, w, band, COUNT(*) AS c FROM pos GROUP BY 1, 2, 3),
+      rk AS (
+        SELECT doc_id, w, band, row_number() OVER (
+          PARTITION BY doc_id, w ORDER BY c DESC, band ASC) AS rn
+        FROM hist
+      ),
+      feat AS (
+        SELECT doc_id, w AS t,
+          MAX(CASE WHEN rn = 1 THEN band END) * 64 +
+          COALESCE(MAX(CASE WHEN rn = 2 THEN band END),
+                   MAX(CASE WHEN rn = 1 THEN band END)) AS f
+        FROM rk WHERE rn <= 2 GROUP BY 1, 2
+      ),
+      lm AS (
+        SELECT DISTINCT a.doc_id, (a.f * 4096 + b.f) * 4 + (b.t - a.t) AS lh
+        FROM feat a JOIN feat b
+          ON b.doc_id = a.doc_id AND b.t - a.t BETWEEN 1 AND 3
+      ),
+      df AS (SELECT lh, COUNT(*) AS df FROM lm GROUP BY 1),
+      rare AS (
+        SELECT l.doc_id, l.lh FROM lm l JOIN df USING (lh)
+        WHERE df.df <= greatest(16, (SELECT COUNT(*) FROM documents) // 200)
+      ),
+      sh AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM rare a JOIN rare b ON a.lh = b.lh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+      FROM sh WHERE n_shared >= 8 ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
+  // x89 — video frame-sequence near-dup: frame sampling (x14's fan-out
+  // shape) × perceptual hashing (x87's integer-exact aHash) composed
+  // into the video-dedup operator. Each consecutive 100-byte "frame"
+  // gets its own 64-bit aHash (graft.ops.Multimodal.framePlanes →
+  // PHash.frameHashKeys, packed as two 32-bit-range keys so no SQL
+  // engine multiplies past 2^63 and hamming is two bit_count(xor)
+  // terms). Frames MATCH within hamming ≤ 3 — exact hash equality
+  // would miss a re-encode, whose per-frame noise flips a couple of
+  // threshold-adjacent bits in most frames (where x14's sha256
+  // checksums ALL diverge) — and videos near-dup by mutual coverage:
+  // 1e6·(mA+mB)/(nA+nB) ≥ 0.5. The hash-level near-match relation is
+  // built once over the corpus-wide DISTINCT hash table via 16-bit
+  // band buckets (pigeonhole-exact at hamming ≤ 3, capped per bucket,
+  // identity pairs unioned exactly); document scoring is keyed joins
+  // through it — never all-pairs.
+  lazy val x89 = Q(
+    "x89_video_frameset_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .select($"doc_id",
+          regexp_replace($"text", "[^\\x00-\\x7F]", "?")
+            .cast("binary").as("media"))
+        .as[graft.ops.MediaIn]
+      graft.ops.PHash
+        .videoNeardupPairs(graft.ops.Multimodal.framePlanes(media),
+          maxHamming = 3, minCoverPpm = 500000L)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+        FROM documents
+      ),
+      fr AS (
+        SELECT doc_id, f, substr(t, f * 100 + 1, 100) AS ft
+        FROM d, LATERAL (SELECT unnest(range(0, len(t) // 100)) AS f)
+      ),
+      tri AS (
+        SELECT doc_id, f,
+          (ord(substr(ft, i, 1)) * 961 + ord(substr(ft, i + 1, 1)) * 31
+            + ord(substr(ft, i + 2, 1))) % 64 AS bin
+        FROM fr, LATERAL (SELECT unnest(range(1, 99)) AS i)
+      ),
+      hist AS (SELECT doc_id, f, bin, COUNT(*) AS c FROM tri GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT doc_id, f, bin // 16 AS band,
+               SUM(CASE WHEN c * 64 > 98 THEN 1 << (bin % 16) ELSE 0 END) AS bv
+        FROM hist GROUP BY 1, 2, 3
+      ),
+      bands AS (
+        SELECT fr.doc_id, fr.f, bb.band, CAST(COALESCE(b.bv, 0) AS BIGINT) AS bv
+        FROM fr CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+        LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+          AND b.band = bb.band
+      ),
+      fh AS (
+        SELECT DISTINCT doc_id, k1, k2 FROM (
+          SELECT doc_id, f,
+            MAX(CASE WHEN band = 0 THEN bv END) * 65536
+              + MAX(CASE WHEN band = 1 THEN bv END) AS k1,
+            MAX(CASE WHEN band = 2 THEN bv END) * 65536
+              + MAX(CASE WHEN band = 3 THEN bv END) AS k2
+          FROM bands GROUP BY 1, 2)
+      ),
+      hbexp AS (
+        SELECT DISTINCT doc_id, band, CASE band
+            WHEN 0 THEN k1 // 65536 WHEN 1 THEN k1 % 65536
+            WHEN 2 THEN k2 // 65536 ELSE k2 % 65536 END AS v
+        FROM fh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hbexp a JOIN hbexp b ON a.band = b.band AND a.v = b.v
+          AND a.doc_id < b.doc_id
+      ),
+      mm AS (
+        SELECT c.doc_a, c.doc_b,
+          COUNT(DISTINCT fa.k1 || ':' || fa.k2) AS ma,
+          COUNT(DISTINCT fb.k1 || ':' || fb.k2) AS mb
+        FROM cand c
+        JOIN fh fa ON fa.doc_id = c.doc_a
+        JOIN fh fb ON fb.doc_id = c.doc_b
+        WHERE bit_count(xor(fa.k1, fb.k1)) + bit_count(xor(fa.k2, fb.k2)) <= 3
+        GROUP BY 1, 2
+      ),
+      n AS (SELECT doc_id, COUNT(*) AS nf FROM fh GROUP BY 1)
+      SELECT doc_a, doc_b,
+        CAST(round(1e6 * (ma + mb) / (na.nf + nb.nf)) AS BIGINT) AS cover_ppm
+      FROM mm JOIN n na ON na.doc_id = mm.doc_a
+              JOIN n nb ON nb.doc_id = mm.doc_b
+      WHERE round(1e6 * (ma + mb) / (na.nf + nb.nf)) >= 500000
+      ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------------
   // x20 — stratified sampling: per-language keep rates from a broadcast
   // config, membership decided by a deterministic integer hash of the
   // document id (Knuth multiplicative constant) — NOT rand(), so the
