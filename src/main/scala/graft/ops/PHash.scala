@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Perceptual-hash near-duplicate detection over media columns — the
@@ -146,19 +145,23 @@ object PHash {
     val cand = Blocking.cappedBandPairs(buckets, cap)
     val sets = fh.groupBy(col("doc_id"))
       .agg(collect_set(struct(col("k1"), col("k2"))).as("fs"))
-    def ham(x: Column, y: Column): Column =
-      bit_count(x.getField("k1").bitwiseXOR(y.getField("k1"))) +
-        bit_count(x.getField("k2").bitwiseXOR(y.getField("k2")))
-    val ma = size(filter(col("fa"), x =>
-      exists(col("fb"), y => ham(x, y) <= maxHamming)))
-    val mb = size(filter(col("fb"), y =>
-      exists(col("fa"), x => ham(x, y) <= maxHamming)))
+    // coverage counts via the compiled kernel — ONE fused O(|fa|·|fb|)
+    // pass per candidate pair (the equivalent size(filter(exists))
+    // HOF form evaluates interpreted and walks the cross product twice;
+    // at the ×10 media-scale probe's 3.7M candidates its pre-JIT first
+    // run paid 60 s vs 5.5 s steady — see functions.HammingCoverCounts)
+    val cover = org.apache.spark.sql.GraftPlanBridge.col(
+      graft.functions.HammingCoverCounts(
+        org.apache.spark.sql.GraftPlanBridge.expr(col("fa")),
+        org.apache.spark.sql.GraftPlanBridge.expr(col("fb")),
+        maxHamming))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("fs").as("fa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("fs").as("fb")), "doc_b")
+      .withColumn("__cov", cover)
       .withColumn("cover_ppm",
-        round(lit(1e6) * (ma + mb) / (size(col("fa")) + size(col("fb"))))
-          .cast("long"))
+        round(lit(1e6) * (col("__cov.ma") + col("__cov.mb")) /
+          (size(col("fa")) + size(col("fb")))).cast("long"))
       .filter(col("cover_ppm") >= minCoverPpm)
       .select(col("doc_a"), col("doc_b"), col("cover_ppm"))
   }

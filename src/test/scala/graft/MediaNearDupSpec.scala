@@ -232,6 +232,60 @@ class MediaNearDupSpec extends AnyFunSuite with Matchers with SparkFixture {
       .intersect(frames(3L).map(_.checksum).toSet) shouldBe empty
   }
 
+  test("video: the coverage kernel really COMPILES and matches a " +
+       "brute-force reference — CODEGEN_ONLY with fallback disabled, " +
+       "random hash sets, both directions") {
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val keys = Seq("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val rnd = new java.util.Random(77)
+      def hashSet(n: Int): Seq[(Long, Long)] =
+        Seq.fill(n)((rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+      val rows = (0 until 40).map { i =>
+        val base = hashSet(3 + rnd.nextInt(5))
+        // overlap: perturb a few bits of some elements of base
+        val other = base.map { case (k1, k2) =>
+          if (rnd.nextBoolean()) (k1 ^ (1L << rnd.nextInt(16)), k2)
+          else (k1, k2 ^ (1L << rnd.nextInt(16)))
+        } ++ hashSet(rnd.nextInt(3))
+        (i, base, other)
+      }
+      // repartition(1) so ConvertToLocalRelation cannot fold the
+      // projection interpreted before CODEGEN_ONLY engages
+      val df = rows.toDF("id", "fa", "fb").repartition(1)
+      import org.apache.spark.sql.GraftPlanBridge
+      // tuples arrive as struct<_1, _2> — the kernel requires only two
+      // LongType fields, whatever their names
+      val q = df.select($"id", GraftPlanBridge.col(
+        graft.functions.HammingCoverCounts(
+          GraftPlanBridge.expr($"fa"),
+          GraftPlanBridge.expr($"fb"), 3)).as("cov"))
+      def ham(x: (Long, Long), y: (Long, Long)) =
+        java.lang.Long.bitCount(x._1 ^ y._1) +
+          java.lang.Long.bitCount(x._2 ^ y._2)
+      val got = q.collect()
+        .map(r => r.getInt(0) ->
+          (r.getStruct(1).getInt(0), r.getStruct(1).getInt(1))).toMap
+      // after execution AQE's final plan shows the compiled span
+      // ("*(n)" is WholeStageCodegenExec's tree-string rendering)
+      q.queryExecution.executedPlan.toString should include regex
+        """\*\(\d+\) Project"""
+      rows.foreach { case (id, fa, fb) =>
+        val ma = fa.count(x => fb.exists(y => ham(x, y) <= 3))
+        val mb = fb.count(y => fa.exists(x => ham(x, y) <= 3))
+        got(id) shouldBe (ma, mb)
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("video: bucket-locality — no cartesian product; 100 identical " +
        "videos collapse to 99 star pairs at jaccard 1e6") {
     val s = spark
