@@ -974,4 +974,52 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
       ORDER BY event_type
     """))
 
+  // ---------------------------------------------------------------------
+  // x91 — deterministic global shuffle-shard: the "shuffle 100 TB once
+  // for training" operator. Training runs read the corpus in a global
+  // pseudo-random order, split into fixed shards; doing this with a real
+  // RNG or a positional sort is non-reproducible (re-reads, appends, or
+  // a different partitioning reorder everything). The hash-shuffle form
+  // is the production answer [same seeded-hash discipline as x20/x21]:
+  // each doc gets a seeded 60-bit key h = md5("shuffle42:" || doc_id),
+  // shard = h mod S, and its position within the shard is its rank by
+  // (h, doc_id). Properties the spec pins: every doc appears exactly
+  // once, positions are contiguous 1..|shard|, the assignment of
+  // EXISTING docs is invariant under corpus appends (only ranks behind
+  // new keys shift — no reshuffle of shard membership), and a re-run is
+  // bit-identical.
+  //
+  // Scale shape: ONE hash exchange on `shard` + an in-partition sort —
+  // exactly the physical plan a distributed shard-writer wants (the
+  // window's rank streams over the sorted run; Spark's WindowExec
+  // spills per-group state, and the real knob is S: at 100 TB you run
+  // S ≈ corpus_bytes / 1 GiB so each sorted shard is one well-sized
+  // output file — S here is 16 only because the fixture is 500 rows).
+  // No driver-side state, no global sort, no RNG.
+  lazy val x91 = Q(
+    "x91_shuffle_shard",
+    (s, dir) => {
+      import s.implicits._
+      val S = 16L
+      docs(s, dir)
+        .select($"doc_id",
+          conv(substring(md5(concat(lit("shuffle42:"), $"doc_id")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .withColumn("shard", pmod($"h", lit(S)))
+        .withColumn("pos",
+          row_number().over(
+            Window.partitionBy($"shard").orderBy($"h", $"doc_id"))
+            .cast("long"))
+        .select($"shard", $"pos", $"doc_id", $"h")
+    },
+    Some("""
+      SELECT h % 16 AS shard,
+        CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+          AS BIGINT) AS pos,
+        doc_id, h
+      FROM (SELECT doc_id,
+              ('0x' || substr(md5('shuffle42:' || doc_id), 1, 15))::BIGINT AS h
+            FROM documents)
+    """))
+
 }

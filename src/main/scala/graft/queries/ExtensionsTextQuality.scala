@@ -914,4 +914,95 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
       FROM t LEFT JOIN per ON t.doc_id = per.doc_id
     """))
 
+  // ---------------------------------------------------------------------
+  // x90 — DSIR data selection: importance resampling over hashed n-gram
+  // features [Xie et al., "Data Selection for Language Models via
+  // Importance Resampling", NeurIPS 2023]. The pretraining-curation
+  // shape: score every raw document by how much its hashed-bigram
+  // feature distribution looks like a TARGET domain (here lang='en' —
+  // the stand-in for "wiki-quality" in the paper) relative to the raw
+  // pool, then keep the top of the importance ranking. The paper's
+  // per-feature weight is log p_target(b) − log p_raw(b); a real log's
+  // final ulp differs across libm builds, so (as in x46) every step here
+  // is exact fixed-point — the per-bucket LINEAR importance ratio with
+  // add-one smoothing,
+  //     r_ppm(b) = 1e6 · (c_t(b)+1)(N_r+B) ÷ (c_r(b)+1)(N_t+B)
+  // in DECIMAL(38,0)/HUGEINT integer arithmetic (bit-identical in Spark
+  // `div` and DuckDB `//`; the 38-digit headroom holds to ~1e13 bigrams
+  // per side, i.e. past the 100 TB shape), and a document's score is the
+  // exact integer MEAN of its bigrams' ratios — monotone in the same
+  // direction as the paper's mean log-weight under smoothing.
+  //
+  // Scale shape: feature extraction is a narrow map (split + zip_with +
+  // md5 — no UDF, no shuffle). The bucket table is B-bounded (4096 rows
+  // REGARDLESS of corpus size — that is the point of hashed features),
+  // so the corpus totals cross-join and the score join are both
+  // broadcasts; the only corpus-sized shuffles are the bucket-count
+  // aggregation and the per-doc mean. Selection is top-K by
+  // (score, doc_id) → TakeOrderedAndProject (a per-partition heap +
+  // driver merge), never a global sort. The paper's Gumbel-noise
+  // sampling variant is seeded-hash noise on the same ranking; the
+  // graded query keeps the deterministic top-K so the oracle is exact.
+  lazy val x90 = Q(
+    "x90_dsir_select",
+    (s, dir) => {
+      import s.implicits._
+      val B = 4096L
+      val bg = docs(s, dir)
+        .select($"doc_id", $"lang", split(lower($"text"), " ").as("toks"))
+        .withColumn("n", size($"toks"))
+        .filter($"n" >= 2)
+        .select($"doc_id", $"lang",
+          explode(zip_with(
+            slice($"toks", lit(1), $"n" - lit(1)),
+            slice($"toks", lit(2), $"n" - lit(1)),
+            (a, b) => concat_ws(" ", a, b))).as("g"))
+        .withColumn("b",
+          pmod(conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"), lit(B)))
+      val buckets = bg.groupBy($"b").agg(
+        count(lit(1)).as("c_r"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"))
+      val totals = buckets.agg(
+        sum($"c_r").as("n_r"), sum($"c_t").as("n_t"))
+      val ratio = buckets
+        .crossJoin(broadcast(totals)) // 1-row totals frame
+        .withColumn("r_ppm", expr(
+          s"cast(1000000 as decimal(38,0)) * (c_t + 1) * (n_r + $B) div " +
+          s"(cast(c_r + 1 as decimal(38,0)) * (n_t + $B))"))
+        .select($"b", $"r_ppm")
+      bg.join(broadcast(ratio), Seq("b")) // B-bounded, broadcast by design
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(r_ppm) div count(1)").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id".asc)
+        .limit(100)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        FROM documents),
+      t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+      bg AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 4096 AS b
+        FROM (SELECT doc_id, lang, unnest(toks[1:n-1]) AS w1,
+                     unnest(toks[2:n]) AS w2 FROM t2)),
+      buckets AS (
+        SELECT b, COUNT(*)::BIGINT AS c_r,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_t
+        FROM bg GROUP BY b),
+      totals AS (SELECT SUM(c_r)::BIGINT AS n_r, SUM(c_t)::BIGINT AS n_t
+                 FROM buckets),
+      ratio AS (
+        SELECT b, CAST((1000000::HUGEINT * (c_t + 1) * (n_r + 4096)) //
+          ((c_r + 1)::HUGEINT * (n_t + 4096)) AS BIGINT) AS r_ppm
+        FROM buckets, totals)
+      SELECT doc_id, lang, COUNT(*)::BIGINT AS n_bigrams,
+        CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+      FROM bg JOIN ratio USING (b)
+      GROUP BY doc_id, lang
+      ORDER BY score_ppm DESC, doc_id ASC
+      LIMIT 100
+    """))
+
 }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.Extensions
+
+/** Semantics + plan pins for the two corpus-curation operators added in
+  * round 17: x90 DSIR importance selection and x91 the deterministic
+  * global shuffle-shard. Both are hash-deterministic by design, so the
+  * specs pin exactly the properties a training pipeline relies on:
+  * ranking direction (x90), exactly-once/contiguity/append-invariance
+  * (x91), bit-identical re-runs, and the 100 TB plan shape. */
+class DsirShardSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  /** Corpus where the en (target) docs share a distinctive phrase
+    * vocabulary; half the de docs mimic it ("en-like"), the other half
+    * are disjoint gibberish. DSIR must rank the mimics above the
+    * gibberish — that is the operator's whole job. */
+  private lazy val dsirDir: String = {
+    val s = spark
+    import s.implicits._
+    val targetPhrase = Seq.tabulate(30)(i => s"common${i % 7}").mkString(" ")
+    val rows =
+      // 10 en docs carrying the target bigram distribution
+      Seq.tabulate(10) { i =>
+        (i.toLong, targetPhrase + s" filler$i", "en", "srcA", 100L)
+      } ++
+      // 5 de docs that LOOK like the target (same bigrams)
+      Seq.tabulate(5) { i =>
+        (100L + i, targetPhrase + s" mimic$i", "de", "srcB", 100L)
+      } ++
+      // 5 de docs with fully disjoint vocabulary
+      Seq.tabulate(5) { i =>
+        val txt = Seq.tabulate(30)(j => s"weird${i}x$j").mkString(" ")
+        (200L + i, txt, "de", "srcB", 100L)
+      }
+    val d = Files.createTempDirectory("dsir").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("x90: target-like off-domain docs outrank disjoint-vocabulary docs") {
+    val out = Extensions.x90.run(spark, dsirDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val mimicScores = (0 until 5).map(i => out(100L + i))
+    val weirdScores = (0 until 5).map(i => out(200L + i))
+    // every mimic beats every gibberish doc
+    mimicScores.min should be > weirdScores.max
+    // and the true target docs sit at (or above) the mimic level
+    (0 until 10).map(i => out(i.toLong)).min should be >= mimicScores.min
+  }
+
+  test("x90: bit-identical across re-runs (no RNG, no float path)") {
+    def snap() = Extensions.x90.run(spark, dsirDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    snap() shouldBe snap()
+  }
+
+  test("x90: plan is broadcast-score + top-k heap, never a global sort") {
+    val p = Extensions.x90.run(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the B-bounded ratio table joins back as a broadcast hash join
+    p should include("BroadcastHashJoin")
+    // selection is a per-partition heap + driver merge
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
+  test("x91: every doc exactly once, positions contiguous per shard") {
+    val out = Extensions.x91.run(spark, dsirDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._3).distinct.length shouldBe 20 // 20 docs, each once
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._2).sorted shouldBe (1L to rows.length).toArray
+    }
+  }
+
+  test("x91: appending docs never moves an existing doc's (shard, key)") {
+    val s = spark
+    import s.implicits._
+    val base = Extensions.x91.run(s, dsirDir).collect()
+      .map(r => r.getLong(2) -> (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .toMap
+    // build an appended corpus: same docs + 10 new ones
+    val d2 = Files.createTempDirectory("dsir_app").toString
+    val extra = Seq.tabulate(10) { i =>
+      (900L + i, s"new doc $i", "en", "srcC", 10L)
+    }
+    s.read.parquet(s"$dsirDir/documents.parquet")
+      .unionByName(extra.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val appended = Extensions.x91.run(s, d2).collect()
+      .map(r => r.getLong(2) -> (r.getLong(0), r.getLong(3), r.getLong(1)))
+      .toMap
+    appended.size shouldBe 30
+    base.foreach { case (doc, (shard, h, pos)) =>
+      val (shard2, h2, pos2) = appended(doc)
+      shard2 shouldBe shard // membership invariant under append
+      h2 shouldBe h         // seeded key invariant
+      // ranks can only grow (new keys slot in), never reorder
+      pos2 should be >= pos
+    }
+    // relative order of the original docs inside each shard is preserved
+    base.keys.groupBy(d => base(d)._1).foreach { case (_, docs) =>
+      val byOld = docs.toSeq.sortBy(d => base(d)._3)
+      val byNew = docs.toSeq.sortBy(d => appended(d)._3)
+      byNew shouldBe byOld
+    }
+  }
+
+  test("x91: plan shuffles once on shard — no range partitioning, no sort " +
+       "of the whole corpus") {
+    val p = Extensions.x91.run(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    p should include("hashpartitioning(shard")
+    p should not include "rangepartitioning"
+    p should include("Window")
+  }
+}
