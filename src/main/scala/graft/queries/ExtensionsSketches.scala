@@ -87,9 +87,12 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
   // bits, integer-exact) → 4×16-bit banded candidate join (pigeonhole-
   // EXACT at hamming ≤ 3 — PHashSpec pins the recall guarantee and the
   // bucket-locality) → capped-bucket pair generation → bit_count(xor)
-  // verification on candidates only. Never all-pairs; at sf0.01 every
-  // band bucket holds ≤ 22 docs (cap 64), so the plain-join SQL oracle
-  // is exact — same fixture contract as x02's cap note. ASCII
+  // verification on candidates only. Never all-pairs; the oracle
+  // mirrors [[graft.ops.Blocking.cappedBandPairs]]'s deterministic
+  // star-degrade EXACTLY (≤ cap → all pairs, > cap → min-doc star), so
+  // the compare is exact at ANY scale — at sf0.1 dense aHash buckets
+  // (e.g. all-zero bands) overflow the cap, where a plain-join oracle
+  // diverged (caught by the first full sf0.1 gate, round 17). ASCII
   // normalization (1 byte = 1 char) keeps the DuckDB oracle, which
   // must walk chars, byte-exact with the Spark side's raw-byte stub.
   lazy val x87 = Q(
@@ -131,10 +134,21 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
         FROM ok o CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
         LEFT JOIN bits b ON b.doc_id = o.doc_id AND b.band = bb.band
       ),
+      sized AS (
+        SELECT doc_id, band, k1,
+          COUNT(*) OVER (PARTITION BY band, k1) AS bcnt,
+          MIN(doc_id) OVER (PARTITION BY band, k1) AS keeper
+        FROM bands
+      ),
       cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.k1 = b.k1 AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sized a JOIN sized b
+            ON a.band = b.band AND a.k1 = b.k1 AND a.doc_id < b.doc_id
+          WHERE a.bcnt <= 64
+          UNION ALL
+          SELECT keeper AS doc_a, doc_id AS doc_b
+          FROM sized WHERE bcnt > 64 AND doc_id <> keeper)
       ),
       ham AS (
         SELECT c.doc_a, c.doc_b, SUM(bit_count(xor(ba.k1, bb.k1))) AS hamming
@@ -302,10 +316,21 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
             WHEN 2 THEN k2 // 65536 ELSE k2 % 65536 END AS v
         FROM fh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
       ),
+      hbsized AS (
+        SELECT doc_id, band, v,
+          COUNT(*) OVER (PARTITION BY band, v) AS bcnt,
+          MIN(doc_id) OVER (PARTITION BY band, v) AS keeper
+        FROM hbexp
+      ),
       cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM hbexp a JOIN hbexp b ON a.band = b.band AND a.v = b.v
-          AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM hbsized a JOIN hbsized b ON a.band = b.band AND a.v = b.v
+            AND a.doc_id < b.doc_id
+          WHERE a.bcnt <= 64
+          UNION ALL
+          SELECT keeper AS doc_a, doc_id AS doc_b
+          FROM hbsized WHERE bcnt > 64 AND doc_id <> keeper)
       ),
       mm AS (
         SELECT c.doc_a, c.doc_b,
