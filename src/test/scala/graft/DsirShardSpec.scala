@@ -1,10 +1,14 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.queries.Extensions
+
+/** Top-level: nested case classes can't get a Spark encoder. */
+case class GateDoc(doc_id: Long, text: String, lang: String)
 
 /** Semantics + plan pins for the two corpus-curation operators added in
   * round 17: x90 DSIR importance selection and x91 the deterministic
@@ -110,6 +114,86 @@ class DsirShardSpec extends AnyFunSuite with Matchers with SparkFixture {
       val byNew = docs.toSeq.sortBy(d => appended(d)._3)
       byNew shouldBe byOld
     }
+  }
+
+  test("x92: staged-model apply agrees with the top of x90's ranking, " +
+       "keeps target-like docs, and reads the model from the stage") {
+    graft.queries.Extensions.clearPersistedIntermediates()
+    val applied = Extensions.x92.run(spark, dsirDir)
+    val rows = applied.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    rows.size shouldBe 20 // every scorable doc, not a top-k
+    // keep is exactly the threshold verdict (at this 20-doc fixture the
+    // add-B smoothing term dominates every ratio, so absolute verdicts
+    // are corpus-size-dependent — the contract is consistency + order)
+    rows.values.foreach { case (score, keep) =>
+      keep shouldBe (if (score >= 1000000L) 1L else 0L)
+    }
+    // ranking direction survives the apply: every mimic above every
+    // gibberish doc
+    (0 until 5).map(i => rows(100L + i)._1).min should be >
+      (0 until 5).map(i => rows(200L + i)._1).max
+    // scores agree bit-for-bit with x90's selection over the same corpus
+    val selected = Extensions.x90.run(spark, dsirDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    selected.foreach { case (doc, score) => rows(doc)._1 shouldBe score }
+    // and the plan serves the model from the staged parquet — the
+    // ratio-train subtree (bucket agg + totals cross-join) is absent
+    val p = applied.queryExecution.executedPlan.toString
+    p should include("graft-stage")
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("streaming DsirGate: per-micro-batch scores are bit-identical to " +
+       "the batch apply; replay changes nothing; rejects carry reasons") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // frozen model trained on the batch corpus
+    val ratioPath = graft.ops.Staging.ensure("x90_ratio", dsirDir,
+      Seq("documents"))(graft.queries.Extensions.dsirRatio(s, dsirDir))
+    val ratio = s.read.parquet(ratioPath)
+    val batchScores = Extensions.x92.run(s, dsirDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+
+    val mem = MemoryStream[GateDoc]
+    val out = new scala.collection.mutable.HashMap[Long, (Long, Long)]()
+    val chk = Files.createTempDirectory("dsirgate-chk").toString
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.DsirGate.score(batch, ratio).collect().foreach(r =>
+          out.synchronized {
+            out(r.getLong(0)) = (r.getLong(2), r.getLong(3))
+          })
+        ()
+      }
+      .start()
+    val docsByBatch = s.read.parquet(s"$dsirDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang").as[GateDoc].collect()
+    try {
+      // replay the corpus in three micro-batches, then REDELIVER one
+      docsByBatch.grouped(7).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+      val before = out.toMap
+      mem.addData(docsByBatch.take(7).toSeq) // at-least-once redelivery
+      q.processAllAvailable()
+      out.toMap shouldBe before // idempotent: same doc → same bits
+    } finally q.stop()
+    out.toMap shouldBe batchScores // stream ≡ batch, bit-for-bit
+
+    // the gate's two sides partition the corpus, reasons attached
+    val docsDf = s.read.parquet(s"$dsirDir/documents.parquet")
+    val acc = graft.streaming.DsirGate
+      .accepted(docsDf, ratio, minScorePpm = 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    val rej = graft.streaming.DsirGate
+      .rejected(docsDf, ratio, minScorePpm = 1000000L)
+      .select($"doc_id", $"reason").as[(Long, String)].collect()
+    (acc ++ rej.map(_._1)).size shouldBe 20
+    acc.intersect(rej.map(_._1).toSet) shouldBe empty
+    rej.map(_._2).toSet should contain("low_score")
   }
 
   test("x91: plan shuffles once on shard — no range partitioning, no sort " +
