@@ -99,9 +99,11 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
       val bands = minhashBands(hs)
       // Candidate pairs through the capped band join ([[graft.ops
       // .Blocking]]): identical to the plain banded self-join while
-      // every band bucket holds ≤ cap docs (the fixture's hold ≤3, so
-      // the SQL oracle below stays exact), and degrading an oversized
+      // every band bucket holds ≤ cap docs, and degrading an oversized
       // boilerplate bucket to star pairs instead of |bucket|² ones.
+      // The SQL oracle mirrors the degrade exactly (sizedbands/cand in
+      // NeardupPairsSqlCtes), so the compare holds at any scale — not
+      // just while fixture buckets stay under the cap.
       val cand = graft.ops.Blocking.cappedBandPairs(bands)
       // Exact-Jaccard verification on candidates only: join the packed
       // hash sets to the (tiny) pair set and intersect in place. No
@@ -158,11 +160,28 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
   /** The oracle CTE chain producing the same `pairs`, shared by the x02
     * and x28 oracles (goes inside a WITH [RECURSIVE] list). */
   private[queries] lazy val NeardupPairsSqlCtes: String = s"""$MinhashSigSqlCtes,
+      sizedbands AS (
+        SELECT doc_id, band, k1, k2,
+          COUNT(*) OVER (PARTITION BY band, k1, k2) AS bcnt,
+          MIN(doc_id) OVER (PARTITION BY band, k1, k2) AS keeper
+        FROM bands
+      ),
       cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
-             AND a.doc_id < b.doc_id
+        -- mirrors graft.ops.Blocking.cappedBandPairs EXACTLY (<= cap:
+        -- all pairs; > cap: min-doc star), so the compare stays exact
+        -- at any scale — a plain pair join diverged at the x100 probe
+        -- corpus (100 near-dup variants per doc overflow the 64-doc
+        -- signature buckets; sf0.1 and x10 stay under it). Same fix,
+        -- same round, as the x87/x89 media oracles.
+        SELECT DISTINCT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sizedbands a JOIN sizedbands b
+            ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+               AND a.doc_id < b.doc_id
+          WHERE a.bcnt <= 64
+          UNION ALL
+          SELECT keeper AS doc_a, doc_id AS doc_b
+          FROM sizedbands WHERE bcnt > 64 AND doc_id <> keeper)
       ),
       sizes AS (SELECT doc_id, n FROM sig),
       inter AS (
