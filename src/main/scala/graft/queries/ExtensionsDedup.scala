@@ -520,9 +520,13 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
   // ±1-bucket expansion — semantically free pruning, since a length
   // delta past the threshold already bounds the distance out — plus
   // the per-block cap that keeps a boilerplate-skewed corpus from
-  // making any one block quadratic. The fixture's blocks are ≤3 docs,
-  // under the cap, so the plain blocked join below stays the exact
-  // oracle.
+  // making any one block quadratic. The oracle mirrors
+  // [[graft.ops.Blocking.cappedPrefixPairs]] EXACTLY — under-cap cells
+  // pair across ±1 length buckets, over-cap cells star to their
+  // min-doc keeper and leave the neighbor join entirely — so the
+  // compare is exact at any scale, not just while fixture blocks stay
+  // under the cap (the x02/x87 round-17 lesson applied here before it
+  // could bite).
   lazy val x31 = Q(
     "x31_edit_distance_neardup",
     (s, dir) => {
@@ -547,13 +551,25 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
     },
     Some("""
       WITH b AS (
-        SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 16) AS blk
-        FROM documents)
-      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
-      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
-        AND abs(len(a.t) - len(c.t)) <= 25
-      WHERE levenshtein(a.t, c.t) <= 25
+        SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 16) AS blk,
+          CAST(len(text) // 26 AS INT) AS lb
+        FROM documents),
+      sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk, lb) AS bcnt,
+          MIN(doc_id) OVER (PARTITION BY blk, lb) AS keeper
+        FROM b),
+      cand AS (
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.t AS ta, c.t AS tb
+        FROM sized a JOIN sized c ON a.blk = c.blk
+          AND abs(a.lb - c.lb) <= 1 AND a.doc_id < c.doc_id
+        WHERE a.bcnt <= 64 AND c.bcnt <= 64
+        UNION ALL
+        SELECT k.doc_id AS doc_a, o.doc_id AS doc_b, k.t AS ta, o.t AS tb
+        FROM sized o JOIN sized k
+          ON o.blk = k.blk AND o.lb = k.lb AND k.doc_id = o.keeper
+        WHERE o.bcnt > 64 AND o.doc_id <> o.keeper)
+      SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(ta, tb) <= 25
     """))
 
   // ---------------------------------------------------------------------
