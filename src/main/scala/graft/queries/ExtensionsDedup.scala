@@ -552,7 +552,7 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
     Some("""
       WITH b AS (
         SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 16) AS blk,
-          CAST(len(text) // 26 AS INT) AS lb
+          CAST(floor(length(text) / 26) AS INT) AS lb
         FROM documents),
       sized AS (
         SELECT *, COUNT(*) OVER (PARTITION BY blk, lb) AS bcnt,
