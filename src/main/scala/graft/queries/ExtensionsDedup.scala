@@ -178,10 +178,12 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
           FROM sizedbands a JOIN sizedbands b
             ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
                AND a.doc_id < b.doc_id
-          WHERE a.bcnt <= 64
+          WHERE a.bcnt <= ${graft.ops.Blocking.DefaultBlockCap}
           UNION ALL
           SELECT keeper AS doc_a, doc_id AS doc_b
-          FROM sizedbands WHERE bcnt > 64 AND doc_id <> keeper)
+          FROM sizedbands
+          WHERE bcnt > ${graft.ops.Blocking.DefaultBlockCap}
+            AND doc_id <> keeper)
       ),
       sizes AS (SELECT doc_id, n FROM sig),
       inter AS (
@@ -549,10 +551,17 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
             .cast("long").as("dist"))
         .filter($"dist" >= 0)
     },
-    Some("""
+    // cap + bucket width interpolated from the SAME constants the
+    // Spark side reads (Blocking.DefaultBlockCap, threshold+1), and
+    // the length bucket computed from the SAME string the Spark side
+    // buckets on (t = lower(text) — a raw length(text) diverges on
+    // chars whose lowercase mapping changes length, e.g. 'İ'), so a
+    // future cap/threshold change or a non-ASCII corpus cannot
+    // silently invalidate the mirror.
+    Some(s"""
       WITH b AS (
         SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 16) AS blk,
-          CAST(floor(length(text) / 26) AS INT) AS lb
+          CAST(floor(length(lower(text)) / ${25 + 1}) AS INT) AS lb
         FROM documents),
       sized AS (
         SELECT *, COUNT(*) OVER (PARTITION BY blk, lb) AS bcnt,
@@ -562,12 +571,14 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.t AS ta, c.t AS tb
         FROM sized a JOIN sized c ON a.blk = c.blk
           AND abs(a.lb - c.lb) <= 1 AND a.doc_id < c.doc_id
-        WHERE a.bcnt <= 64 AND c.bcnt <= 64
+        WHERE a.bcnt <= ${graft.ops.Blocking.DefaultBlockCap}
+          AND c.bcnt <= ${graft.ops.Blocking.DefaultBlockCap}
         UNION ALL
         SELECT k.doc_id AS doc_a, o.doc_id AS doc_b, k.t AS ta, o.t AS tb
         FROM sized o JOIN sized k
           ON o.blk = k.blk AND o.lb = k.lb AND k.doc_id = o.keeper
-        WHERE o.bcnt > 64 AND o.doc_id <> o.keeper)
+        WHERE o.bcnt > ${graft.ops.Blocking.DefaultBlockCap}
+          AND o.doc_id <> o.keeper)
       SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
       FROM cand WHERE levenshtein(ta, tb) <= 25
     """))

@@ -110,9 +110,9 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
           maxHamming = 3)
         .orderBy($"doc_a", $"doc_b")
     },
-    Some("""
+    Some(s"""
       WITH d AS (
-        SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
         FROM documents
       ),
       ok AS (SELECT doc_id, t FROM d WHERE len(t) >= 64),
@@ -145,10 +145,12 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sized a JOIN sized b
             ON a.band = b.band AND a.k1 = b.k1 AND a.doc_id < b.doc_id
-          WHERE a.bcnt <= 64
+          WHERE a.bcnt <= ${graft.ops.Blocking.DefaultBlockCap}
           UNION ALL
           SELECT keeper AS doc_a, doc_id AS doc_b
-          FROM sized WHERE bcnt > 64 AND doc_id <> keeper)
+          FROM sized
+          WHERE bcnt > ${graft.ops.Blocking.DefaultBlockCap}
+            AND doc_id <> keeper)
       ),
       ham AS (
         SELECT c.doc_a, c.doc_b, SUM(bit_count(xor(ba.k1, bb.k1))) AS hamming
@@ -274,9 +276,9 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
           maxHamming = 3, minCoverPpm = 500000L)
         .orderBy($"doc_a", $"doc_b")
     },
-    Some("""
+    Some(s"""
       WITH d AS (
-        SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '?', 'g') AS t
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS t
         FROM documents
       ),
       fr AS (
@@ -327,10 +329,12 @@ private[queries] trait ExtensionsSketches { this: Extensions.type =>
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM hbsized a JOIN hbsized b ON a.band = b.band AND a.v = b.v
             AND a.doc_id < b.doc_id
-          WHERE a.bcnt <= 64
+          WHERE a.bcnt <= ${graft.ops.Blocking.DefaultBlockCap}
           UNION ALL
           SELECT keeper AS doc_a, doc_id AS doc_b
-          FROM hbsized WHERE bcnt > 64 AND doc_id <> keeper)
+          FROM hbsized
+          WHERE bcnt > ${graft.ops.Blocking.DefaultBlockCap}
+            AND doc_id <> keeper)
       ),
       mm AS (
         SELECT c.doc_a, c.doc_b,

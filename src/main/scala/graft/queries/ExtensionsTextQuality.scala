@@ -962,13 +962,27 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
   }
 
   /** The trained "model": per-bucket linear importance ratio in ppm —
-    * 4096 rows at ANY corpus size. */
+    * exactly B = 4096 rows at ANY corpus size. DENSE over the full
+    * bucket range: buckets no training bigram hashed to still get a
+    * row, carrying the add-one-smoothed default ratio (c_t = c_r = 0),
+    * which is what DSIR's smoothing assigns unseen features. That is
+    * the serve contract [[graft.streaming.DsirGate.score]] relies on —
+    * a served doc whose bigrams hash outside the trained support joins
+    * the default instead of silently losing the feature (or, for an
+    * all-unseen doc, being mislabeled unscorable). Dense-vs-sparse is
+    * invisible to x90/x92's own oracles (the corpus only ever joins
+    * buckets it occupies), so the compare stays exact. */
   private[graft] def dsirRatio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = DsirBuckets
-    val buckets = dsirMatrix(s, dir).groupBy($"b").agg(
-      sum($"cnt").as("c_r"),
-      sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("c_t"))
+    val buckets = s.range(B).select($"id".as("b"))
+      .join(
+        dsirMatrix(s, dir).groupBy($"b").agg(
+          sum($"cnt").as("c_r0"),
+          sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("c_t0")),
+        Seq("b"), "left")
+      .select($"b", coalesce($"c_r0", lit(0L)).as("c_r"),
+        coalesce($"c_t0", lit(0L)).as("c_t"))
     val totals = buckets.agg(
       sum($"c_r").as("n_r"), sum($"c_t").as("n_t"))
     buckets

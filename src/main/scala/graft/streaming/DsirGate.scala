@@ -47,7 +47,16 @@ object DsirGate {
   /** Score a batch of documents against the frozen ratio table:
     * (doc_id, lang, n_bigrams, score_ppm). Exact integer mean of the
     * doc's per-bigram bucket ratios — identical bits to the batch
-    * x92 apply over the same rows. */
+    * x92 apply over the same rows.
+    *
+    * The ratio table is DENSE by the trainer's contract
+    * (`Extensions.dsirRatio` emits one row for every bucket in
+    * [0, nBuckets), unseen buckets carrying the add-one-smoothed
+    * default ratio), so this inner join loses nothing when a served
+    * doc's bigrams hash to buckets the training corpus never produced
+    * — exactly the serve-against-frozen-model scenario the gate exists
+    * for. A sparse model would silently drop those features from both
+    * sum and count and mislabel an all-unseen doc `unscorable`. */
   def score(docs: DataFrame, ratio: DataFrame,
             nBuckets: Long = 4096L): DataFrame =
     bucketCounts(docs, nBuckets)
@@ -56,23 +65,49 @@ object DsirGate {
       .agg(sum(col("cnt")).as("n_bigrams"),
         expr("sum(cnt * r_ppm) div sum(cnt)").as("score_ppm"))
 
-  /** Gate: accepted stream (score ≥ minScorePpm). Unscorable docs
-    * (< 2 tokens) are rejected with their own reason — nothing drops
+  /** ONE scored-with-reason frame carrying both sides of the gate:
+    * (doc_id, lang, n_bigrams, score_ppm, reason) where `reason` is
+    * NULL for accepted docs, `low_score` below the threshold and
+    * `unscorable` for docs with < 2 tokens (n_bigrams/score_ppm NULL).
+    * A caller wiring both sides per micro-batch (the CurationPipeline
+    * side-output shape) should compute THIS once — persist it or hand
+    * it to the [[accepted]]/[[rejected]] overloads below — so one
+    * featurize + broadcast-join pass feeds both outputs instead of
+    * each side re-running the pipeline. */
+  def scored(docs: DataFrame, ratio: DataFrame, minScorePpm: Long,
+             nBuckets: Long = 4096L): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(score(docs, ratio, nBuckets)
+          .select(col("doc_id"), col("n_bigrams"), col("score_ppm")),
+        Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("score_ppm").isNull, "unscorable")
+          .when(col("score_ppm") < minScorePpm, "low_score"))
+
+  /** Accepted half of a precomputed [[scored]] frame. */
+  def accepted(scoredFrame: DataFrame): DataFrame =
+    scoredFrame.filter(col("reason").isNull)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("score_ppm"))
+
+  /** Rejected half of a precomputed [[scored]] frame:
+    * (doc_id, lang, reason) — `low_score` or `unscorable`. Unscorable
+    * docs (< 2 tokens) reject with their own reason — nothing drops
     * silently (the CurationPipeline side-output contract). */
+  def rejected(scoredFrame: DataFrame): DataFrame =
+    scoredFrame.filter(col("reason").isNotNull)
+      .select(col("doc_id"), col("lang"), col("reason"))
+
+  /** Gate: accepted stream (score ≥ minScorePpm). Convenience
+    * one-sided form; a caller consuming BOTH sides should go through
+    * [[scored]] once instead. */
   def accepted(docs: DataFrame, ratio: DataFrame, minScorePpm: Long,
                nBuckets: Long = 4096L): DataFrame =
-    score(docs, ratio, nBuckets).filter(col("score_ppm") >= minScorePpm)
+    accepted(scored(docs, ratio, minScorePpm, nBuckets))
 
-  /** Rejected stream with reasons: `low_score` or `unscorable`. */
+  /** Rejected stream with reasons — convenience one-sided form of
+    * [[rejected]] over [[scored]]. */
   def rejected(docs: DataFrame, ratio: DataFrame, minScorePpm: Long,
-               nBuckets: Long = 4096L): DataFrame = {
-    val scored = score(docs, ratio, nBuckets)
-    docs.select(col("doc_id"), col("lang"))
-      .join(scored.select(col("doc_id"), col("score_ppm")),
-        Seq("doc_id"), "left")
-      .filter(col("score_ppm").isNull || col("score_ppm") < minScorePpm)
-      .withColumn("reason",
-        when(col("score_ppm").isNull, "unscorable").otherwise("low_score"))
-      .select(col("doc_id"), col("lang"), col("reason"))
-  }
+               nBuckets: Long = 4096L): DataFrame =
+    rejected(scored(docs, ratio, minScorePpm, nBuckets))
 }

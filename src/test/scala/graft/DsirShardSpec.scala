@@ -196,6 +196,64 @@ class DsirShardSpec extends AnyFunSuite with Matchers with SparkFixture {
     rej.map(_._2).toSet should contain("low_score")
   }
 
+  test("DsirGate serve contract: the trained model is DENSE (one row per " +
+       "bucket), so a doc whose bigrams are all outside the trained " +
+       "support scores the smoothed default instead of 'unscorable'") {
+    val s = spark
+    import s.implicits._
+    val ratio = graft.queries.Extensions.dsirRatio(s, dsirDir)
+    // dense: exactly B rows covering [0, B)
+    val rows = ratio.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.size shouldBe 4096
+    rows.keySet shouldBe (0L until 4096L).toSet
+    // the default ratio for an unseen bucket (c_t = c_r = 0):
+    // 1e6 · (n_r + B) div (n_t + B) — recompute it from the matrix
+    import org.apache.spark.sql.functions.{sum, when}
+    val (nR, nT) = graft.queries.Extensions.dsirMatrix(s, dsirDir)
+      .agg(sum($"cnt"), sum(when($"lang" === "en", $"cnt").otherwise(0L)))
+      .as[(Long, Long)].head()
+    val default = BigInt(1000000) * (nR + 4096) / (nT + 4096)
+    // a doc of entirely novel tokens: every bigram bucket is (almost
+    // surely) untrained; those that are get the default — so the score
+    // is the default exactly when ALL its buckets are unseen
+    val trained = graft.queries.Extensions.dsirMatrix(s, dsirDir)
+      .select($"b").distinct().as[Long].collect().toSet
+    val novel = Seq((9999L, Seq.tabulate(12)(i => s"zq${i}veryodd").mkString(" "), "fr"))
+      .toDF("doc_id", "text", "lang")
+    val novelBuckets = graft.streaming.DsirGate.bucketCounts(novel, 4096L)
+      .select($"b").as[Long].collect()
+    val scoredRow = graft.streaming.DsirGate.score(novel, ratio).collect()
+    scoredRow.length shouldBe 1 // scorable — the pre-fix sparse join dropped it
+    if (novelBuckets.forall(b => !trained.contains(b)))
+      scoredRow.head.getLong(3) shouldBe default.toLong
+  }
+
+  test("DsirGate.scored: ONE frame carries both sides; the overloads " +
+       "partition it exactly as the two-sided calls do") {
+    val s = spark
+    import s.implicits._
+    val ratio = graft.queries.Extensions.dsirRatio(s, dsirDir)
+    val docsDf = s.read.parquet(s"$dsirDir/documents.parquet")
+      // plant an unscorable doc (1 token ⇒ no bigrams)
+      .unionByName(Seq((500L, "solo", "en", "srcA", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val sc = graft.streaming.DsirGate
+      .scored(docsDf, ratio, minScorePpm = 1000000L)
+    val acc = graft.streaming.DsirGate.accepted(sc)
+      .select($"doc_id").as[Long].collect().toSet
+    val rej = graft.streaming.DsirGate.rejected(sc)
+      .select($"doc_id", $"reason").as[(Long, String)].collect()
+    (acc ++ rej.map(_._1)).size shouldBe 21 // partition of the corpus
+    acc.intersect(rej.map(_._1).toSet) shouldBe empty
+    rej.toMap.apply(500L) shouldBe "unscorable"
+    // overload equivalence: one-sided convenience calls = scored filters
+    graft.streaming.DsirGate.accepted(docsDf, ratio, 1000000L)
+      .select($"doc_id").as[Long].collect().toSet shouldBe acc
+    graft.streaming.DsirGate.rejected(docsDf, ratio, 1000000L)
+      .select($"doc_id", $"reason").as[(Long, String)]
+      .collect().sortBy(_._1) shouldBe rej.sortBy(_._1)
+  }
+
   test("x91: plan shuffles once on shard — no range partitioning, no sort " +
        "of the whole corpus") {
     val p = Extensions.x91.run(spark, sf0001)
