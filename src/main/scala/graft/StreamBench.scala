@@ -24,7 +24,13 @@ import graft.streaming.{BounceDetector, DedupDaily, FileTopic, Jobs, PageLog, So
   *               (cross-batch fMGWS state) → DimStore LWW upsert sink
   *               (the K3 merge path, exactly-once effects);
   *   - `bounce`: FileTopic → parse → BounceDetector (event-time state
-  *               machine + timers) → parquet bounce stream.
+  *               machine + timers) → parquet bounce stream;
+  *   - `clusters`: FileTopic → StreamingNearDup (MinHash LSH anchors)
+  *               → maintained (id, rep) label table, consultation in
+  *               the timed window;
+  *   - `media`:  the multimodal twin of `clusters` — line bytes as
+  *               media blobs → StreamingMediaNearDup.image (pHash
+  *               band anchors) → its own maintained label table.
   *
   * Input is derived deterministically from the events fixture (one log
   * line per event row, globally time-ordered, chunked into segments so
@@ -143,6 +149,8 @@ object StreamBench {
       // distinct components found by the clusters topology's post-
       // stream labels consultation (same data both passes)
       val clustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
+      // same witness for the media (pHash) twin's label table
+      val mediaClustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
 
       // ---- per-batch progress capture ----
       val stats = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[BatchStat]]()
@@ -297,6 +305,37 @@ object StreamBench {
                 .updateBatchMaintained(s"$dir/labels", nBuckets = 16)(
                   batch.toDF(), bid)
             }.start()
+        },
+        // the MEDIA twin of the clusters leg: every raw line's BYTES
+        // become a media blob (id = content hash), hashed to 4×16-bit
+        // aHash band anchors by StreamingMediaNearDup.image (stub
+        // decode, real plumbing — luminance plane + banded hash are a
+        // narrow map; the keyed state shuffle is on the band key), and
+        // candidates maintain their own (id, rep) label table. The
+        // templated page-log JSON is byte-near-identical line to line,
+        // so the aHash buckets see the same adversarial collision load
+        // the text leg's MinHash buckets do. Witness: distinct reps
+        // after ingest (media_clusters_found), consulted inside the
+        // timed window like the clusters leg.
+        "media" -> timed("media", pass, andThen = { dir =>
+          mediaClustersFound.set(graft.streaming.StreamingClusters
+            .maintainedLabels(spark, s"$dir/labels")
+            .select(countDistinct(col("rep"))).head().getLong(0))
+          ()
+        }) { (raw, dir) =>
+          import spark.implicits._
+          val media = raw
+            .select(xxhash64(col("value")).as("doc_id"),
+              col("value").cast("binary").as("media"))
+            .as[graft.ops.MediaIn]
+          graft.streaming.StreamingMediaNearDup.image(media).toDF()
+            .writeStream.queryName(s"media_p$pass")
+            .option("checkpointLocation", s"$dir/chk")
+            .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+              graft.streaming.StreamingClusters
+                .updateBatchMaintained(s"$dir/labels", nBuckets = 16)(
+                  batch.toDF(), bid)
+            }.start()
         })
 
       val p1 = runPass(1)
@@ -314,7 +353,8 @@ object StreamBench {
           num(nEvents / best.sec)},"batches":${best.batches.size},"batch_ms_p50":${
           p50(ms)},"batch_ms_max":${ms.foldLeft(0L)(math.max)}}"""
       }
-      val names = Seq("split", "split_atomic", "uv_dim", "bounce", "clusters")
+      val names =
+        Seq("split", "split_atomic", "uv_dim", "bounce", "clusters", "media")
       val allNames = "calibrate" +: names
       val spread = names.collect {
         case n if math.max(p1(n).sec, p2(n).sec) >
@@ -342,7 +382,8 @@ object StreamBench {
       println(s"""{"metric":"stream_total","value":${num(total)},"unit":"sec","events":$nEvents,"topologies":{${
         names.map(topoJson).mkString(",")}},"calibration":{"sec":${num(calBest)},"events_per_sec":${
         num(nEvents / calBest)}},"normalized":$normalized,"spread":$spread,"clusters_found":${
-        clustersFound.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
+        clustersFound.get()},"media_clusters_found":${
+        mediaClustersFound.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
     } finally {
       deleteTree(work)
       spark.stop()

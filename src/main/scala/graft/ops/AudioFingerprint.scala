@@ -49,32 +49,79 @@ object AudioFingerprint {
     ds.mapPartitions { it =>
       // per-partition codec/FFT setup would go here (once, not per row)
       it.flatMap { r =>
-        val m = r.media
-        val nWin = m.length / window
+        val nWin = r.media.length / window
         (0 until nWin).iterator.map { t =>
-          val hist = new Array[Int](bands)
-          var i = t * window
-          val end = i + window
-          while (i < end) { hist((m(i) & 0xFF) % bands) += 1; i += 1 }
-          // top-two OCCUPIED bins, count desc / bin asc — the same
-          // order the SQL oracle's row_number ranks (its histogram
-          // only contains occupied bins, so zero-count bins must never
-          // place here either)
-          var p1 = -1; var p2 = -1
-          var b = 0
-          while (b < bands) {
-            val c = hist(b)
-            if (c > 0) {
-              if (p1 < 0 || c > hist(p1)) { p2 = p1; p1 = b }
-              else if (p2 < 0 || c > hist(p2)) p2 = b
-            }
-            b += 1
-          }
-          if (p2 < 0) p2 = p1 // single-bin window: repeat the top bin
-          AudioFeature(r.doc_id, t, p1 * bands + p2)
+          AudioFeature(r.doc_id, t, windowFeature(r.media, t, window, bands))
         }
       }
     }
+  }
+
+  /** One window's packed feature `p1 * bands + p2`: top-two OCCUPIED
+    * histogram bins, count desc / bin asc — the same order the SQL
+    * oracle's row_number ranks (its histogram only contains occupied
+    * bins, so zero-count bins must never place here either); a
+    * single-bin window repeats its top bin. Shared by the batch
+    * feature table ([[windowFeatures]]) and the in-row landmark path
+    * ([[landmarkRows]]) so the two routes cannot drift. */
+  private def windowFeature(m: Array[Byte], t: Int, window: Int,
+                            bands: Int): Int = {
+    val hist = new Array[Int](bands)
+    var i = t * window
+    val end = i + window
+    while (i < end) { hist((m(i) & 0xFF) % bands) += 1; i += 1 }
+    var p1 = -1; var p2 = -1
+    var b = 0
+    while (b < bands) {
+      val c = hist(b)
+      if (c > 0) {
+        if (p1 < 0 || c > hist(p1)) { p2 = p1; p1 = b }
+        else if (p2 < 0 || c > hist(p2)) p2 = b
+      }
+      b += 1
+    }
+    if (p2 < 0) p2 = p1
+    p1 * bands + p2
+  }
+
+  /** Per-doc DISTINCT landmark hash rows (doc_id, lh) computed IN-ROW
+    * — same bits as `landmarks(windowFeatures(ds))` (spec-pinned), but
+    * as a single narrow map with NO shuffle: every window of a
+    * recording lives in that recording's one input row, so the
+    * lead-pairing that the batch route prices as a keyed window runs
+    * locally over the row's feature array. This is the shape the
+    * STREAMING twin needs — window functions are not allowed upstream
+    * of a streaming state operator — and the cheaper plan at any
+    * scale when the media column is row-complete (the batch route
+    * exists for pre-extracted feature tables). */
+  def landmarkRows(ds: Dataset[MediaIn], window: Int = 32,
+                   bands: Int = 64, fanout: Int = 3): DataFrame = {
+    import ds.sparkSession.implicits._
+    val fSpace = bands.toLong * bands
+    ds.mapPartitions { it =>
+      // per-partition codec/FFT setup would go here (once, not per row)
+      it.flatMap { r =>
+        val m = r.media
+        val nWin = m.length / window
+        val f = new Array[Int](nWin)
+        var t = 0
+        while (t < nWin) {
+          f(t) = windowFeature(m, t, window, bands)
+          t += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var a = 0
+        while (a < nWin) {
+          var dt = 1
+          while (dt <= fanout && a + dt < nWin) {
+            out += (f(a).toLong * fSpace + f(a + dt)) * (fanout + 1) + dt
+            dt += 1
+          }
+          a += 1
+        }
+        out.iterator.map(lh => (r.doc_id, lh))
+      }
+    }.toDF("doc_id", "lh")
   }
 
   /** Landmark hashes: each window's feature paired with the next

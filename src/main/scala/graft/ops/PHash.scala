@@ -103,6 +103,30 @@ object PHash {
       .distinct()
   }
 
+  /** The per-frame 16-bit band-bucket occupancy rows
+    * (doc_id, band ∈ 0..3, k1 = bucket value, k2 = 0) — the candidate
+    * key scheme [[videoNeardupPairs]] blocks on, WITHOUT the per-doc
+    * distinct. The streaming twin needs this shape: a stateful
+    * dedup aggregation cannot precede the anchor state operator in
+    * one streaming query, and duplicate occupancy rows are harmless
+    * there — they can only re-emit a candidate pair the edge
+    * journal's pk dedup absorbs, never change connectivity. Batch
+    * callers keep using [[frameHashKeys]] + [[videoNeardupPairs]],
+    * whose distinct trims the band join's input. Pure narrow map. */
+  def frameBucketRows(planes: Dataset[FramePlane]): DataFrame = {
+    val bv = bandVals(nBands = 4)
+    planes.toDF()
+      .select(col("doc_id"),
+        (bv(0) * 65536L + bv(1)).as("k1"),
+        (bv(2) * 65536L + bv(3)).as("k2"))
+      .select(col("doc_id"),
+        posexplode(array(
+          shiftright(col("k1"), 16), col("k1").bitwiseAND(65535L),
+          shiftright(col("k2"), 16), col("k2").bitwiseAND(65535L))))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("k1"), lit(0L).as("k2"))
+  }
+
   /** Video near-duplicate pairs (doc_a < doc_b) by HAMMING-TOLERANT
     * mutual frame coverage. Exact frame-hash equality is the wrong
     * match unit — per-frame noise (a lossy re-encode) flips a couple of

@@ -70,15 +70,29 @@ object StreamingNearDup {
     out.result().iterator
   }
 
-  /** docs (doc_id LONG, text STRING) → DupCandidate stream. Works on a
-    * streaming or batch Dataset (batch: one call per bucket with the
-    * full corpus, which reproduces the batch candidate semantics). */
-  def apply(docs: DataFrame): Dataset[DupCandidate] = {
-    import docs.sparkSession.implicits._
-    MinHash.bandRows(docs)
-      .as[DocBand]
+  /** The shared anchor state machine over ANY banded key scheme:
+    * (doc_id, band, k1, k2) occupancy rows → (keeper, dup) candidates.
+    * This is the seam the media twins ride
+    * ([[StreamingMediaNearDup]] feeds pHash / frame-bucket / landmark
+    * band rows through it), so every detector — text MinHash, image
+    * aHash, video frame sets, audio constellations — shares ONE
+    * spec-pinned state shape: first occupant anchors the bucket,
+    * later arrivals emit star candidates, state is one long per
+    * occupied bucket. Works on a streaming or batch Dataset (batch:
+    * one call per bucket with the full corpus, which reproduces the
+    * batch candidate semantics). */
+  def fromBandRows(bands: Dataset[DocBand]): Dataset[DupCandidate] = {
+    import bands.sparkSession.implicits._
+    bands
       .groupByKey(r => BandKey(r.band, r.k1, r.k2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+
+  /** docs (doc_id LONG, text STRING) → DupCandidate stream via the
+    * MinHash LSH banding (the text detector). */
+  def apply(docs: DataFrame): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    fromBandRows(MinHash.bandRows(docs).as[DocBand])
   }
 
   private def processTtl(ttlMs: Long)(

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{AudioFingerprint, MediaIn, Multimodal, PHash}
+import graft.streaming.{DupCandidate, StreamingClusters, StreamingMediaNearDup}
+
+/** End-to-end streaming MEDIA dedup clustering — the multimodal twin
+  * of [[StreamingClustersSpec]]: media blobs → per-modality banded
+  * anchors ([[StreamingMediaNearDup]] image/video/audio) →
+  * [[StreamingClusters]] edge journal → labels-on-read. Pins, per
+  * modality:
+  *  1. streamed labels ≡ a batch recompute through the same detector
+  *     (arrival-order anchors vs min-doc anchors — different star
+  *     centers, identical connectivity, identical component minima);
+  *  2. every batch-VERIFIED pair (x87 hamming / x89 coverage / x88
+  *     shared-landmark) lands inside ONE streamed cluster — banded
+  *     recall survives the streaming re-expression;
+  *  3. at-least-once re-delivery leaves labels unchanged.
+  * Plus the audio in-row landmark path's bit-parity with the batch
+  * window/lead route it replaces on the streaming side.
+  */
+class StreamingMediaClustersSpec extends AnyFunSuite with Matchers
+    with SparkFixture {
+
+  private def blob(text: String): Array[Byte] =
+    text.getBytes(StandardCharsets.US_ASCII)
+
+  /** ≥64-byte ASCII "media": near-dups share the byte-trigram
+    * histogram (tiny tail edits), unrelated blobs have disjoint
+    * character distributions. */
+  private val baseA =
+    Seq.tabulate(40)(i => s"aa${i % 7}bb").mkString(" ")           // ~200 B
+  private val baseB =
+    Seq.tabulate(40)(i => s"zz${i % 5}qq").mkString(" ")
+  private def unrelated(id: Long): MediaIn =
+    MediaIn(id, blob(Seq.tabulate(40)(j => f"x${(id * 31 + j * 7) % 97}%02d")
+      .mkString("~")))
+
+  private def labelMap(store: String): Map[Long, Long] = {
+    val l = StreamingClusters.labels(spark, store)
+    val m = l.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l.unpersist()
+    m
+  }
+
+  /** Stream `batches` through `detector`, journaling candidates; then
+    * assert labels ≡ batch recompute through the same detector over
+    * the union, and that replaying the last batch changes nothing. */
+  private def pinTwin(
+      detector: Dataset[MediaIn] => Dataset[DupCandidate],
+      batches: Seq[Seq[MediaIn]], tag: String): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = Files.createTempDirectory(s"media-$tag").toString + "/edges"
+    val chk = Files.createTempDirectory(s"media-$tag-chk").toString
+    val mem = MemoryStream[MediaIn]
+    val q = detector(mem.toDS()).toDF().writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch(StreamingClusters.updateBatch(store) _)
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = labelMap(store)
+
+    // batch recompute: same detector, batch mode (full corpus in one
+    // call per bucket) → star contraction — must give the same labels
+    val all = batches.flatten.toDS()
+    val batchLabels = {
+      val edges = detector(all).toDF()
+        .select($"keeperId".as("a"), $"dupId".as("b"))
+      val l = graft.ops.ConnectedComponents.starContraction(edges)
+      val m = l.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      l.unpersist()
+      m
+    }
+    streamed shouldBe batchLabels
+
+    // at-least-once re-delivery of the last batch: journal overwrites
+    // itself, labels frozen
+    val replay = detector(batches.last.toDS()).toDF()
+    StreamingClusters.updateBatch(store)(replay,
+      batchId = batches.size - 1L)
+    labelMap(store) shouldBe streamed
+    streamed
+  }
+
+  /** Every verified (doc_a, doc_b) pair must share a streamed label. */
+  private def pinVerifiedCoCluster(pairs: Array[(Long, Long)],
+                                   labels: Map[Long, Long]): Unit = {
+    pairs should not be empty // a vacuous recall pin proves nothing
+    pairs.foreach { case (a, b) =>
+      labels.getOrElse(a, a) shouldBe labels.getOrElse(b, b)
+    }
+  }
+
+  test("image twin: streamed pHash labels equal batch recompute; " +
+       "x87-verified pairs co-cluster; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    val b1 = Seq(MediaIn(0, blob(baseA)), MediaIn(1, blob(baseA + " t1")),
+      unrelated(7))
+    val b2 = Seq(MediaIn(2, blob(baseA + " t2")), MediaIn(8, blob(baseB)),
+      MediaIn(9, blob(baseB + " e")))
+    val labels = pinTwin(StreamingMediaNearDup.image(_), Seq(b1, b2), "img")
+    // near-identical blobs collide in every aHash band → {0,1,2} one
+    // cluster (min id 0), {8,9} another
+    labels.getOrElse(1L, -1L) shouldBe 0L
+    labels.getOrElse(2L, -1L) shouldBe 0L
+    labels.getOrElse(9L, -1L) shouldBe 8L
+    labels.keySet should not contain 7L
+
+    val verified = PHash
+      .neardupPairs(Multimodal.luminancePlane((b1 ++ b2).toDS()),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pinVerifiedCoCluster(verified, labels)
+  }
+
+  test("video twin: streamed frame-bucket labels equal batch recompute; " +
+       "x89-verified pairs co-cluster — including a shifted re-cut") {
+    val s = spark
+    import s.implicits._
+    // ≥3 frames each (frameBytes = 100); doc 11 = doc 10 with a
+    // PREPENDED intro (frame hashes shift position but not value —
+    // the shift-invariance x89 exists for)
+    val movie = baseA + " " + baseB + " " + baseA + " tailtailtail"
+    val b1 = Seq(MediaIn(10, blob(movie)),
+      MediaIn(11, blob("intro! " + movie)), unrelated(17))
+    val b2 = Seq(MediaIn(12, blob(movie + " extra")), unrelated(18))
+    val labels = pinTwin(StreamingMediaNearDup.video(_), Seq(b1, b2), "vid")
+    labels.getOrElse(11L, -1L) shouldBe 10L
+
+    val verified = PHash
+      .videoNeardupPairs(Multimodal.framePlanes((b1 ++ b2).toDS()),
+        maxHamming = 3, minCoverPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pinVerifiedCoCluster(verified, labels)
+  }
+
+  test("audio twin: in-row landmarkRows ≡ batch landmarks(windowFeatures) " +
+       "bit-for-bit; streamed labels equal batch recompute; x88-matched " +
+       "pairs co-cluster") {
+    val s = spark
+    import s.implicits._
+    val b1 = Seq(MediaIn(20, blob(baseA * 3)),
+      MediaIn(21, blob("pre " + baseA * 3)), unrelated(27))
+    val b2 = Seq(MediaIn(22, blob(baseA * 3 + " post")), unrelated(28))
+    val corpus = (b1 ++ b2).toDS()
+
+    // the two landmark routes must agree exactly, per doc
+    val inRow = AudioFingerprint.landmarkRows(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaWindow = AudioFingerprint
+      .landmarks(AudioFingerprint.windowFeatures(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inRow shouldBe viaWindow
+
+    val labels = pinTwin(StreamingMediaNearDup.audio(_), Seq(b1, b2), "aud")
+    labels.getOrElse(21L, -1L) shouldBe 20L
+
+    // x88's verified matches (stop-landmarks pruned, shared-count
+    // threshold) ride landmark buckets the stream also keys on →
+    // every matched pair co-clusters
+    val lms = AudioFingerprint.landmarks(
+      AudioFingerprint.windowFeatures(corpus))
+    val verified = AudioFingerprint
+      .matchPairs(AudioFingerprint.rareLandmarks(lms, maxDf = 16L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pinVerifiedCoCluster(verified, labels)
+  }
+}
