@@ -319,7 +319,11 @@ object AnnIndex {
     * pointer — an operational error, vacuum must go through
     * [[maintain]]). */
   final case class Fsck(buildVer: Long, codeRows: Long, staleCodes: Long,
-                        modelMatchesPtr: Boolean, pinnedReadable: Boolean) {
+                        modelMatchesPtr: Boolean, pinnedReadable: Boolean,
+                        tombstones: Long = 0L) {
+    /** `codeRows` counts SERVABLE rows; tombstoned pks ([[delete]])
+      * are reported separately — dead weight a rebuild will purge,
+      * never an inconsistency. */
     def consistent: Boolean =
       staleCodes == 0L && modelMatchesPtr && pinnedReadable
   }
@@ -336,13 +340,16 @@ object AnnIndex {
         .filter(col("kind") === "bver")
         .select(col("i1")).collect().headOption.map(_.getLong(0))
       val stats = DimStore.read(spark, codesPath(path), ptr.codesV)
-        .agg(count(lit(1)),
-          sum(when(col("__batch_ver") < ptr.buildVer, 1L).otherwise(0L)))
+        .agg(sum(when(col("list_id") >= 0, 1L).otherwise(0L)),
+          sum(when(col("list_id") >= 0 &&
+            col("__batch_ver") < ptr.buildVer, 1L).otherwise(0L)),
+          sum(when(col("list_id") < 0, 1L).otherwise(0L)))
         .head()
-      Fsck(ptr.buildVer, stats.getLong(0),
-        if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      def n(i: Int) = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      Fsck(ptr.buildVer, n(0), n(1),
         modelMatchesPtr = bverRow.contains(ptr.buildVer),
-        pinnedReadable = true)
+        pinnedReadable = true,
+        tombstones = n(2))
     } catch {
       case _: IllegalArgumentException | _: IllegalStateException =>
         Fsck(ptr.buildVer, 0L, 0L, modelMatchesPtr = false,
@@ -499,6 +506,93 @@ object AnnIndex {
     } finally { withRv.unpersist(); () }
   }
 
+  /** The tombstone sentinel in `list_id`: a real coarse assignment is
+    * always ≥ 0 (an argmin over centroid indices), so a negative list
+    * both marks the row deleted AND keeps it out of every probed
+    * inverted list by construction. */
+  private[graft] val TombstoneList = -1
+
+  /** Propagate document DELETIONS (takedowns, PII purges) through the
+    * persisted index WITHOUT a rebuild: upsert one LWW tombstone row
+    * per deleted id (`list_id = -1`, codes zeroed, version `ver`) into
+    * the codes table and flip the pointer. The tombstone wins the
+    * pk-LWW merge over the live row, and every serve path reads
+    * through [[codes]], which filters `list_id >= 0` — so a deleted
+    * vector stops being servable at the flip, at O(touched buckets)
+    * cost (the [[DimStore.upsert]] contract: only the buckets holding
+    * deleted pks rewrite). Deleting an id the index never held is a
+    * harmless no-op row (nothing joins it); PHYSICAL purge happens at
+    * the next full/drift rebuild, which replaces the codes table
+    * wholesale from the (caller-owned, already-purged) corpus.
+    *
+    * Crash window = [[append]]'s exactly: a death between the codes
+    * commit and the pointer flip leaves the tombstones committed but
+    * unreferenced — the vector stays servable until the at-least-once
+    * redelivery (idempotent: same pk, same LWW outcome) or any later
+    * flip publishes the newer codes version (AnnIndexSpec pins both).
+    *
+    * REFUSED while a staged rebuild is pending: the flip adopts
+    * staged codes + re-encoded pending appends wholesale, which would
+    * silently RESURRECT anything tombstoned during the build window
+    * (the staged corpus snapshot predates the delete). Same
+    * loud-over-wrong stance as the orphaned-rebuild guard; retry
+    * after the flip, or route deletes through the corpus before the
+    * rebuild trains. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String, ver: Long): Unit = {
+    val ptr = resolvedPtr(spark, path)
+    val latestModelV = DimStore.currentVersion(modelPath(path))
+    if (!latestModelV.contains(ptr.modelV)) throw new IllegalStateException(
+      s"ANN index at $path has an unpublished rebuild commit — construct " +
+      "an Ingestor (which recovers orphaned rebuilds) before deleting")
+    val sroot = new org.apache.hadoop.fs.Path(stagingRoot(path))
+    val fs = hfs(spark, stagingRoot(path))
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty)
+      throw new IllegalStateException(
+        s"ANN index at $path has a staged rebuild in flight — its flip " +
+        "would resurrect rows tombstoned now; flip (or sweep) the " +
+        "staging dir first")
+    val model = readModel(spark, path)
+    require(ver != model.buildVer,
+      s"delete version $ver ties the serving build's version — " +
+      s"re-floor the ingest counter at ${model.buildVer + 1}")
+    // tombstone rows in the codes table's exact shape/types (schema
+    // read is metadata-only): pk, sentinel list, zeroed codes
+    val live = DimStore.read(spark, codesPath(path), ptr.codesV)
+    def typed(name: String, v: Column) =
+      v.cast(live.schema(name).dataType).as(name)
+    val tomb = ids
+      .select(typed("vec_id", col(idCol)) +:
+        typed("list_id", lit(TombstoneList)) +:
+        model.pq.codeCols.map(c => typed(c, lit(0))): _*)
+      .withColumn("__batch_ver", lit(ver))
+    DimStore.upsert(spark, codesPath(path), tomb,
+      pk = "vec_id", versionCol = "__batch_ver")
+    bumpPtr(spark, path,
+      modelV = ptr.modelV,
+      codesV = DimStore.currentVersion(codesPath(path)).get,
+      buildVer = ptr.buildVer)
+  }
+
+  /** Crash-injection twin of [[delete]] (dies after the codes commit,
+    * before the pointer flip) — AnnIndexSpec's crash-window pin. */
+  private[graft] def deleteCrashing(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String, ver: Long): Unit = {
+    val ptr = resolvedPtr(spark, path)
+    val model = readModel(spark, path)
+    val live = DimStore.read(spark, codesPath(path), ptr.codesV)
+    def typed(name: String, v: Column) =
+      v.cast(live.schema(name).dataType).as(name)
+    val tomb = ids
+      .select(typed("vec_id", col(idCol)) +:
+        typed("list_id", lit(TombstoneList)) +:
+        model.pq.codeCols.map(c => typed(c, lit(0))): _*)
+      .withColumn("__batch_ver", lit(ver))
+    DimStore.upsert(spark, codesPath(path), tomb,
+      pk = "vec_id", versionCol = "__batch_ver")
+    maybeCrash(Some("codes"), "codes")
+  }
+
   /** Reconstruct a [[Model]] from its persisted row form (the
     * [[modelRowsDf]] layout) — shared by [[readModel]] (pointer-pinned
     * commit-log read) and the staged-rebuild flip (plain staging
@@ -539,7 +633,11 @@ object AnnIndex {
   def codes(spark: SparkSession, path: String): DataFrame = {
     val ptr = resolvedPtr(spark, path)
     val df = DimStore.read(spark, codesPath(path), ptr.codesV)
-    df.select(df.columns.filterNot(_ == "__batch_ver").toIndexedSeq.map(col): _*)
+    // tombstoned rows ([[delete]]) are dead to every reader — the
+    // filter here covers ALL serve paths (adcTopK, occupancy, the
+    // staged-refine queries) in one place
+    df.filter(col("list_id") >= 0)
+      .select(df.columns.filterNot(_ == "__batch_ver").toIndexedSeq.map(col): _*)
   }
 
   /** What one [[maintain]] pass found: the codes table's layout report

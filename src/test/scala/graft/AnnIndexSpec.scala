@@ -363,6 +363,88 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     AnnIndex.fsck(s, path).consistent shouldBe true
   }
 
+  test("delete: tombstones hide vectors from every serve path at " +
+       "O(touched buckets); absent-id deletes are harmless; a " +
+       "re-ingest revives; fsck reports tombstones without flagging") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_del").toString + "/idx"
+    val base = e.filter($"vec_id" < 400)
+    val model = AnnIndex.build(s, path, base, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    val queries = e.filter($"vec_id" >= 400 && $"vec_id" < 410)
+    val probes = AnnIndex.queryProbes(queries, "vec_id", "v", model, 2)
+
+    // pick a vector that actually SERVES (appears in some answer)
+    val beforeAns = AnnIndex.adcTopK(s, path, probes, model, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    beforeAns should not be empty
+    val victim = beforeAns.min
+    val rowsBefore = AnnIndex.codes(s, path).count()
+
+    // one present id + one the index never held
+    AnnIndex.delete(s, path, Seq(victim, 999999L).toDF("vec_id"),
+      "vec_id", ver = 2L)
+    // absent from the codes snapshot and from EVERY x78/x80-style
+    // answer (adcTopK is the staged serve path both queries ride)
+    AnnIndex.codes(s, path).filter($"vec_id" === victim).count() shouldBe 0L
+    AnnIndex.codes(s, path).count() shouldBe rowsBefore - 1L
+    AnnIndex.adcTopK(s, path, probes, model, 10)
+      .select($"vec_id").as[Long].collect().toSet should not contain victim
+    // occupancy never counts dead rows
+    AnnIndex.occupancy(s, path, skewFactor = 100.0).rows shouldBe
+      rowsBefore - 1L
+    // fsck: clean, tombstones surfaced (present id + harmless no-op)
+    val f = AnnIndex.fsck(s, path)
+    f.consistent shouldBe true
+    f.tombstones shouldBe 2L
+    f.codeRows shouldBe rowsBefore - 1L
+
+    // replay-idempotent: the same delete redelivered changes nothing
+    AnnIndex.delete(s, path, Seq(victim, 999999L).toDF("vec_id"),
+      "vec_id", ver = 2L)
+    AnnIndex.fsck(s, path).tombstones shouldBe 2L
+
+    // a re-ingest at a LATER version wins the LWW merge and revives
+    AnnIndex.append(s, path, e.filter($"vec_id" === victim),
+      "vec_id", "v", ver = 3L)
+    AnnIndex.codes(s, path).filter($"vec_id" === victim).count() shouldBe 1L
+    AnnIndex.adcTopK(s, path, probes, model, 10)
+      .select($"vec_id").as[Long].collect().toSet should contain(victim)
+    AnnIndex.fsck(s, path).tombstones shouldBe 1L // only the no-op left
+  }
+
+  test("delete crash window: committed but invisible until redelivery " +
+       "flips; and deletes are REFUSED while a staged rebuild is " +
+       "in flight") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_del_crash").toString + "/idx"
+    val base = e.filter($"vec_id" < 300)
+    val model = AnnIndex.build(s, path, base, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1)
+    val victim = AnnIndex.codes(s, path)
+      .select($"vec_id").as[Long].head()
+
+    an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+      AnnIndex.deleteCrashing(s, path, Seq(victim).toDF("vec_id"),
+        "vec_id", ver = 2L)
+    // tombstone committed but unpublished: the victim still serves
+    AnnIndex.codes(s, path).filter($"vec_id" === victim).count() shouldBe 1L
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    // at-least-once redelivery lands it (idempotent LWW) and flips
+    AnnIndex.delete(s, path, Seq(victim).toDF("vec_id"), "vec_id", ver = 2L)
+    AnnIndex.codes(s, path).filter($"vec_id" === victim).count() shouldBe 0L
+
+    // staged-rebuild guard: any pending staging dir refuses deletes
+    // loudly (the flip would adopt pre-delete codes wholesale)
+    val staging = java.nio.file.Paths.get(path, "_staging", "g1")
+    Files.createDirectories(staging)
+    val ex = the[IllegalStateException] thrownBy
+      AnnIndex.delete(s, path, Seq(victim).toDF("vec_id"), "vec_id", 3L)
+    ex.getMessage should include("staged rebuild")
+  }
+
   test("a zero-error baseline never recommends a rebuild for " +
        "double-noise batches, and an append tying the build version " +
        "is rejected") {
