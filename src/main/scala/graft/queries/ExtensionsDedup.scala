@@ -203,6 +203,27 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
         WHERE round(1e6 * COALESCE(i.ni, 0) / (sa.n + sb.n - COALESCE(i.ni, 0))) >= 500000
       )"""
 
+  /** [[NeardupPairsSqlCtes]] extended with the transitive-closure
+    * labeling (`lab(doc_id, cluster_rep)` — component minima, x28's
+    * rule). Requires WITH RECURSIVE. Shared by the x65 funnel and the
+    * x93 curation funnel so their near-dup stages are one definition. */
+  private[queries] lazy val NeardupLabelSqlCtes: String =
+    s"""$NeardupPairsSqlCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      ),
+      lab AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+        FROM reach GROUP BY src
+      )"""
+
   lazy val x02 = Q(
     "x02_minhash_lsh_neardup",
     (s, dir) => neardupPairs(s, dir)
@@ -837,21 +858,7 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
           $"n_tokens".as("best_tokens"), $"n_members")
     },
     Some(s"""
-      WITH RECURSIVE $NeardupPairsSqlCtes,
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION
-        SELECT doc_b, doc_a FROM pairs
-      ),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      ),
-      lab AS (
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
-        FROM reach GROUP BY src
-      ),
+      WITH RECURSIVE $NeardupLabelSqlCtes,
       q AS (
         SELECT doc_id,
           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
@@ -930,21 +937,7 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
           .select(lit("2_neardup").as("stage"), $"n_docs"))
     },
     Some(s"""
-      WITH RECURSIVE $NeardupPairsSqlCtes,
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM pairs
-        UNION
-        SELECT doc_b, doc_a FROM pairs
-      ),
-      reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      ),
-      lab AS (
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
-        FROM reach GROUP BY src
-      ),
+      WITH RECURSIVE $NeardupLabelSqlCtes,
       k1 AS (
         SELECT MIN(doc_id) AS doc_id
         FROM (SELECT doc_id,

@@ -759,9 +759,10 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
   // against an independent one. Every ratio is integer ppm via floor
   // division (identical in both engines); `keep` is the conjunction of
   // the published bounds.
-  lazy val x81 = Q(
-    "x81_gopher_quality",
-    (s, dir) => {
+  /** The x81 Gopher-rules report frame — factored out so the curation
+    * funnel (x93) reuses the exact filter the standalone query grades
+    * (same columns, same integer-ppm thresholds). */
+  private[graft] def gopherReport(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       val d = docs(s, dir)
         .withColumn("toks", split($"text", " "))
@@ -799,8 +800,13 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
           $"stopword_hits" >= 2L)
         .select($"doc_id", $"n_words", $"mean_word_len_ppm",
           $"top_bigram_ppm", $"dup_trigram_ppm", $"stopword_hits", $"keep")
-    },
-    Some("""
+  }
+
+  /** x81's full oracle statement (a self-contained WITH…SELECT) —
+    * shared verbatim with the x93 funnel, which embeds it as a nested
+    * CTE body so the funnel's quality stage provably applies the same
+    * rules the standalone report grades. */
+  private[queries] lazy val GopherReportSql: String = """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         WHERE len(string_split(text, ' ')) >= 3
@@ -844,7 +850,12 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
           (top_bigram_count * 1000000) // n_bigrams AS top_bigram_ppm,
           (dup_trigrams * 1000000) // n_trigrams AS dup_trigram_ppm
         FROM base b JOIN top USING (doc_id))
-    """))
+    """
+
+  lazy val x81 = Q(
+    "x81_gopher_quality",
+    (s, dir) => gopherReport(s, dir),
+    Some(GopherReportSql))
 
   // ---------------------------------------------------------------------
   // x82 — corpus-level boilerplate span detection (the repeated-span
@@ -993,21 +1004,14 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
       .select($"b", $"r_ppm")
   }
 
-  lazy val x90 = Q(
-    "x90_dsir_select",
-    (s, dir) => {
-      import s.implicits._
-      // Σ over bigram INSTANCES of r_ppm ≡ Σ_b cnt·r_ppm — exact
-      dsirMatrix(s, dir)
-        .join(broadcast(dsirRatio(s, dir)), Seq("b")) // B-bounded by design
-        .groupBy($"doc_id", $"lang")
-        .agg(sum($"cnt").as("n_bigrams"),
-          expr("sum(cnt * r_ppm) div sum(cnt)").as("score_ppm"))
-        .orderBy($"score_ppm".desc, $"doc_id".asc)
-        .limit(100)
-    },
-    Some("""
-      WITH t AS (
+  /** The DSIR train chain as oracle CTEs (bg = per-doc bigram bucket
+    * instances, ratio = the smoothed per-bucket importance ratio) —
+    * shared verbatim by x90, x92 and the x93 funnel, so every oracle
+    * retrains the same model the staged artifact serves. The oracle
+    * retrains from the observed buckets only; the Spark-side model is
+    * DENSE over [0, B), which is invisible here (docs only join
+    * buckets they occupy). */
+  private[queries] lazy val DsirRatioSqlCtes: String = """t AS (
         SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
         FROM documents),
       t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
@@ -1025,7 +1029,23 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
       ratio AS (
         SELECT b, CAST((1000000::HUGEINT * (c_t + 1) * (n_r + 4096)) //
           ((c_r + 1)::HUGEINT * (n_t + 4096)) AS BIGINT) AS r_ppm
-        FROM buckets, totals)
+        FROM buckets, totals)"""
+
+  lazy val x90 = Q(
+    "x90_dsir_select",
+    (s, dir) => {
+      import s.implicits._
+      // Σ over bigram INSTANCES of r_ppm ≡ Σ_b cnt·r_ppm — exact
+      dsirMatrix(s, dir)
+        .join(broadcast(dsirRatio(s, dir)), Seq("b")) // B-bounded by design
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"cnt").as("n_bigrams"),
+          expr("sum(cnt * r_ppm) div sum(cnt)").as("score_ppm"))
+        .orderBy($"score_ppm".desc, $"doc_id".asc)
+        .limit(100)
+    },
+    Some(s"""
+      WITH $DsirRatioSqlCtes
       SELECT doc_id, lang, COUNT(*)::BIGINT AS n_bigrams,
         CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS score_ppm
       FROM bg JOIN ratio USING (b)
@@ -1064,26 +1084,8 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
         .withColumn("keep",
           when($"score_ppm" >= 1000000L, 1L).otherwise(0L))
     },
-    Some("""
-      WITH t AS (
-        SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
-        FROM documents),
-      t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
-      bg AS (
-        SELECT doc_id, lang,
-          ('0x' || substr(md5(w1 || ' ' || w2), 1, 8))::BIGINT % 4096 AS b
-        FROM (SELECT doc_id, lang, unnest(toks[1:n-1]) AS w1,
-                     unnest(toks[2:n]) AS w2 FROM t2)),
-      buckets AS (
-        SELECT b, COUNT(*)::BIGINT AS c_r,
-          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_t
-        FROM bg GROUP BY b),
-      totals AS (SELECT SUM(c_r)::BIGINT AS n_r, SUM(c_t)::BIGINT AS n_t
-                 FROM buckets),
-      ratio AS (
-        SELECT b, CAST((1000000::HUGEINT * (c_t + 1) * (n_r + 4096)) //
-          ((c_r + 1)::HUGEINT * (n_t + 4096)) AS BIGINT) AS r_ppm
-        FROM buckets, totals)
+    Some(s"""
+      WITH $DsirRatioSqlCtes
       SELECT doc_id, lang, COUNT(*)::BIGINT AS n_bigrams,
         CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS score_ppm,
         CAST(CASE WHEN SUM(r_ppm) // COUNT(*) >= 1000000
@@ -1092,4 +1094,89 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
       GROUP BY doc_id, lang
     """))
 
+  // ---------------------------------------------------------------------
+  // x93 — the curation funnel END-TO-END: raw → Gopher quality gates →
+  // exact dedup → near-dup clusters → DSIR selection, with per-stage
+  // survivor counts — the one artifact that composes the pillars the
+  // engine grades separately (x81, x01's keep-first rule, the
+  // x02→x28 staged clusters, x90's importance selection) into the
+  // training-data pipeline a corpus team actually ships. Every stage
+  // REUSES the existing machinery and its staged/persisted
+  // intermediates, so the funnel adds orchestration, not re-derivation:
+  //  - quality = gopherReport's keep column (one definition with x81);
+  //  - exact   = keep-first by Q.normFingerprint among quality
+  //              survivors (x01/x65's rule);
+  //  - neardup = drop non-representatives per the staged full-corpus
+  //              cluster table (stagedClusters — the same intermediate
+  //              x28/x36/x43/x65 read; clusters are a corpus property,
+  //              so membership is judged on the full corpus, not
+  //              recomputed per funnel stage);
+  //  - dsir    = top-100 by (score_ppm desc, doc_id) among survivors,
+  //              scored by DsirGate.score against the STAGED x90_ratio
+  //              model (the same frozen artifact x92 serves).
+  // Scale shape: each stage is the already-graded operator's plan
+  // (narrow maps + keyed shuffles + broadcast model joins + a top-K
+  // heap); the funnel itself adds only count aggregates and two
+  // left-anti/semi joins on doc_id. The oracle composes the SAME
+  // shared CTE chains (GopherReportSql nested, NeardupLabelSqlCtes,
+  // DsirRatioSqlCtes) — one definition per stage on both sides.
+  lazy val x93 = Q(
+    "x93_curation_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val quality = gopherReport(s, dir).filter($"keep").select($"doc_id")
+      val k1 = d.join(quality, Seq("doc_id"))
+        .select($"doc_id", Q.normFingerprint($"text").as("fp"))
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val dup = stagedClusters(s, dir)
+        .filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
+      val k2 = k1.join(dup, Seq("doc_id"), "left_anti")
+      val ratioPath = graft.ops.Staging.ensure("x90_ratio", dir,
+        Seq("documents"))(dsirRatio(s, dir))
+      val selected = graft.streaming.DsirGate
+        .score(d.join(k2, Seq("doc_id")), s.read.parquet(ratioPath),
+          DsirBuckets)
+        .orderBy($"score_ppm".desc, $"doc_id".asc)
+        .limit(100)
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), $"n_docs")
+      stage("0_raw", d)
+        .unionByName(stage("1_quality", quality))
+        .unionByName(stage("2_exact", k1))
+        .unionByName(stage("3_neardup", k2))
+        .unionByName(stage("4_dsir", selected))
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupLabelSqlCtes,
+      $DsirRatioSqlCtes,
+      rep AS ($GopherReportSql),
+      gkeep AS (SELECT doc_id FROM rep WHERE keep),
+      k1 AS (
+        SELECT MIN(doc_id) AS doc_id FROM (
+          SELECT doc_id,
+            sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM gkeep))
+        GROUP BY fp),
+      dup AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_rep),
+      k2 AS (
+        SELECT doc_id FROM k1
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+      scorable AS (
+        SELECT DISTINCT doc_id FROM bg
+        WHERE doc_id IN (SELECT doc_id FROM k2))
+      SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+      UNION ALL
+      SELECT '1_quality', CAST(COUNT(*) AS BIGINT) FROM gkeep
+      UNION ALL
+      SELECT '2_exact', CAST(COUNT(*) AS BIGINT) FROM k1
+      UNION ALL
+      SELECT '3_neardup', CAST(COUNT(*) AS BIGINT) FROM k2
+      UNION ALL
+      SELECT '4_dsir', CAST(LEAST(100, COUNT(*)) AS BIGINT) FROM scorable
+    """))
 }
