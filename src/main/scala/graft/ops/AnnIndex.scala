@@ -551,11 +551,23 @@ object AnnIndex {
       throw new IllegalStateException(
         s"ANN index at $path has a staged rebuild in flight — its flip " +
         "would resurrect rows tombstoned now; flip (or sweep) the " +
-        "staging dir first")
+        "staging dir first, or route the delete through " +
+        "Ingestor.ingestDelete (which spills it for the flip to re-apply)")
     val model = readModel(spark, path)
     require(ver != model.buildVer,
       s"delete version $ver ties the serving build's version — " +
       s"re-floor the ingest counter at ${model.buildVer + 1}")
+    deleteImpl(spark, path, ids, idCol, ver, crashAfter = None)
+  }
+
+  /** The tombstone commit itself — shared by the guarded standalone
+    * [[delete]] and [[Ingestor.ingestDelete]] (whose staging spill
+    * makes the guard unnecessary). */
+  private def deleteImpl(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String, ver: Long,
+      crashAfter: Option[String]): Unit = {
+    val ptr = resolvedPtr(spark, path)
+    val model = readModel(spark, path)
     // tombstone rows in the codes table's exact shape/types (schema
     // read is metadata-only): pk, sentinel list, zeroed codes
     val live = DimStore.read(spark, codesPath(path), ptr.codesV)
@@ -568,6 +580,7 @@ object AnnIndex {
       .withColumn("__batch_ver", lit(ver))
     DimStore.upsert(spark, codesPath(path), tomb,
       pk = "vec_id", versionCol = "__batch_ver")
+    maybeCrash(crashAfter, "codes")
     bumpPtr(spark, path,
       modelV = ptr.modelV,
       codesV = DimStore.currentVersion(codesPath(path)).get,
@@ -577,21 +590,8 @@ object AnnIndex {
   /** Crash-injection twin of [[delete]] (dies after the codes commit,
     * before the pointer flip) — AnnIndexSpec's crash-window pin. */
   private[graft] def deleteCrashing(spark: SparkSession, path: String,
-      ids: DataFrame, idCol: String, ver: Long): Unit = {
-    val ptr = resolvedPtr(spark, path)
-    val model = readModel(spark, path)
-    val live = DimStore.read(spark, codesPath(path), ptr.codesV)
-    def typed(name: String, v: Column) =
-      v.cast(live.schema(name).dataType).as(name)
-    val tomb = ids
-      .select(typed("vec_id", col(idCol)) +:
-        typed("list_id", lit(TombstoneList)) +:
-        model.pq.codeCols.map(c => typed(c, lit(0))): _*)
-      .withColumn("__batch_ver", lit(ver))
-    DimStore.upsert(spark, codesPath(path), tomb,
-      pk = "vec_id", versionCol = "__batch_ver")
-    maybeCrash(Some("codes"), "codes")
-  }
+      ids: DataFrame, idCol: String, ver: Long): Unit =
+    deleteImpl(spark, path, ids, idCol, ver, crashAfter = Some("codes"))
 
   /** Reconstruct a [[Model]] from its persisted row form (the
     * [[modelRowsDf]] layout) — shared by [[readModel]] (pointer-pinned
@@ -1118,8 +1118,22 @@ object AnnIndex {
       // pathological backlog.
       val v = buildVer + pending.size
       pending.zipWithIndex.map { case (pd, i) =>
-        encodeWith(spark.read.parquet(pd), idCol, vCol, model)
-          .withColumn("__batch_ver", lit(buildVer + i + 1L))
+        val spilled = spark.read.parquet(pd)
+        // an append spill carries (idCol, vCol); a DELETE spill
+        // ([[ingestDelete]]) carries only the ids — replay it as
+        // tombstones so a takedown issued during the build window
+        // holds in the new build too. Types mirror encodeWith's
+        // output exactly (list_id long, codes int) so mixed chunks
+        // union cleanly, and per-row versions keep arrival order —
+        // a delete then re-ingest (or vice versa) of the same id
+        // converges exactly as the live-index LWW sequence did.
+        val rows =
+          if (spilled.columns.contains(vCol))
+            encodeWith(spilled, idCol, vCol, model)
+          else spilled.select(col(idCol).as("vec_id") +:
+            lit(TombstoneList.toLong).as("list_id") +:
+            model.pq.codeCols.map(c => lit(0).cast("int").as(c)): _*)
+        rows.withColumn("__batch_ver", lit(buildVer + i + 1L))
       }.grouped(64).foreach { chunk =>
         DimStore.upsert(spark, codesPath(path),
           chunk.reduce(_ unionByName _),
@@ -1249,6 +1263,27 @@ object AnnIndex {
                 sweepAll()
             }
           }
+      }
+    }
+
+    /** Deletion through the CONTINUOUS path — the form that is safe
+      * at any time, including while a staged rebuild trains: the
+      * tombstones land on the live index immediately (the takedown
+      * takes effect NOW, at O(touched buckets)), and when a build
+      * window is open the id set is ALSO spilled into the same
+      * pending sequence the append spills ride — so the flip replays
+      * the delete against the new build in arrival order, instead of
+      * the full-replace commit resurrecting the row (the hazard the
+      * standalone [[AnnIndex.delete]] refuses on). At-least-once in,
+      * exactly-once effects out, like [[ingest]]: a crash between the
+      * live commit and the spill is healed by redelivering the
+      * delete, and a redelivered delete re-tombstones idempotently. */
+    def ingestDelete(ids: DataFrame): Unit = {
+      deleteImpl(spark, path, ids, idCol,
+        ver = nextVer.getAndIncrement(), crashAfter = None)
+      staging.foreach { st =>
+        ids.select(col(idCol)).write.mode("overwrite")
+          .parquet(s"${st.dir}/pending/p${st.pendingSeq.getAndIncrement()}")
       }
     }
 

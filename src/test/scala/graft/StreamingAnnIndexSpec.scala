@@ -272,6 +272,64 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
     new java.io.File(s"$path/_staging").exists() shouldBe false
   }
 
+  test("ingestDelete: a takedown issued DURING the build window lands " +
+       "on the live index immediately AND survives the flip (spilled " +
+       "and replayed as tombstones); delete-then-reingest ordering " +
+       "holds through the flip; redelivery is idempotent") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_del_staged").toString + "/idx"
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+      nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+    val snapshot = seed ++ drifted(1000 until 1060)
+    val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v",
+      AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4, dim = 64,
+        m = 4, k = 4, rounds = 1, kmRounds = 1, stagedRebuild = true),
+      corpus = () => snapshot.toDF())
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    ingestor.stagingDelay = () => gate.await()
+
+    // outside a build window: ingestDelete is a plain live tombstone
+    ingestor.ingestDelete(Seq(5L).toDF("vec_id"))
+    AnnIndex.codes(s, path).filter($"vec_id" === 5L).count() shouldBe 0L
+
+    // drift opens the window
+    val r = ingestor.ingest(drifted(1000 until 1060).toDF())
+    r.drift.rebuildRecommended shouldBe true
+    ingestor.stagingActive shouldBe true
+
+    // during the window: delete 7 (in the rebuild snapshot!), then
+    // delete 8 and RE-INGEST it — the re-ingest must win
+    ingestor.ingestDelete(Seq(7L, 8L).toDF("vec_id"))
+    AnnIndex.codes(s, path).filter($"vec_id".isin(7L, 8L)).count() shouldBe 0L
+    ingestor.ingest(rows(8 until 9).toDF())
+    AnnIndex.codes(s, path).filter($"vec_id" === 8L).count() shouldBe 1L
+    // redelivered delete of 7 (at-least-once): idempotent on live
+    ingestor.ingestDelete(Seq(7L).toDF("vec_id"))
+
+    gate.countDown()
+    ingestor.awaitStaged()
+    // the flip replays the spilled pendings in arrival order over the
+    // full-replace: 7 stays deleted (the snapshot held it — without
+    // the replay the flip would resurrect it), 8's re-ingest wins, 5
+    // was deleted BEFORE the window so the caller's snapshot is the
+    // authority there (it still carries 5 here — documented contract)
+    ingestor.ingest(rows(300 until 310).toDF())
+    ingestor.stagingActive shouldBe false
+    val served = AnnIndex.codes(s, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    served should not contain 7L
+    served should contain(8L)
+    served should contain(5L) // resurrected BY THE SNAPSHOT, not a bug:
+    // pre-window deletes must be applied to the corpus the supplier
+    // returns (the documented corpus-authority contract)
+    AnnIndex.fsck(s, path).consistent shouldBe true
+    AnnIndex.fsck(s, path).tombstones should be >= 1L
+  }
+
   test("staged rebuild survives a mid-flip crash: append refuses the " +
        "orphaned-commit state, and a NEW Ingestor (the restart) rolls " +
        "the flip forward from the durable staging artifacts — spilled " +
