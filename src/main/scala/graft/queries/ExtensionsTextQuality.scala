@@ -761,8 +761,17 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
   // the published bounds.
   /** The x81 Gopher-rules report frame — factored out so the curation
     * funnel (x93) reuses the exact filter the standalone query grades
-    * (same columns, same integer-ppm thresholds). */
-  private[graft] def gopherReport(s: SparkSession, dir: String): DataFrame = {
+    * (same columns, same integer-ppm thresholds). PERSISTED through
+    * the shared cache: the report's fold expressions (the top-bigram
+    * run-length scan especially) are pathological to re-evaluate
+    * inside downstream filter/count plan shapes (measured 7.5–10 s per
+    * re-plan at sf0.1 vs 0.7 s to materialize the report once), so
+    * every consumer — x81's own output and each funnel stage that
+    * builds on the quality gate — reads the one columnar copy. */
+  private[graft] def gopherReport(s: SparkSession, dir: String): DataFrame =
+    persisted(s, "x81_gopher_report", dir) { gopherReportBuild(s, dir) }
+
+  private def gopherReportBuild(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       val d = docs(s, dir)
         .withColumn("toks", split($"text", " "))
@@ -1125,19 +1134,37 @@ private[queries] trait ExtensionsTextQuality { this: Extensions.type =>
     (s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
-      val quality = gopherReport(s, dir).filter($"keep").select($"doc_id")
-      val k1 = d.join(quality, Seq("doc_id"))
-        .select($"doc_id", Q.normFingerprint($"text").as("fp"))
-        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-        .select($"doc_id")
+      // each survivor frame feeds BOTH its stage count and the next
+      // stage's input — persist the (tiny, doc_id-only) frames through
+      // the shared cache or the expensive upstream (the Gopher report's
+      // trigram HOFs especially) re-executes once per consumer
+      val quality = persisted(s, "x93_quality", dir) {
+        gopherReport(s, dir).filter($"keep").select($"doc_id")
+      }
+      val k1 = persisted(s, "x93_exact", dir) {
+        d.join(quality, Seq("doc_id"))
+          .select($"doc_id", Q.normFingerprint($"text").as("fp"))
+          .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id")
+      }
       val dup = stagedClusters(s, dir)
         .filter($"doc_id" =!= $"cluster_rep").select($"doc_id")
-      val k2 = k1.join(dup, Seq("doc_id"), "left_anti")
+      val k2 = persisted(s, "x93_neardup", dir) {
+        k1.join(dup, Seq("doc_id"), "left_anti")
+      }
       val ratioPath = graft.ops.Staging.ensure("x90_ratio", dir,
         Seq("documents"))(dsirRatio(s, dir))
-      val selected = graft.streaming.DsirGate
-        .score(d.join(k2, Seq("doc_id")), s.read.parquet(ratioPath),
-          DsirBuckets)
+      // score the survivors off the SHARED persisted feature matrix
+      // (per-doc rows are independent, so matrix ∩ survivors ≡
+      // featurizing the survivor docs — DsirGate.score over the raw
+      // join would re-run the bigram-explode + md5 scan the matrix
+      // already materialized for x90/x92), against the STAGED model
+      val selected = dsirMatrix(s, dir)
+        .join(k2, Seq("doc_id"))
+        .join(broadcast(s.read.parquet(ratioPath)), Seq("b"))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"cnt").as("n_bigrams"),
+          expr("sum(cnt * r_ppm) div sum(cnt)").as("score_ppm"))
         .orderBy($"score_ppm".desc, $"doc_id".asc)
         .limit(100)
       def stage(name: String, df: DataFrame) =
