@@ -7,6 +7,12 @@ import org.apache.spark.sql.Dataset
   * fixtures provide text bytes, which is irrelevant to the plumbing. */
 final case class MediaIn(doc_id: Long, media: Array[Byte])
 
+/** [[MediaIn]] with its event time — the TTL'd streaming detector's
+  * input shape (typed maps drop passenger columns, so the time rides
+  * the case class). */
+final case class MediaInT(doc_id: Long, media: Array[Byte],
+                          eventTime: java.sql.Timestamp)
+
 /** Typed metadata extracted per media record. */
 final case class MediaMeta(
     doc_id: Long,
@@ -74,18 +80,43 @@ object Multimodal {
     ds.mapPartitions { it =>
       // per-partition decoder/scaler setup would go here
       it.map { r =>
-        val g = new Array[Int](bins)
-        val m = r.media
-        var i = 0
-        while (i + 2 < m.length) {
-          val v = ((m(i) & 0xFF) * 961 + (m(i + 1) & 0xFF) * 31 +
-            (m(i + 2) & 0xFF)) % bins
-          g(v) += 1
-          i += 1
-        }
-        MediaPlane(r.doc_id, g, math.max(m.length - 2, 0).toLong)
+        val g = trigramHistogram(r.media, bins)
+        MediaPlane(r.doc_id, g, math.max(r.media.length - 2, 0).toLong)
       }
     }
+  }
+
+  /** [[luminancePlane]] with the record's event time carried through —
+    * the input shape the TTL'd streaming media detector needs
+    * ([[graft.streaming.StreamingMediaNearDup.imageWithTtl]]); the
+    * typed map would otherwise drop every passenger column. Same
+    * histogram function, so the timed and untimed planes are
+    * bit-identical for the same blob. */
+  def luminancePlaneT(ds: Dataset[MediaInT],
+                      bins: Int = 64): Dataset[MediaPlaneT] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder/scaler setup would go here
+      it.map { r =>
+        val g = trigramHistogram(r.media, bins)
+        MediaPlaneT(r.doc_id, g, math.max(r.media.length - 2, 0).toLong,
+          r.eventTime)
+      }
+    }
+  }
+
+  /** The stub "decode": the byte-trigram histogram shared by the timed
+    * and untimed plane variants. */
+  private def trigramHistogram(m: Array[Byte], bins: Int): Array[Int] = {
+    val g = new Array[Int](bins)
+    var i = 0
+    while (i + 2 < m.length) {
+      val v = ((m(i) & 0xFF) * 961 + (m(i + 1) & 0xFF) * 31 +
+        (m(i + 2) & 0xFF)) % bins
+      g(v) += 1
+      i += 1
+    }
+    g
   }
 
   /** Per-FRAME luminance planes for the video near-dup path: each
@@ -144,6 +175,10 @@ object Multimodal {
 /** A media record's fixed-size luminance plane (stub: byte-trigram
   * histogram) + its mass `n` (Σ g). */
 final case class MediaPlane(doc_id: Long, g: Array[Int], n: Long)
+
+/** [[MediaPlane]] carrying its record's event time. */
+final case class MediaPlaneT(doc_id: Long, g: Array[Int], n: Long,
+                             eventTime: java.sql.Timestamp)
 
 /** One frame's fixed-size luminance plane (stub: byte-trigram histogram
   * over the frame's bytes) + its mass `n`. */

@@ -57,6 +57,19 @@ object PHash {
   def bandedHashes(planes: Dataset[MediaPlane], nBands: Int = 4): DataFrame =
     planes.toDF().select(col("doc_id"), array(bandVals(nBands): _*).as("bv"))
 
+  /** The whole-record aHash band occupancy rows WITH event time —
+    * (doc_id, band, k1, k2 = 0, eventTime), the
+    * [[graft.streaming.StreamingNearDup.fromBandRowsWithTtl]] input
+    * shape for the TTL'd image detector. Same [[bandVals]] packing as
+    * [[bandedHashes]], so timed and untimed keys are bit-identical. */
+  def bandRowsWithTime(planes: Dataset[MediaPlaneT],
+                       nBands: Int = 4): DataFrame =
+    planes.toDF()
+      .select(col("doc_id"), col("eventTime"),
+        posexplode(array(bandVals(nBands): _*)))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("k1"), lit(0L).as("k2"), col("eventTime"))
+
   /** Near-duplicate pairs (doc_a < doc_b) within `maxHamming` of the
     * 64-bit aHash, with the exact distance attached. `maxHamming <
     * nBands` is REQUIRED — it is what makes the banded candidate join

@@ -64,6 +64,30 @@ object StreamingMediaNearDup {
     StreamingNearDup.fromBandRows(bands.as[DocBand])
   }
 
+  /** Image route with the TTL'd reingest-window semantics — the
+    * bounded-state form a 100 TB/day deployment runs: a bucket's
+    * anchor is forgotten once the WATERMARK passes its last sighting +
+    * `ttl`, so state tracks the LIVE window's hash diversity, not the
+    * corpus's history (the same contract as the text twin's
+    * [[StreamingNearDup.withTtl]]). Unlike the text twin, the
+    * WATERMARK is assigned HERE, on the band rows: the stub-decode
+    * typed map mints a fresh `eventTime` attribute, so an upstream
+    * `withWatermark` does not propagate through it (Spark tracks the
+    * marker per attribute, and the state op requires it on ITS input
+    * column). Video/audio callers wanting TTL feed their own timed
+    * band rows through [[StreamingNearDup.fromBandRowsWithTtl]] the
+    * same way. */
+  def imageWithTtl(media: Dataset[graft.ops.MediaInT],
+                   ttl: java.time.Duration,
+                   watermarkDelay: String = "0 seconds",
+                   nBands: Int = 4): Dataset[DupCandidate] = {
+    import media.sparkSession.implicits._
+    val bands = PHash.bandRowsWithTime(
+        Multimodal.luminancePlaneT(media), nBands)
+      .withWatermark("eventTime", watermarkDelay)
+    StreamingNearDup.fromBandRowsWithTtl(bands.as[DocBandT], ttl)
+  }
+
   /** Video route: media blobs → per-frame planes → per-frame 16-bit
     * band buckets ([[PHash.frameBucketRows]] — x89's candidate key
     * scheme) → anchor state. Shift-invariant like the batch query:

@@ -132,6 +132,20 @@ object StreamingNearDup {
     out.result().iterator
   }
 
+  /** The TTL'd anchor state machine over ANY banded key scheme —
+    * [[fromBandRows]]'s bounded-state sibling, and the seam the media
+    * twins' TTL routes ride ([[StreamingMediaNearDup.imageWithTtl]]).
+    * `bands` must carry its event time WITH a watermark already
+    * assigned upstream. */
+  def fromBandRowsWithTtl(bands: Dataset[DocBandT],
+                          ttl: java.time.Duration): Dataset[DupCandidate] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => BandKey(r.band, r.k1, r.k2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(processTtl(ttl.toMillis))
+  }
+
   /** TTL'd variant — the reingest-window semantics the production
     * deployment wants: a bucket's keeper is forgotten once the
     * WATERMARK passes its last sighting + `ttl`, so state stays
@@ -146,10 +160,7 @@ object StreamingNearDup {
     * differently on every recovery). */
   def withTtl(docs: DataFrame, ttl: java.time.Duration): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
-    MinHash.bandRows(docs, carry = Seq("eventTime"))
-      .as[DocBandT]
-      .groupByKey(r => BandKey(r.band, r.k1, r.k2))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(processTtl(ttl.toMillis))
+    fromBandRowsWithTtl(
+      MinHash.bandRows(docs, carry = Seq("eventTime")).as[DocBandT], ttl)
   }
 }

@@ -146,6 +146,48 @@ class StreamingMediaClustersSpec extends AnyFunSuite with Matchers
     pinVerifiedCoCluster(verified, labels)
   }
 
+  test("imageWithTtl: media anchors expire with the watermark and " +
+       "re-ingest re-anchors — bounded state for the 100 TB window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    val mem = MemoryStream[graft.ops.MediaInT]
+    val q = StreamingMediaNearDup
+      .imageWithTtl(mem.toDS(), java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("mediattl_out")
+      .outputMode("append").start()
+    try {
+      // inside the window: doc 1 flags against anchor 0
+      mem.addData(graft.ops.MediaInT(0, blob(baseA), ts(0)))
+      q.processAllAvailable()
+      mem.addData(graft.ops.MediaInT(1, blob(baseA + " t"), ts(5)))
+      q.processAllAvailable()
+      // unrelated traffic drives the watermark past lastSeen + ttl
+      mem.addData(graft.ops.MediaInT(50, unrelated(50).media, ts(60)))
+      q.processAllAvailable()
+      mem.addData(graft.ops.MediaInT(51, unrelated(51).media, ts(61)))
+      q.processAllAvailable()
+      // after the window: doc 2 re-anchors (no flag against expired 0),
+      // doc 3 then flags against 2
+      mem.addData(graft.ops.MediaInT(2, blob(baseA), ts(62)))
+      q.processAllAvailable()
+      mem.addData(graft.ops.MediaInT(3, blob(baseA + " u"), ts(63)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restrict to the baseA family: the unrelated watermark-driver
+    // blobs can legitimately band-collide with each other (dense aHash
+    // buckets — all-zero bands — the very effect x87's cap handles);
+    // candidates are unverified by design
+    val fam = Set(0L, 1L, 2L, 3L)
+    val pairs = s.table("mediattl_out").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2))
+      .filter(p => fam(p._1) || fam(p._2)).toSet
+    // (0,1) inside the window; (2,3) after re-anchor — and nothing
+    // across the expired window (no (0,2)/(0,3)/(1,2)/(1,3))
+    pairs shouldBe Set((0L, 1L), (2L, 3L))
+  }
+
   test("audio twin: in-row landmarkRows ≡ batch landmarks(windowFeatures) " +
        "bit-for-bit; streamed labels equal batch recompute; x88-matched " +
        "pairs co-cluster") {
