@@ -554,9 +554,17 @@ object AnnIndex {
         "staging dir first, or route the delete through " +
         "Ingestor.ingestDelete (which spills it for the flip to re-apply)")
     val model = readModel(spark, path)
-    require(ver != model.buildVer,
-      s"delete version $ver ties the serving build's version — " +
-      s"re-floor the ingest counter at ${model.buildVer + 1}")
+    // strictly greater, not merely different: a STALE version (a
+    // takedown redelivered after a full rebuild re-floored the
+    // counter) would silently LOSE the pk-LWW merge to the rebuilt
+    // row — the vector stays servable while the caller believes the
+    // purge landed. Loud-over-wrong on the safety path; redelivery
+    // of the same post-build ver still passes (idempotent).
+    require(ver > model.buildVer,
+      s"delete version $ver does not beat the serving build's version " +
+      s"${model.buildVer} — a tombstone at that version loses the LWW " +
+      s"merge and the delete silently no-ops; re-floor the ingest " +
+      s"counter at ${model.buildVer + 1}")
     deleteImpl(spark, path, ids, idCol, ver, crashAfter = None)
   }
 

@@ -97,31 +97,56 @@ object AudioFingerprint {
   def landmarkRows(ds: Dataset[MediaIn], window: Int = 32,
                    bands: Int = 64, fanout: Int = 3): DataFrame = {
     import ds.sparkSession.implicits._
-    val fSpace = bands.toLong * bands
     ds.mapPartitions { it =>
       // per-partition codec/FFT setup would go here (once, not per row)
       it.flatMap { r =>
-        val m = r.media
-        val nWin = m.length / window
-        val f = new Array[Int](nWin)
-        var t = 0
-        while (t < nWin) {
-          f(t) = windowFeature(m, t, window, bands)
-          t += 1
-        }
-        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-        var a = 0
-        while (a < nWin) {
-          var dt = 1
-          while (dt <= fanout && a + dt < nWin) {
-            out += (f(a).toLong * fSpace + f(a + dt)) * (fanout + 1) + dt
-            dt += 1
-          }
-          a += 1
-        }
-        out.iterator.map(lh => (r.doc_id, lh))
+        landmarkSet(r.media, window, bands, fanout).map(lh => (r.doc_id, lh))
       }
     }.toDF("doc_id", "lh")
+  }
+
+  /** [[landmarkRows]] WITH the record's event time carried onto every
+    * landmark row — (doc_id, lh, eventTime), the input the TTL'd
+    * streaming AUDIO detector banding rides
+    * ([[graft.streaming.StreamingMediaNearDup.audioWithTtl]]). Same
+    * [[landmarkSet]] computation, so timed and untimed fingerprints
+    * are bit-identical for the same blob. */
+  def landmarkRowsWithTime(ds: Dataset[MediaInT], window: Int = 32,
+                           bands: Int = 64, fanout: Int = 3): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec/FFT setup would go here (once, not per row)
+      it.flatMap { r =>
+        landmarkSet(r.media, window, bands, fanout)
+          .map(lh => (r.doc_id, lh, r.eventTime))
+      }
+    }.toDF("doc_id", "lh", "eventTime")
+  }
+
+  /** One blob's DISTINCT landmark hash set, computed in-row — the
+    * shared core of [[landmarkRows]] and [[landmarkRowsWithTime]]
+    * (one definition, the two routes cannot drift). */
+  private def landmarkSet(m: Array[Byte], window: Int, bands: Int,
+                          fanout: Int): Iterator[Long] = {
+    val fSpace = bands.toLong * bands
+    val nWin = m.length / window
+    val f = new Array[Int](nWin)
+    var t = 0
+    while (t < nWin) {
+      f(t) = windowFeature(m, t, window, bands)
+      t += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var a = 0
+    while (a < nWin) {
+      var dt = 1
+      while (dt <= fanout && a + dt < nWin) {
+        out += (f(a).toLong * fSpace + f(a + dt)) * (fanout + 1) + dt
+        dt += 1
+      }
+      a += 1
+    }
+    out.iterator
   }
 
   /** Landmark hashes: each window's feature paired with the next

@@ -133,21 +133,50 @@ object Multimodal {
     ds.mapPartitions { it =>
       // per-partition decoder setup would go here (once, not per row)
       it.flatMap { r =>
-        val m = r.media
-        val nFrames = m.length / frameBytes
-        (0 until nFrames).iterator.map { idx =>
-          val g = new Array[Int](bins)
-          var i = idx * frameBytes
-          val end = (idx + 1) * frameBytes - 2
-          while (i < end) {
-            val v = ((m(i) & 0xFF) * 961 + (m(i + 1) & 0xFF) * 31 +
-              (m(i + 2) & 0xFF)) % bins
-            g(v) += 1
-            i += 1
-          }
+        frameHists(r.media, frameBytes, bins).map { case (idx, g) =>
           FramePlane(r.doc_id, idx, g, (frameBytes - 2).toLong)
         }
       }
+    }
+  }
+
+  /** [[framePlanes]] with each record's event time carried onto every
+    * frame row — the TTL'd streaming VIDEO detector's input shape
+    * ([[graft.streaming.StreamingMediaNearDup.videoWithTtl]]). Same
+    * [[frameHists]] stub decode, so timed and untimed frame planes are
+    * bit-identical for the same blob. */
+  def framePlanesT(ds: Dataset[MediaInT], frameBytes: Int = 100,
+                   bins: Int = 64): Dataset[FramePlaneT] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder setup would go here (once, not per row)
+      it.flatMap { r =>
+        frameHists(r.media, frameBytes, bins).map { case (idx, g) =>
+          FramePlaneT(r.doc_id, idx, g, (frameBytes - 2).toLong, r.eventTime)
+        }
+      }
+    }
+  }
+
+  /** The per-frame stub "decode": one byte-trigram histogram per full
+    * `frameBytes` window — ONE definition shared by the timed and
+    * untimed frame-plane routes so they cannot drift. Trailing partial
+    * frames are dropped (their plane mass differs, so their hashes
+    * would never be comparable). */
+  private def frameHists(m: Array[Byte], frameBytes: Int,
+                         bins: Int): Iterator[(Int, Array[Int])] = {
+    val nFrames = m.length / frameBytes
+    (0 until nFrames).iterator.map { idx =>
+      val g = new Array[Int](bins)
+      var i = idx * frameBytes
+      val end = (idx + 1) * frameBytes - 2
+      while (i < end) {
+        val v = ((m(i) & 0xFF) * 961 + (m(i + 1) & 0xFF) * 31 +
+          (m(i + 2) & 0xFF)) % bins
+        g(v) += 1
+        i += 1
+      }
+      (idx, g)
     }
   }
 
@@ -183,6 +212,10 @@ final case class MediaPlaneT(doc_id: Long, g: Array[Int], n: Long,
 /** One frame's fixed-size luminance plane (stub: byte-trigram histogram
   * over the frame's bytes) + its mass `n`. */
 final case class FramePlane(doc_id: Long, frame_idx: Int, g: Array[Int], n: Long)
+
+/** [[FramePlane]] carrying its record's event time. */
+final case class FramePlaneT(doc_id: Long, frame_idx: Int, g: Array[Int],
+                             n: Long, eventTime: java.sql.Timestamp)
 
 /** One sampled frame of a media blob. */
 final case class MediaFrame(

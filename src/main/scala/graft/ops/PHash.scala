@@ -140,6 +140,26 @@ object PHash {
         col("col").as("k1"), lit(0L).as("k2"))
   }
 
+  /** [[frameBucketRows]] WITH each frame's record event time —
+    * (doc_id, band, k1, k2, eventTime), the
+    * [[graft.streaming.StreamingNearDup.fromBandRowsWithTtl]] input
+    * shape for the TTL'd VIDEO detector. Same [[bandVals]] packing and
+    * 16-bit slicing, so timed and untimed bucket keys are
+    * bit-identical for the same frame. */
+  def frameBucketRowsWithTime(planes: Dataset[FramePlaneT]): DataFrame = {
+    val bv = bandVals(nBands = 4)
+    planes.toDF()
+      .select(col("doc_id"), col("eventTime"),
+        (bv(0) * 65536L + bv(1)).as("k1"),
+        (bv(2) * 65536L + bv(3)).as("k2"))
+      .select(col("doc_id"), col("eventTime"),
+        posexplode(array(
+          shiftright(col("k1"), 16), col("k1").bitwiseAND(65535L),
+          shiftright(col("k2"), 16), col("k2").bitwiseAND(65535L))))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("k1"), lit(0L).as("k2"), col("eventTime"))
+  }
+
   /** Video near-duplicate pairs (doc_a < doc_b) by HAMMING-TOLERANT
     * mutual frame coverage. Exact frame-hash equality is the wrong
     * match unit — per-frame noise (a lossy re-encode) flips a couple of

@@ -550,14 +550,20 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
   // compare is exact at any scale, not just while fixture blocks stay
   // under the cap (the x02/x87 round-17 lesson applied here before it
   // could bite).
+  // x31's edit-distance threshold — ONE definition interpolated into
+  // the Spark call sites AND the oracle SQL (the same shared-constant
+  // rule as DefaultBlockCap), so a threshold change cannot silently
+  // desynchronize the mirror.
+  private val EditThreshold = 25
+
   lazy val x31 = Q(
     "x31_edit_distance_neardup",
     (s, dir) => {
       import s.implicits._
       val items = docs(s, dir).select($"doc_id", lower($"text").as("t"))
-      // The 3-arg levenshtein bounds the DP to a 2·25+1 band with an
-      // O(1) length-delta reject up front and returns -1 past the
-      // threshold: O(len·25) per pair, not O(len²). The doc_a < doc_b
+      // The 3-arg levenshtein bounds the DP to a 2·EditThreshold+1 band
+      // with an O(1) length-delta reject up front and returns -1 past
+      // the threshold: O(len·thr) per pair, not O(len²). The doc_a < doc_b
       // guard is ALREADY satisfied by the pair table, but stays as a
       // when() wrapper around the DP: Catalyst pushes the dist filter
       // into the pair join and reorders conjuncts freely, and a
@@ -566,14 +572,16 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
       // identical self-pairs, a 6x slowdown at sf0.1. CaseWhen's lazy
       // arms keep the cheap comparison in front of the DP wherever the
       // conjunct lands.
-      graft.ops.Blocking.cappedPrefixPairs(items, prefixLen = 16, threshold = 25)
+      graft.ops.Blocking.cappedPrefixPairs(items, prefixLen = 16,
+          threshold = EditThreshold)
         .select($"doc_a", $"doc_b",
-          when($"doc_a" < $"doc_b", levenshtein($"ta", $"tb", 25))
+          when($"doc_a" < $"doc_b", levenshtein($"ta", $"tb", EditThreshold))
             .cast("long").as("dist"))
         .filter($"dist" >= 0)
     },
-    // cap + bucket width interpolated from the SAME constants the
-    // Spark side reads (Blocking.DefaultBlockCap, threshold+1), and
+    // cap + threshold + bucket width interpolated from the SAME
+    // constants the Spark side reads (Blocking.DefaultBlockCap,
+    // EditThreshold, EditThreshold+1), and
     // the length bucket computed from the SAME string the Spark side
     // buckets on (t = lower(text) — a raw length(text) diverges on
     // chars whose lowercase mapping changes length, e.g. 'İ'), so a
@@ -582,7 +590,7 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
     Some(s"""
       WITH b AS (
         SELECT doc_id, lower(text) AS t, substr(lower(text), 1, 16) AS blk,
-          CAST(floor(length(lower(text)) / ${25 + 1}) AS INT) AS lb
+          CAST(floor(length(lower(text)) / ${EditThreshold + 1}) AS INT) AS lb
         FROM documents),
       sized AS (
         SELECT *, COUNT(*) OVER (PARTITION BY blk, lb) AS bcnt,
@@ -601,7 +609,7 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
         WHERE o.bcnt > ${graft.ops.Blocking.DefaultBlockCap}
           AND o.doc_id <> o.keeper)
       SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
-      FROM cand WHERE levenshtein(ta, tb) <= 25
+      FROM cand WHERE levenshtein(ta, tb) <= $EditThreshold
     """))
 
   // ---------------------------------------------------------------------

@@ -52,6 +52,15 @@ import graft.ops.{AudioFingerprint, MediaIn, Multimodal, PHash}
   */
 object StreamingMediaNearDup {
 
+  /** Default watermark lateness for the TTL'd routes — the same small
+    * nonzero bound [[BounceDetector]] defaults to. Rows arriving
+    * later than this behind the max observed event time are DROPPED
+    * before the anchor state op (quiet recall loss past the bound);
+    * deployments pick their own lateness trade-off by passing
+    * `watermarkDelay` explicitly. A zero default would silently drop
+    * EVERY out-of-order record. */
+  val DefaultWatermarkDelay = "2 seconds"
+
   /** Image route: media blobs → luminance planes (stub decode) →
     * 4×16-bit aHash band keys → anchor state. Matches x87's candidate
     * key scheme exactly ([[PHash.bandedHashes]]). */
@@ -74,12 +83,13 @@ object StreamingMediaNearDup {
     * typed map mints a fresh `eventTime` attribute, so an upstream
     * `withWatermark` does not propagate through it (Spark tracks the
     * marker per attribute, and the state op requires it on ITS input
-    * column). Video/audio callers wanting TTL feed their own timed
-    * band rows through [[StreamingNearDup.fromBandRowsWithTtl]] the
-    * same way. */
+    * column). [[videoWithTtl]] / [[audioWithTtl]] assign theirs the
+    * same way. Records later than `watermarkDelay` behind the max
+    * observed event time are dropped before the state op
+    * ([[DefaultWatermarkDelay]]). */
   def imageWithTtl(media: Dataset[graft.ops.MediaInT],
                    ttl: java.time.Duration,
-                   watermarkDelay: String = "0 seconds",
+                   watermarkDelay: String = DefaultWatermarkDelay,
                    nBands: Int = 4): Dataset[DupCandidate] = {
     import media.sparkSession.implicits._
     val bands = PHash.bandRowsWithTime(
@@ -98,6 +108,26 @@ object StreamingMediaNearDup {
     StreamingNearDup.fromBandRows(bands.as[DocBand])
   }
 
+  /** Video route with the TTL'd reingest-window semantics — the
+    * bounded-state form that closes the last 100 TB/day hazard for
+    * this modality: a frame-hash bucket's anchor is forgotten once
+    * the WATERMARK passes its last sighting + `ttl`, so state tracks
+    * the LIVE window's frame-hash diversity instead of the corpus's
+    * full history, and a re-cut re-ingested after the window
+    * re-anchors fresh. Watermark is assigned HERE, on the timed band
+    * rows (the stub-decode typed map mints a fresh `eventTime`
+    * attribute — same wrinkle as [[imageWithTtl]]); rows later than
+    * `watermarkDelay` are dropped before the state op. */
+  def videoWithTtl(media: Dataset[graft.ops.MediaInT],
+                   ttl: java.time.Duration,
+                   watermarkDelay: String = DefaultWatermarkDelay)
+      : Dataset[DupCandidate] = {
+    import media.sparkSession.implicits._
+    val bands = PHash.frameBucketRowsWithTime(Multimodal.framePlanesT(media))
+      .withWatermark("eventTime", watermarkDelay)
+    StreamingNearDup.fromBandRowsWithTtl(bands.as[DocBandT], ttl)
+  }
+
   /** Audio route: media blobs → in-row constellation landmark hashes
     * ([[AudioFingerprint.landmarkRows]], no shuffle) → one bucket per
     * landmark (x88's inverted-index key) → anchor state. */
@@ -108,5 +138,28 @@ object StreamingMediaNearDup {
       .select(col("doc_id"), lit(0).as("band"), col("lh").as("k1"),
         lit(0L).as("k2"))
     StreamingNearDup.fromBandRows(rows.as[DocBand])
+  }
+
+  /** Audio route with the TTL'd reingest-window semantics — a landmark
+    * bucket's anchor is forgotten once the WATERMARK passes its last
+    * sighting + `ttl`, bounding state to the live window's landmark
+    * diversity (the unbounded accretion the untimed [[audio]] route
+    * accepts is the one thing a continuous 100 TB/day deployment
+    * cannot). Watermark is assigned on the timed landmark rows (the
+    * in-row typed map mints `eventTime` fresh — same contract as
+    * [[imageWithTtl]]/[[videoWithTtl]]); rows later than
+    * `watermarkDelay` are dropped before the state op. */
+  def audioWithTtl(media: Dataset[graft.ops.MediaInT],
+                   ttl: java.time.Duration,
+                   watermarkDelay: String = DefaultWatermarkDelay,
+                   window: Int = 32, bands: Int = 64, fanout: Int = 3)
+      : Dataset[DupCandidate] = {
+    import media.sparkSession.implicits._
+    val rows = AudioFingerprint
+      .landmarkRowsWithTime(media, window, bands, fanout)
+      .select(col("doc_id"), lit(0).as("band"), col("lh").as("k1"),
+        lit(0L).as("k2"), col("eventTime"))
+      .withWatermark("eventTime", watermarkDelay)
+    StreamingNearDup.fromBandRowsWithTtl(rows.as[DocBandT], ttl)
   }
 }

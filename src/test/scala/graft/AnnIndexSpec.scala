@@ -382,6 +382,16 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     val victim = beforeAns.min
     val rowsBefore = AnnIndex.codes(s, path).count()
 
+    // a STALE version (≤ the serving build's — e.g. a takedown
+    // redelivered after a rebuild re-floored the counter) is refused
+    // loudly: its tombstone would lose the pk-LWW merge and the
+    // delete would silently no-op on the safety path
+    an[IllegalArgumentException] should be thrownBy
+      AnnIndex.delete(s, path, Seq(victim).toDF("vec_id"), "vec_id", ver = 1L)
+    an[IllegalArgumentException] should be thrownBy
+      AnnIndex.delete(s, path, Seq(victim).toDF("vec_id"), "vec_id", ver = 0L)
+    AnnIndex.codes(s, path).filter($"vec_id" === victim).count() shouldBe 1L
+
     // one present id + one the index never held
     AnnIndex.delete(s, path, Seq(victim, 999999L).toDF("vec_id"),
       "vec_id", ver = 2L)

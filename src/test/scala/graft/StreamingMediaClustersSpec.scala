@@ -188,6 +188,71 @@ class StreamingMediaClustersSpec extends AnyFunSuite with Matchers
     pairs shouldBe Set((0L, 1L), (2L, 3L))
   }
 
+  /** Shared TTL pin for the timed media routes: detection inside the
+    * reingest window, anchor expiry once unrelated traffic drives the
+    * watermark past lastSeen + ttl, and a fresh re-anchor after — the
+    * bounded-state contract per modality. Asserts over family×family
+    * pairs only (candidates are unverified by design; dense stub-hash
+    * buckets can legitimately collide across unrelated blobs). */
+  private def pinTtlWindow(
+      detector: Dataset[graft.ops.MediaInT] => Dataset[DupCandidate],
+      blobs: Long => Array[Byte], queryName: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    val mem = MemoryStream[graft.ops.MediaInT]
+    val q = detector(mem.toDS())
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    try {
+      // inside the window: doc 1 flags against anchor 0
+      mem.addData(graft.ops.MediaInT(0, blobs(0), ts(0)))
+      q.processAllAvailable()
+      mem.addData(graft.ops.MediaInT(1, blobs(1), ts(5)))
+      q.processAllAvailable()
+      // unrelated traffic drives the watermark past lastSeen + ttl
+      mem.addData(graft.ops.MediaInT(50, unrelated(50).media, ts(60)))
+      q.processAllAvailable()
+      mem.addData(graft.ops.MediaInT(51, unrelated(51).media, ts(61)))
+      q.processAllAvailable()
+      // after the window: doc 2 re-anchors (no flag against expired 0),
+      // doc 3 then flags against 2
+      mem.addData(graft.ops.MediaInT(2, blobs(2), ts(62)))
+      q.processAllAvailable()
+      mem.addData(graft.ops.MediaInT(3, blobs(3), ts(63)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fam = Set(0L, 1L, 2L, 3L)
+    val pairs = s.table(queryName).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2))
+      .filter(p => fam(p._1) && fam(p._2)).toSet
+    // (0,1) inside the window; (2,3) after re-anchor — and nothing
+    // across the expired window (no (0,2)/(0,3)/(1,2)/(1,3))
+    pairs shouldBe Set((0L, 1L), (2L, 3L))
+  }
+
+  test("videoWithTtl: frame-bucket anchors expire with the watermark " +
+       "and re-ingest re-anchors — bounded state for the 100 TB window") {
+    // ≥3 full frames (frameBytes = 100); suffix edits keep every
+    // shared frame byte-identical → identical bucket keys
+    val movie = baseA + " " + baseB + " " + baseA + " tailtailtail"
+    pinTtlWindow(
+      StreamingMediaNearDup.videoWithTtl(_, java.time.Duration.ofMinutes(10)),
+      id => blob(if (id <= 1) movie + ("!" * id.toInt)
+                 else movie + " cut" + ("!" * (id.toInt - 2))),
+      "vidttl_out")
+  }
+
+  test("audioWithTtl: landmark anchors expire with the watermark and " +
+       "re-ingest re-anchors — bounded state for the 100 TB window") {
+    pinTtlWindow(
+      StreamingMediaNearDup.audioWithTtl(_, java.time.Duration.ofMinutes(10)),
+      id => blob(if (id <= 1) baseA * 3 + ("!" * (32 * id.toInt))
+                 else baseA * 3 + " post" + ("!" * (32 * (id.toInt - 2)))),
+      "audttl_out")
+  }
+
   test("audio twin: in-row landmarkRows ≡ batch landmarks(windowFeatures) " +
        "bit-for-bit; streamed labels equal batch recompute; x88-matched " +
        "pairs co-cluster") {
