@@ -1289,11 +1289,21 @@ object AnnIndex {
     def ingestDelete(ids: DataFrame): Unit = {
       deleteImpl(spark, path, ids, idCol,
         ver = nextVer.getAndIncrement(), crashAfter = None)
+      maybeCrash(deleteCrashBeforeSpill, "spill")
       staging.foreach { st =>
         ids.select(col(idCol)).write.mode("overwrite")
           .parquet(s"${st.dir}/pending/p${st.pendingSeq.getAndIncrement()}")
       }
     }
+
+    /** Crash injection for [[ingestDelete]]'s live-commit-then-spill
+      * window: `Some("spill")` dies AFTER the live tombstone commit
+      * (published and serving), BEFORE the pending spill — the exact
+      * point where a crashed-and-never-redelivered takedown would be
+      * resurrected by the flip. StreamingAnnIndexSpec pins the
+      * documented healing: redelivery re-tombstones idempotently AND
+      * lands the spill, so the flip replay converges. */
+    private[graft] var deleteCrashBeforeSpill: Option[String] = None
 
     def ingest(batch: DataFrame): Ingest = {
       val drift = append(spark, path, batch, idCol, vCol,

@@ -330,6 +330,67 @@ class StreamingAnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture 
     AnnIndex.fsck(s, path).tombstones should be >= 1L
   }
 
+  test("ingestDelete crash between the live commit and the pending " +
+       "spill: the window is REAL (an un-redelivered takedown is " +
+       "resurrected by the flip) and at-least-once redelivery heals it " +
+       "(re-tombstones idempotently, lands the spill, flip converges)") {
+    val s = spark
+    import s.implicits._
+    def drifted(ids: Range): Seq[VecRow] =
+      ids.map(i => VecRow(i.toLong, vec(i.toLong).map(_ * 5.0)))
+    val seed = rows(0 until 60)
+    val snapshot = seed ++ drifted(1000 until 1060)
+
+    // run the same crashed-delete-during-window sequence twice: once
+    // WITHOUT redelivery (pinning that the crash window genuinely
+    // loses the delete at the flip — the documented at-least-once
+    // hazard), once WITH (pinning the documented healing)
+    def run(tag: String, redeliver: Boolean): Set[Long] = {
+      val path = Files.createTempDirectory(s"ann_delcrash_$tag")
+        .toString + "/idx"
+      AnnIndex.buildTrained(s, path, seed.toDF(), "vec_id", "v",
+        nLists = 4, dim = 64, m = 4, k = 4, rounds = 1, kmRounds = 1)
+      val ingestor = new AnnIndex.Ingestor(s, path, "vec_id", "v",
+        AnnIndex.RebuildPolicy(driftFactor = 2.0, nLists = 4, dim = 64,
+          m = 4, k = 4, rounds = 1, kmRounds = 1, stagedRebuild = true),
+        corpus = () => snapshot.toDF())
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      ingestor.stagingDelay = () => gate.await()
+      ingestor.ingest(drifted(1000 until 1060).toDF()) // opens the window
+      ingestor.stagingActive shouldBe true
+
+      // the takedown dies AFTER the live tombstone commit, BEFORE the
+      // pending spill (a transient spill-write fault; the stream
+      // retries the batch)
+      ingestor.deleteCrashBeforeSpill = Some("spill")
+      an[graft.ops.AnnIndex.InjectedCrash] should be thrownBy
+        ingestor.ingestDelete(Seq(7L).toDF("vec_id"))
+      ingestor.deleteCrashBeforeSpill = None
+      // the live commit LANDED and serves: 7 is dead on the old index
+      AnnIndex.codes(s, path).filter($"vec_id" === 7L).count() shouldBe 0L
+
+      if (redeliver) ingestor.ingestDelete(Seq(7L).toDF("vec_id"))
+      // still dead on the live index either way
+      AnnIndex.codes(s, path).filter($"vec_id" === 7L).count() shouldBe 0L
+
+      gate.countDown()
+      ingestor.awaitStaged()
+      ingestor.ingest(rows(300 until 310).toDF()) // pays the flip
+      ingestor.stagingActive shouldBe false
+      AnnIndex.fsck(s, path).consistent shouldBe true
+      AnnIndex.codes(s, path)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+
+    // no redelivery: the spill never landed, so the flip's
+    // full-replace (snapshot holds 7) resurrects it — the crash
+    // window is real, not a vacuous pin
+    run("bare", redeliver = false) should contain(7L)
+    // redelivered: idempotent re-tombstone + spill → the flip replays
+    // the delete and 7 stays dead through the new build
+    run("heal", redeliver = true) should not contain 7L
+  }
+
   test("staged rebuild survives a mid-flip crash: append refuses the " +
        "orphaned-commit state, and a NEW Ingestor (the restart) rolls " +
        "the flip forward from the durable staging artifacts — spilled " +
