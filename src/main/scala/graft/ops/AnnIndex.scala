@@ -322,8 +322,9 @@ object AnnIndex {
                         modelMatchesPtr: Boolean, pinnedReadable: Boolean,
                         tombstones: Long = 0L) {
     /** `codeRows` counts SERVABLE rows; tombstoned pks ([[delete]])
-      * are reported separately — dead weight a rebuild will purge,
-      * never an inconsistency. */
+      * are reported separately — dead weight a rebuild (or a
+      * [[purgeTombstones]] pass, for which this count is the trigger)
+      * will reclaim, never an inconsistency. */
     def consistent: Boolean =
       staleCodes == 0L && modelMatchesPtr && pinnedReadable
   }
@@ -522,8 +523,10 @@ object AnnIndex {
     * cost (the [[DimStore.upsert]] contract: only the buckets holding
     * deleted pks rewrite). Deleting an id the index never held is a
     * harmless no-op row (nothing joins it); PHYSICAL purge happens at
-    * the next full/drift rebuild, which replaces the codes table
-    * wholesale from the (caller-owned, already-purged) corpus.
+    * the next full/drift rebuild (which replaces the codes table
+    * wholesale from the caller-owned, already-purged corpus) or — for
+    * takedown-heavy indexes that can't wait for drift — via the
+    * bounded [[purgeTombstones]] maintenance pass.
     *
     * Crash window = [[append]]'s exactly: a death between the codes
     * commit and the pointer flip leaves the tombstones committed but
@@ -600,6 +603,57 @@ object AnnIndex {
   private[graft] def deleteCrashing(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String, ver: Long): Unit =
     deleteImpl(spark, path, ids, idCol, ver, crashAfter = Some("codes"))
+
+  /** Physically RECLAIM tombstoned rows ([[delete]]'s `list_id = -1`
+    * sentinels) from the codes table WITHOUT waiting for the next
+    * drift rebuild — the between-rebuilds maintenance pass a
+    * takedown-heavy corpus (PII purges) needs so long-lived indexes
+    * don't carry dead rows for months. Trigger it off
+    * [[Fsck.tombstones]] (e.g. when the dead fraction crosses a few
+    * percent); one bucket-scoped [[DimStore.deleteWhere]] commit —
+    * O(tombstoned buckets) write cost: only buckets holding a
+    * tombstone rewrite, every other generation carries forward;
+    * finding them is one column-pruned scan, the same price fsck's
+    * tombstone count already pays — then the pointer flip.
+    *
+    * Serve answers are BYTE-IDENTICAL by construction: every serve
+    * path reads through [[codes]], which already filters the sentinel
+    * rows; the purge removes only what no reader could see. History:
+    * pre-purge versions still hold the tombstones until
+    * [[maintain]]'s vacuum prunes them — time travel unaffected.
+    *
+    * Crash window = [[delete]]'s exactly: deleteWhere's commit is
+    * atomic; a death between it and the pointer flip leaves the
+    * purged version committed but unreferenced — readers stay on the
+    * tombstoned snapshot (answers unchanged) until the purge is
+    * re-run, which finds nothing left to delete on the latest version
+    * and just completes the flip (idempotent roll-forward, the same
+    * redelivery-heals contract as delete/append). REFUSED while a
+    * staged rebuild is pending, like [[delete]]: the purge's pointer
+    * flip would race the staged flip's commit tail — and the rebuild
+    * is about to replace the codes table wholesale anyway. Returns
+    * the number of rows reclaimed. */
+  def purgeTombstones(spark: SparkSession, path: String): Long = {
+    val ptr = resolvedPtr(spark, path)
+    val latestModelV = DimStore.currentVersion(modelPath(path))
+    if (!latestModelV.contains(ptr.modelV)) throw new IllegalStateException(
+      s"ANN index at $path has an unpublished rebuild commit — construct " +
+      "an Ingestor (which recovers orphaned rebuilds) before purging")
+    val sroot = new org.apache.hadoop.fs.Path(stagingRoot(path))
+    val fs = hfs(spark, stagingRoot(path))
+    if (fs.exists(sroot) && fs.listStatus(sroot).nonEmpty)
+      throw new IllegalStateException(
+        s"ANN index at $path has a staged rebuild in flight — its flip " +
+        "replaces the codes table wholesale (purging now buys nothing " +
+        "and the pointer flips would race); flip or sweep staging first")
+    val purged = DimStore.deleteWhere(spark, codesPath(path),
+      pk = "vec_id", pred = col("list_id") < 0)
+    val latestCodes = DimStore.currentVersion(codesPath(path)).get
+    if (latestCodes != ptr.codesV)
+      bumpPtr(spark, path, modelV = ptr.modelV, codesV = latestCodes,
+        buildVer = ptr.buildVer)
+    purged
+  }
 
   /** Reconstruct a [[Model]] from its persisted row form (the
     * [[modelRowsDf]] layout) — shared by [[readModel]] (pointer-pinned

@@ -1022,6 +1022,73 @@ object DimStore {
     }
   }
 
+  /** Bucket-scoped row DELETION at O(touched buckets) — the shape a
+    * TARGETED reclamation wants where [[rewrite]]'s O(table) frame is
+    * too blunt: drop every row matching `pred`, writing a new
+    * generation ONLY for the buckets that hold at least one matching
+    * row; every other bucket's generation is carried forward in the
+    * manifest untouched (the [[upsert]] cost shape). A bucket emptied
+    * entirely drops out of the manifest; a predicate that would empty
+    * the WHOLE table is refused loudly (a zero-bucket manifest is
+    * schema-less and wedges reads — dropping a table must be
+    * explicit). Finding the touched buckets
+    * is one column-pruned scan over the snapshot (the layout column +
+    * `pred`'s columns — the same price an audit counting the matching
+    * rows pays); the WRITE is O(touched buckets). History stays
+    * time-travelable until vacuumed; same optimistic loser-retries
+    * protocol as upsert, and the commit is atomic (create-if-absent
+    * manifest claim) — a crash before it leaves readers on the old
+    * version with only an unreferenced generation as debris, exactly
+    * upsert's crash story. Returns the number of rows deleted
+    * (0 = nothing matched → NO commit). */
+  def deleteWhere(spark: SparkSession, path: String, pk: String,
+                  pred: Column): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, fs, path)
+    var attempt = 0
+    while (true) {
+      val base = latest(path).getOrElse(throw new IllegalStateException(
+        s"deleteWhere needs a versioned table at $path; commit an upsert first"))
+      val touched = readSnapshotWithBuckets(spark, path, base) match {
+        case None => return 0L
+        case Some(snap) => snap.filter(pred).select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+      }
+      if (touched.isEmpty) return 0L
+      val existing = readSnapshot(spark, path, base, Some(touched))
+        .getOrElse(return 0L)
+        .withColumn(BucketCol, bucketOf(pk, base.buckets))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val deleted = existing.filter(pred).count()
+        val gen = writeGen(existing.filter(!pred), path, base.version + 1)
+        // buckets the delete emptied entirely leave the manifest;
+        // the rest of the touched set points at the new generation
+        val present = bucketDirsOf(path, gen).toSet
+        val next = Manifest(base.version + 1, base.buckets,
+          (base.gens ++ touched.filter(present).map(_ -> gen))
+            -- touched.filterNot(present))
+        // refuse to EMPTY the table: a zero-bucket manifest is
+        // schema-less (nothing left to infer the schema from) and
+        // wedges every later read — the same loud guard upsert's
+        // all-filtered no-op takes. Emptying a table is a drop, not
+        // a delete.
+        if (next.gens.isEmpty) throw new IllegalStateException(
+          s"deleteWhere would remove every row of $path — dropping the " +
+          "table must be explicit, not a predicate side effect")
+        if (tryCommit(path, next)) {
+          syncView(spark, path)
+          return deleted
+        }
+        store(path).deleteTree(s"${gensDir(path)}/$gen")
+        attempt += 1
+        if (attempt > 50) throw new java.util.ConcurrentModificationException(
+          s"lost the delete commit race $attempt times at $path")
+      } finally { existing.unpersist(); () }
+    }
+    0L // unreachable: the loop exits only through return/throw
+  }
+
   /** Small-file compaction: rewrite the current version toward
     * `targetFileBytes` files as a NEW commit via the same optimistic
     * protocol — historical versions stay time-travelable until

@@ -455,6 +455,100 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     ex.getMessage should include("staged rebuild")
   }
 
+  test("purgeTombstones: dead rows reclaimed between rebuilds — serve " +
+       "answers byte-identical, snapshot bytes shrink, the purge commit " +
+       "is O(tombstoned buckets), history keeps the tombstones, a " +
+       "committed-but-unflipped purge rolls forward, and a staged " +
+       "rebuild refuses it") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("ann_purge").toString + "/idx"
+    val codesTable = s"$path/codes"
+    val base = e.filter($"vec_id" < 400)
+    val model = AnnIndex.build(s, path, base, "vec_id", "v",
+      centroidIds = Cents, dim = 64, m = 4, k = 4, rounds = 1,
+      nBuckets = 16)
+    val queries = e.filter($"vec_id" >= 400 && $"vec_id" < 410)
+    val probes = AnnIndex.queryProbes(queries, "vec_id", "v", model, 2)
+    def answers(): Set[String] = AnnIndex.adcTopK(s, path, probes, model, 10)
+      .collect().map(_.mkString("|")).toSet
+
+    // tombstone three serving vectors, then purge
+    val victims = AnnIndex.adcTopK(s, path, probes, model, 10)
+      .select($"vec_id").as[Long].collect().toSet.toSeq.sorted.take(3)
+    AnnIndex.delete(s, path, victims.toDF("vec_id"), "vec_id", ver = 2L)
+    val served = answers()
+    val bytesBefore = graft.ops.DimStore
+      .maintain(s, codesTable, "vec_id", apply = false).tableBytes
+    val rowsBefore = AnnIndex.codes(s, path).count()
+
+    AnnIndex.purgeTombstones(s, path) shouldBe 3L
+    // byte-identical serve answers (x78/x80's adcTopK path), servable
+    // rows unchanged, dead weight gone
+    answers() shouldBe served
+    AnnIndex.codes(s, path).count() shouldBe rowsBefore
+    val f = AnnIndex.fsck(s, path)
+    f.consistent shouldBe true
+    f.tombstones shouldBe 0L
+    // the live snapshot SHRANK (manifest-referenced bytes)
+    graft.ops.DimStore.maintain(s, codesTable, "vec_id", apply = false)
+      .tableBytes should be < bytesBefore
+    // O(tombstoned buckets): the purge generation (version 3: build=1,
+    // delete=2, purge=3) holds at most |victims| of the 16 bucket dirs
+    val gens = java.nio.file.Paths.get(codesTable, "_gens")
+    val purgeGen = {
+      val l = Files.list(gens)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(f"g${3L}%020d")).toVector
+      } finally l.close()
+    }
+    purgeGen.size shouldBe 1
+    val touchedDirs = {
+      val l = Files.list(gens.resolve(purgeGen.head))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("__bucket="))
+      } finally l.close()
+    }
+    touchedDirs should be <= victims.size
+    // history: the pre-purge version still carries the tombstones
+    // (time travel unaffected until vacuum)
+    graft.ops.DimStore.read(s, codesTable, asOf = 2L)
+      .filter($"list_id" < 0).count() shouldBe 3L
+    // idempotent: nothing left → no commit, no flip
+    val vAfter = graft.ops.DimStore.currentVersion(codesTable)
+    AnnIndex.purgeTombstones(s, path) shouldBe 0L
+    graft.ops.DimStore.currentVersion(codesTable) shouldBe vAfter
+
+    // crash window: a purge that died between the deleteWhere commit
+    // and the pointer flip — simulate by committing the delete
+    // directly. Readers stay pointer-pinned on the tombstoned
+    // snapshot (answers unchanged); the re-run purge finds nothing to
+    // delete and completes the flip (roll-forward).
+    val victim2 = AnnIndex.codes(s, path)
+      .select($"vec_id").as[Long].head()
+    AnnIndex.delete(s, path, Seq(victim2).toDF("vec_id"), "vec_id", ver = 3L)
+    val served2 = answers()
+    graft.ops.DimStore.deleteWhere(s, codesTable, "vec_id",
+      $"list_id" < 0) shouldBe 1L // the "crash": committed, not flipped
+    answers() shouldBe served2
+    AnnIndex.fsck(s, path).tombstones shouldBe 1L // pinned pre-purge
+    AnnIndex.purgeTombstones(s, path) shouldBe 0L // roll-forward flip
+    AnnIndex.fsck(s, path).tombstones shouldBe 0L
+    answers() shouldBe served2
+    AnnIndex.fsck(s, path).consistent shouldBe true
+
+    // a staged rebuild in flight refuses the purge loudly
+    val staging = java.nio.file.Paths.get(path, "_staging", "g1")
+    Files.createDirectories(staging)
+    val ex = the[IllegalStateException] thrownBy
+      AnnIndex.purgeTombstones(s, path)
+    ex.getMessage should include("staged rebuild")
+  }
+
   test("a zero-error baseline never recommends a rebuild for " +
        "double-noise batches, and an append tying the build version " +
        "is rejected") {

@@ -96,6 +96,70 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     for (t <- 1 to 4; i <- 1 to 3) got(t * 100L + i) shouldBe s"w$t-$i"
   }
 
+  test("deleteWhere: bucket-scoped deletion — only touched buckets get " +
+       "a new generation, an emptied bucket leaves the manifest, a " +
+       "no-match is a no-commit, history keeps the rows, and later " +
+       "upserts land normally") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_delw")
+    // ids 1..40 across 8 buckets; flag a small subset for deletion
+    DimStore.upsert(s, path,
+      (1L to 40L).map(i => (i, if (i <= 3) "dead" else "live", 1L))
+        .toDF("id", "state", "ver"),
+      "id", "ver", nBuckets = 8)
+
+    DimStore.deleteWhere(s, path, "id", $"state" === "dead") shouldBe 3L
+    DimStore.currentVersion(path) shouldBe Some(2L)
+    DimStore.read(s, path).count() shouldBe 37L
+    DimStore.read(s, path).filter($"state" === "dead").count() shouldBe 0L
+    // v1 still carries the deleted rows (time travel until vacuum)
+    DimStore.read(s, path, asOf = 1L).count() shouldBe 40L
+    // O(touched buckets): the delete generation holds at most the 3
+    // victims' buckets, not the table's 8
+    val gens = Paths.get(path, "_gens")
+    val delGen = {
+      val l = Files.list(gens)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(f"g${2L}%020d")).toVector
+      } finally l.close()
+    }
+    delGen.size shouldBe 1
+    val touched = {
+      val l = Files.list(gens.resolve(delGen.head))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .count(_.startsWith("__bucket="))
+      } finally l.close()
+    }
+    touched should be <= 3
+
+    // no match → NO commit (version unchanged)
+    DimStore.deleteWhere(s, path, "id", $"state" === "dead") shouldBe 0L
+    DimStore.currentVersion(path) shouldBe Some(2L)
+
+    // EMPTIED buckets leave the manifest: keep a single row — every
+    // bucket but the keeper's (and any it shares) drops out, and the
+    // snapshot reads exactly the keeper
+    DimStore.deleteWhere(s, path, "id", $"id" =!= 4L) shouldBe 36L
+    DimStore.read(s, path).select("id", "state").as[(Long, String)]
+      .collect() shouldBe Array((4L, "live"))
+    // later upserts land normally on the shrunken manifest
+    DimStore.upsert(s, path,
+      Seq((100L, "fresh", 9L)).toDF("id", "state", "ver"), "id", "ver")
+    DimStore.read(s, path).count() shouldBe 2L
+    // and the pre-delete history is still intact
+    DimStore.read(s, path, asOf = 1L).count() shouldBe 40L
+    // deleting EVERY row is refused loudly (a zero-bucket manifest
+    // would be schema-less and wedge reads; a drop must be explicit)
+    an[IllegalStateException] should be thrownBy
+      DimStore.deleteWhere(s, path, "id", $"id" >= 0L)
+    DimStore.read(s, path).count() shouldBe 2L
+  }
+
   test("rewrite racing concurrent upserts: no committed row is ever " +
        "dropped (the transform re-derives from the merged base on retry)") {
     val s = spark
