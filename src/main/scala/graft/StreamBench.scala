@@ -28,9 +28,17 @@ import graft.streaming.{BounceDetector, DedupDaily, FileTopic, Jobs, PageLog, So
   *   - `clusters`: FileTopic → StreamingNearDup (MinHash LSH anchors)
   *               → maintained (id, rep) label table, consultation in
   *               the timed window;
-  *   - `media`:  the multimodal twin of `clusters` — line bytes as
-  *               media blobs → StreamingMediaNearDup.image (pHash
-  *               band anchors) → its own maintained label table.
+  *   - `media`:  the multimodal twin of `clusters` — three-family
+  *               template blobs ([[mediaBlobs]]) →
+  *               StreamingMediaNearDup.image (pHash band anchors) →
+  *               its own maintained label table (witness: exactly 3
+  *               components on a healthy detector);
+  *   - `funnel`: the x93 curation funnel as the layered two-query
+  *               topology ([[graft.streaming.StreamingFunnel]]):
+  *               gates + exact keep-first dedup + DSIR gate against a
+  *               pre-staged frozen model, survivor layer, near-dup
+  *               label maintenance — per-stage survivor counts as the
+  *               witness.
   *
   * Input is derived deterministically from the events fixture (one log
   * line per event row, globally time-ordered, chunked into segments so
@@ -65,6 +73,50 @@ object StreamBench {
 
   private final case class BatchStat(rows: Long, ms: Long)
   private final case class TopoResult(sec: Double, batches: Seq[BatchStat])
+
+  /** The media leg's blob corpus: THREE deterministic byte-template
+    * families (disjoint alphabets → disjoint dominant trigram bins),
+    * keyed by the line hash, each blob carrying an 8-byte per-line
+    * suffix. The template's trigram mass dominates the stub luminance
+    * plane's mean threshold (template bins hold ≥ ~23 of the ~1030
+    * trigrams vs a mean of ~16; the suffix contributes ≤ 8 to any
+    * bin), so every doc of a family carries the SAME four aHash band
+    * values and different families never share one — the expected
+    * component count is exactly [[MediaTemplates]].size, which makes
+    * `media_clusters_found` FALSIFIABLE: a broken detector reads 1
+    * (everything-collides) or ~nDocs (nothing matches), where the r18
+    * single-template corpus read 1 on both failure AND success.
+    * Within-family collision stays maximal — the adversarial
+    * hot-bucket load the leg exists to price. MediaWitnessSpec pins
+    * the family separation per band and the exact component count. */
+  private[graft] val MediaTemplates: Seq[String] = Seq(
+    "the quick brown fox jumps over a lazy dog ",
+    "ZYXWVUTSRQPONMLKJIHGFEDCBA_0123456789_",
+    "?!#%&*+-/:;<=>@[]^{|}~()").map(t => (t * (1024 / t.length + 1)).take(1024))
+
+  /** (doc_id, media) blobs for the media leg — see [[MediaTemplates]]. */
+  private[graft] def mediaBlobs(raw: DataFrame): DataFrame = {
+    val fam = pmod(xxhash64(col("value")), lit(3))
+    val tmpl = when(fam === 0, lit(MediaTemplates(0)))
+      .when(fam === 1, lit(MediaTemplates(1)))
+      .otherwise(lit(MediaTemplates(2)))
+    raw.select(xxhash64(col("value")).as("doc_id"),
+      concat(tmpl, substring(col("value"), 1, 8)).cast("binary").as("media"))
+  }
+
+  /** The funnel leg's doc projection: one doc per parseable line —
+    * id = content hash, text = the punctuation-split line (the
+    * clusters leg's tokenization), ts = the line's embedded event
+    * time. Corrupt lines (no ts) are diverted before the gates, the
+    * split leg's dirty-side-output job. */
+  private[graft] def funnelDocs(raw: DataFrame): DataFrame =
+    raw.select(
+      timestamp_millis(get_json_object(col("value"), "$.ts").cast("long"))
+        .as("ts"),
+      xxhash64(col("value")).as("doc_id"),
+      lit("en").as("lang"),
+      regexp_replace(col("value"), "[\\p{Punct}]+", " ").as("text"))
+      .filter(col("ts").isNotNull)
 
   /** The bench's input corpus: a deterministic projection of the
     * events fixture onto the page-log grain — mid from user_id (5k
@@ -151,6 +203,34 @@ object StreamBench {
       val clustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
       // same witness for the media (pHash) twin's label table
       val mediaClustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
+      // the funnel leg's per-stage survivor counts (JSON fragment)
+      val funnelStages =
+        new java.util.concurrent.atomic.AtomicReference[String]("null")
+      // the funnel's STAGED frozen DSIR model — trained once from the
+      // topic's own corpus (target = display-carrying lines) before
+      // the timed windows, exactly the batch-train / serve-continuous
+      // split DsirGate documents; 4096 rows, pinned hot across passes
+      val funnelRatio = graft.streaming.DsirGate.trainRatio(
+        funnelDocs(FileTopic.replay(spark, topic)),
+        isTarget = col("text").contains("displays")).persist()
+      funnelRatio.count()
+      // BOTH gate thresholds are STAGED with the model, from the
+      // corpus's own distributions (exact quantiles, relativeError 0)
+      // — fixed absolute values read degenerate witnesses (0 gated /
+      // 0 accepted) because the corpus's token counts and scores move
+      // with sf and event_type shape. Length gate: p25+1 (capped at
+      // p90 so a near-degenerate distribution can't gate everything
+      // out); DSIR gate: the median score.
+      val funnelMinToks = {
+        val q = funnelDocs(FileTopic.replay(spark, topic))
+          .select(org.apache.spark.sql.functions
+            .size(split(col("text"), " ")).cast("double").as("n"))
+          .stat.approxQuantile("n", Array(0.25, 0.9), 0.0)
+        math.min(q(0).toInt + 1, q(1).toInt)
+      }
+      val funnelMinScore = graft.streaming.DsirGate
+        .score(funnelDocs(FileTopic.replay(spark, topic)), funnelRatio)
+        .stat.approxQuantile("score_ppm", Array(0.5), 0.0)(0).toLong
 
       // ---- per-batch progress capture ----
       val stats = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[BatchStat]]()
@@ -306,17 +386,20 @@ object StreamBench {
                   batch.toDF(), bid)
             }.start()
         },
-        // the MEDIA twin of the clusters leg: every raw line's BYTES
-        // become a media blob (id = content hash), hashed to 4×16-bit
-        // aHash band anchors by StreamingMediaNearDup.image (stub
-        // decode, real plumbing — luminance plane + banded hash are a
-        // narrow map; the keyed state shuffle is on the band key), and
-        // candidates maintain their own (id, rep) label table. The
-        // templated page-log JSON is byte-near-identical line to line,
-        // so the aHash buckets see the same adversarial collision load
-        // the text leg's MinHash buckets do. Witness: distinct reps
-        // after ingest (media_clusters_found), consulted inside the
-        // timed window like the clusters leg.
+        // the MEDIA twin of the clusters leg: each line becomes a
+        // media blob from one of THREE deterministic byte-template
+        // families ([[mediaBlobs]] — id = content hash), hashed to
+        // 4×16-bit aHash band anchors by StreamingMediaNearDup.image
+        // (stub decode, real plumbing — luminance plane + banded hash
+        // are a narrow map; the keyed state shuffle is on the band
+        // key), and candidates maintain their own (id, rep) label
+        // table. Within a family every blob shares all four band
+        // values — the same adversarial hot-bucket collision load the
+        // text leg's MinHash buckets see — while families never
+        // collide, so the witness (media_clusters_found, consulted
+        // inside the timed window) reads EXACTLY 3 on a healthy
+        // detector and 1 / ~nDocs on a broken one: structure to lose,
+        // which the r18 single-template corpus lacked.
         "media" -> timed("media", pass, andThen = { dir =>
           mediaClustersFound.set(graft.streaming.StreamingClusters
             .maintainedLabels(spark, s"$dir/labels")
@@ -324,10 +407,7 @@ object StreamBench {
           ()
         }) { (raw, dir) =>
           import spark.implicits._
-          val media = raw
-            .select(xxhash64(col("value")).as("doc_id"),
-              col("value").cast("binary").as("media"))
-            .as[graft.ops.MediaIn]
+          val media = mediaBlobs(raw).as[graft.ops.MediaIn]
           graft.streaming.StreamingMediaNearDup.image(media).toDF()
             .writeStream.queryName(s"media_p$pass")
             .option("checkpointLocation", s"$dir/chk")
@@ -336,6 +416,42 @@ object StreamBench {
                 .updateBatchMaintained(s"$dir/labels", nBuckets = 16)(
                   batch.toDF(), bid)
             }.start()
+        },
+        // the FUNNEL leg — the x93 curation funnel as the layered
+        // two-query topology a continuous corpus pipeline runs
+        // (StreamingFunnel: gates + exact keep-first + DSIR
+        // score-at-ingest against the pre-staged frozen model, a
+        // survivor parquet layer between the queries, near-dup
+        // anchors maintaining the label table, per-stage survivor
+        // counts consulted inside the timed window). Stage 2 runs
+        // CONCURRENTLY with stage 1 over the survivor layer's file
+        // stream — the pipelined deployment, not a batch handoff.
+        "funnel" -> {
+          val key = s"funnel_p$pass"
+          val dir = work.resolve(key)
+          Files.createDirectories(dir.resolve("survivors"))
+          val raw = FileTopic.stream(spark, topic, maxFilesPerTrigger = Some(2))
+          val t0 = System.nanoTime()
+          val q1 = graft.streaming.StreamingFunnel.startGateStage(
+            funnelDocs(raw), funnelRatio, dir.toString,
+            langs = Seq("en"), minToks = funnelMinToks,
+            watermark = "1 hour", minScorePpm = funnelMinScore,
+            checkpoint = s"$dir/chk1", queryName = Some(key))
+          val q2 = graft.streaming.StreamingFunnel.startNeardupStage(
+            spark, dir.toString, s"$dir/chk2",
+            queryName = Some(s"${key}_nd"))
+          try q1.processAllAvailable() finally q1.stop()
+          try q2.processAllAvailable() finally q2.stop()
+          val sc = graft.streaming.StreamingFunnel
+            .stageCounts(spark, dir.toString)
+          funnelStages.set(s"""{"raw":$nEvents,"gated":${sc.gated},"neardup_kept":${
+            sc.neardupKept},"dsir_accepted":${sc.dsirAccepted}}""")
+          val dt = (System.nanoTime() - t0) / 1e9
+          val b = stats.synchronized(
+            (stats.getOrElse(key, Seq.empty) ++
+              stats.getOrElse(s"${key}_nd", Seq.empty)).toList)
+          deleteTree(dir)
+          TopoResult(dt, b)
         })
 
       val p1 = runPass(1)
@@ -354,7 +470,8 @@ object StreamBench {
           p50(ms)},"batch_ms_max":${ms.foldLeft(0L)(math.max)}}"""
       }
       val names =
-        Seq("split", "split_atomic", "uv_dim", "bounce", "clusters", "media")
+        Seq("split", "split_atomic", "uv_dim", "bounce", "clusters", "media",
+          "funnel")
       val allNames = "calibrate" +: names
       val spread = names.collect {
         case n if math.max(p1(n).sec, p2(n).sec) >
@@ -383,7 +500,8 @@ object StreamBench {
         names.map(topoJson).mkString(",")}},"calibration":{"sec":${num(calBest)},"events_per_sec":${
         num(nEvents / calBest)}},"normalized":$normalized,"spread":$spread,"clusters_found":${
         clustersFound.get()},"media_clusters_found":${
-        mediaClustersFound.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
+        mediaClustersFound.get()},"funnel_stages":${
+        funnelStages.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
     } finally {
       deleteTree(work)
       spark.stop()

@@ -27,15 +27,18 @@ object CurationPipeline {
       .withColumn("ok_len", coalesce(col("n_toks") >= minToks, lit(false)))
 
   /** Accepted stream: quality-gated, first copy per normalized-content
-    * fingerprint within the watermark horizon. */
+    * fingerprint within the watermark horizon. `keep` names extra
+    * input columns to carry through (e.g. `text` for a downstream
+    * stage that re-reads the content — the [[StreamingFunnel]] shape). */
   def clean(docs: DataFrame, langs: Seq[String], minToks: Int,
-            watermark: String): DataFrame =
+            watermark: String, keep: Seq[String] = Nil): DataFrame =
     withQuality(docs, langs, minToks)
       .filter(col("ok_lang") && col("ok_len"))
       .withColumn("fingerprint", graft.queries.Q.normFingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
-      .select("ts", "doc_id", "lang", "n_toks", "fingerprint")
+      .select((Seq("ts", "doc_id", "lang", "n_toks", "fingerprint") ++ keep)
+        .map(col): _*)
 
   /** Rejected stream (dirty side output analogue): every gated-out doc
     * with the reason attached. Duplicates are NOT here — they are

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The serve half of DSIR data selection [Xie et al., NeurIPS 2023]:
@@ -43,6 +43,42 @@ object DsirGate {
           lit(nBuckets)))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Train the frozen per-bucket ratio table from ANY corpus — the
+    * generic form of the fixture-bound x90 trainer
+    * (`Extensions.dsirRatio`, whose target is hardwired to
+    * lang = 'en'): `isTarget` marks the target-domain rows, everything
+    * is the raw pool, and the output is the same DENSE B-row
+    * (b, r_ppm) model [[score]] serves —
+    * `r_ppm(b) = 1e6·(c_t+1)(N_r+B) ÷ (c_r+1)(N_t+B)` in exact
+    * DECIMAL(38,0) arithmetic (DsirGateSpec pins bit-equality with
+    * the x90 trainer on the fixture corpus, so the two definitions
+    * cannot drift). Train-once / serve-continuously: stage this once
+    * per dataset version, broadcast the 4096 rows forever after. */
+  def trainRatio(docs: DataFrame, isTarget: Column,
+                 nBuckets: Long = 4096L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // evaluate the target predicate against the CALLER's columns
+    // before re-purposing `lang` as the per-row domain marker
+    val marked = docs.withColumn("__t", isTarget)
+      .withColumn("lang", when(col("__t"), "t").otherwise("r"))
+    val buckets = spark.range(nBuckets).select($"id".as("b"))
+      .join(
+        bucketCounts(marked, nBuckets).groupBy($"b").agg(
+          sum($"cnt").as("c_r0"),
+          sum(when($"lang" === "t", $"cnt").otherwise(0L)).as("c_t0")),
+        Seq("b"), "left")
+      .select($"b", coalesce($"c_r0", lit(0L)).as("c_r"),
+        coalesce($"c_t0", lit(0L)).as("c_t"))
+    val totals = buckets.agg(sum($"c_r").as("n_r"), sum($"c_t").as("n_t"))
+    buckets
+      .crossJoin(broadcast(totals))
+      .withColumn("r_ppm", expr(
+        s"cast(1000000 as decimal(38,0)) * (c_t + 1) * (n_r + $nBuckets) div " +
+        s"(cast(c_r + 1 as decimal(38,0)) * (n_t + $nBuckets))"))
+      .select($"b", $"r_ppm")
+  }
 
   /** Score a batch of documents against the frozen ratio table:
     * (doc_id, lang, n_bigrams, score_ppm). Exact integer mean of the
