@@ -74,9 +74,18 @@ object StreamingFunnel {
       // pin it so the clean topology doesn't recompute per consumer
       val b = batch.persist()
       try {
-        b.write.mode("append").parquet(s"$dir/survivors")
+        // ONE file per micro-batch: the survivor layer is stage 2's
+        // file-source "topic", and its FILE count — not its row
+        // count — is what prices stage 2 (each trigger's batch pays
+        // the label-table maintenance floor). Unfused, the
+        // shuffle-partition fan-out wrote ~32 files per batch and
+        // stage 2 degraded to ~16× more micro-batches doing the same
+        // work (measured 242 s vs ~40 s at sf0.1). A 100 TB/day
+        // deployment sizes this to a few files per batch, same knob.
+        b.coalesce(1).write.mode("append").parquet(s"$dir/survivors")
         DsirGate.accepted(DsirGate.scored(b.toDF(), ratio, minScorePpm))
-          .select("doc_id").write.mode("append").parquet(s"$dir/accepted")
+          .select("doc_id").coalesce(1)
+          .write.mode("append").parquet(s"$dir/accepted")
       } finally { b.unpersist(); () }
     }.start()
   }
@@ -86,7 +95,7 @@ object StreamingFunnel {
     * alongside stage 1; drain it after stage 1 drains. */
   def startNeardupStage(spark: SparkSession, dir: String,
       checkpoint: String, queryName: Option[String] = None,
-      maxFilesPerTrigger: Int = 2,
+      maxFilesPerTrigger: Int = 4,
       nBuckets: Int = 16): StreamingQuery = {
     val survivors = spark.readStream
       .schema(SurvivorSchema)
