@@ -1202,4 +1202,58 @@ private[queries] trait ExtensionsAnn { this: Extensions.type =>
       ORDER BY query_id, rank
     """})
 
+  // ---------------------------------------------------------------------
+  // x94 — the DELETION lifecycle served end-to-end: x78's staged build,
+  // then a takedown batch (every corpus vector with vec_id % 7 == 0
+  // above the query range, plus one id the index never held — the
+  // harmless no-op contract), then the bounded tombstone purge
+  // ([[graft.ops.AnnIndex.purgeTombstones]] — O(tombstoned buckets),
+  // no rebuild), then the same ADC top-10 serve as x78. Grades
+  // cross-engine what only specs pinned until now: a deleted vector is
+  // unservable and PHYSICAL reclamation changes no surviving answer.
+  // The oracle re-derives the full x75/x78 train/encode/score chain
+  // over e UNCHANGED — the model stays frozen on the FULL corpus
+  // (deletes are LWW tombstones, never a retrain) — and excludes the
+  // deleted ids only from the SCORED rows, exactly the serve path's
+  // codes() sentinel filter. Scale shape: x78's plus one O(touched
+  // buckets) delete commit and one O(tombstoned buckets) purge
+  // commit, staged once per dataset version. A SEPARATE Staging key
+  // from x78: this lifecycle MUTATES its index — sharing x78's
+  // artifact would corrupt that query's grading.
+  lazy val x94 = Q(
+    "x94_ann_delete_purge_serve",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val idxPath = graft.ops.Staging.ensurePath(
+          "ann_index_purged", dir, Seq("embeddings")) { p =>
+        graft.ops.AnnIndex.build(s, p.toString, e, "vec_id", "v",
+          centroidIds = IvfCentroids, dim = PqM * PqD, m = PqM, k = PqK,
+          rounds = 1)
+        val takedown = e.filter($"vec_id" % 7 === 0 && $"vec_id" > 2)
+          .select($"vec_id")
+          .unionByName(Seq(-987654321L).toDF("vec_id")) // never indexed
+        graft.ops.AnnIndex.delete(s, p.toString, takedown, "vec_id",
+          ver = 2L)
+        graft.ops.AnnIndex.purgeTombstones(s, p.toString)
+        ()
+      }
+      val model = graft.ops.AnnIndex.readModel(s, idxPath)
+      val probes = graft.ops.AnnIndex.queryProbes(
+        e.filter($"vec_id" <= 2), "vec_id", "v", model, IvfProbes)
+      graft.ops.AnnIndex.adcTopK(s, idxPath, probes, model, 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH $ivfAdcScoredSqlCtes
+      SELECT query_id, vec_id, list_id, adc_ppm, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_ppm, vec_id) AS rank
+        FROM scored
+        WHERE NOT (vec_id % 7 = 0 AND vec_id > 2))
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
 }
