@@ -710,7 +710,8 @@ object AnnIndex {
     * [[buildTrained]] fixes a skewed coarse quantizer). `None` means
     * the audit was not requested, not that balance is fine. */
   final case class Maintenance(codes: DimStore.Maintenance,
-                               occupancy: Option[Occupancy])
+                               occupancy: Option[Occupancy],
+                               purgedTombstones: Long = 0L)
 
   /** Layout + history maintenance for the index, riding the dim-store
     * policy: the codes table accretes one commit generation per
@@ -727,7 +728,17 @@ object AnnIndex {
     * cadence gating (at a 100 TB codes table an unconditional audit
     * would double every maintain call's read cost). Run it from the
     * same cadence that calls [[append]] (a streaming job's
-    * every-N-batches hook, or a maintenance window). */
+    * every-N-batches hook, or a maintenance window).
+    *
+    * `purgeTombstonesOver > 0` adds the tombstone-reclaim policy:
+    * when [[fsck]] counts at least that many dead rows,
+    * [[purgeTombstones]] runs as part of this pass (BEFORE the layout
+    * maintenance, so compaction measures the already-lean table).
+    * Opt-in like `occupancyCheck` — the trigger check is one codes
+    * scan. Skipped quietly (purgedTombstones = 0) while a staged
+    * rebuild is in flight or the index carries an unpublished rebuild
+    * commit: the flip (or the Ingestor's recovery) reclaims wholesale
+    * there, and a maintenance cadence must not throw mid-stream. */
   def maintain(spark: SparkSession, path: String,
                targetBucketBytes: Long = 256L * 1024 * 1024,
                targetFileBytes: Long = 128L * 1024 * 1024,
@@ -737,9 +748,26 @@ object AnnIndex {
                vacuumKeepLast: Int = 0,
                vacuumGraceMillis: Long = 24L * 3600 * 1000,
                occupancyCheck: Boolean = false,
-               occupancySkewFactor: Double = 4.0)
+               occupancySkewFactor: Double = 4.0,
+               purgeTombstonesOver: Long = 0L)
       : Maintenance = {
     val ptr = resolvedPtr(spark, path)
+    val purged =
+      if (purgeTombstonesOver <= 0L) 0L
+      else {
+        val sroot = new org.apache.hadoop.fs.Path(stagingRoot(path))
+        val fs = hfs(spark, stagingRoot(path))
+        val busy = fs.exists(sroot) && fs.listStatus(sroot).nonEmpty
+        val published =
+          DimStore.currentVersion(modelPath(path)).contains(ptr.modelV)
+        if (busy || !published) 0L
+        else if (fsck(spark, path).tombstones >= purgeTombstonesOver)
+          purgeTombstones(spark, path)
+        else 0L
+      }
+    // a purge flipped the pointer itself — refresh so the advance
+    // logic below doesn't re-flip to the same version
+    val ptrM = if (purged > 0L) resolvedPtr(spark, path) else ptr
     val m = DimStore.maintain(spark, codesPath(path), "vec_id",
       targetBucketBytes = targetBucketBytes,
       targetFileBytes = targetFileBytes,
@@ -755,16 +783,16 @@ object AnnIndex {
     // new-model codes under old codebooks (the Ingestor's recovery
     // rolls that state forward; maintain must not paper over it).
     val latestCodes = DimStore.currentVersion(codesPath(path)).get
-    if (latestCodes != ptr.codesV &&
-        DimStore.currentVersion(modelPath(path)).contains(ptr.modelV))
-      bumpPtr(spark, path, ptr.modelV, latestCodes, ptr.buildVer)
+    if (latestCodes != ptrM.codesV &&
+        DimStore.currentVersion(modelPath(path)).contains(ptrM.modelV))
+      bumpPtr(spark, path, ptrM.modelV, latestCodes, ptrM.buildVer)
     if (vacuumKeepLast > 0) {
       // never vacuum the PINNED version out from under the pointer: a
       // crashed rebuild can leave debris versions ABOVE the pinned one
       // (latest ≠ published), so "keep last N" is widened to reach the
       // pinned version — the debris is then pruned by the vacuum that
       // follows the next successful build.
-      val cur = readPtr(spark, path).getOrElse(ptr)
+      val cur = readPtr(spark, path).getOrElse(ptrM)
       def keepReaching(p: String, pinned: Long): Int =
         math.max(vacuumKeepLast, DimStore.history(p).count(_ >= pinned))
       DimStore.vacuum(spark, codesPath(path),
@@ -775,7 +803,8 @@ object AnnIndex {
     }
     Maintenance(m,
       if (occupancyCheck) Some(occupancy(spark, path, occupancySkewFactor))
-      else None)
+      else None,
+      purgedTombstones = purged)
   }
 
   /** What one orchestrated ingest did: the batch's drift report, the

@@ -541,12 +541,31 @@ class AnnIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     answers() shouldBe served2
     AnnIndex.fsck(s, path).consistent shouldBe true
 
-    // a staged rebuild in flight refuses the purge loudly
+    // the MAINTAIN policy route: below threshold → no purge; at
+    // threshold → purge runs inside the pass and the answers hold
+    val victim3 = AnnIndex.codes(s, path)
+      .select($"vec_id").as[Long].head()
+    AnnIndex.delete(s, path, Seq(victim3).toDF("vec_id"), "vec_id", ver = 4L)
+    val served3 = answers()
+    AnnIndex.maintain(s, path, purgeTombstonesOver = 2L)
+      .purgedTombstones shouldBe 0L // 1 tombstone < threshold 2
+    AnnIndex.fsck(s, path).tombstones shouldBe 1L
+    AnnIndex.maintain(s, path, purgeTombstonesOver = 1L)
+      .purgedTombstones shouldBe 1L
+    AnnIndex.fsck(s, path).tombstones shouldBe 0L
+    answers() shouldBe served3
+    AnnIndex.fsck(s, path).consistent shouldBe true
+
+    // a staged rebuild in flight refuses the standalone purge loudly —
+    // and the maintain policy SKIPS it quietly (a streaming cadence
+    // must not throw; the flip reclaims wholesale anyway)
     val staging = java.nio.file.Paths.get(path, "_staging", "g1")
     Files.createDirectories(staging)
     val ex = the[IllegalStateException] thrownBy
       AnnIndex.purgeTombstones(s, path)
     ex.getMessage should include("staged rebuild")
+    AnnIndex.maintain(s, path, purgeTombstonesOver = 1L)
+      .purgedTombstones shouldBe 0L
   }
 
   test("a zero-error baseline never recommends a rebuild for " +
