@@ -840,7 +840,93 @@ object Warehouse {
       WHERE old.ver_v2 IS NULL OR old.ver_v2 <> cur.ver_now
     """))
 
+  // ---------------------------------------------------------------------
+  // w21 — targeted row DELETION as a commit: the retention/GDPR pass a
+  // dim store needs (the reference's HBase sink gets `delete` from the
+  // storage engine; DimStore.deleteWhere is the Spark-native analogue —
+  // a bucket-scoped commit touching only the buckets that hold a
+  // matching row). The query builds the per-user latest-event dim in
+  // commits v1/v2, PURGES every user whose latest event predates the
+  // retention cutoff as commit v3 (deleteWhere — the x94 purge's table
+  // primitive, here graded on the warehouse grain), then applies the
+  // remaining event tail as v4, and FULL-OUTER diffs the time-traveled
+  // v2 snapshot against the current version. A green row certifies
+  // (a) the delete removed exactly the predicate's rows and nothing
+  // else, (b) upserts merge correctly on the shrunken manifest —
+  // including REVIVING a purged user whose events resume after the
+  // cutoff (the LWW re-ingest contract), (c) the v2 manifest still
+  // resolves across the delete commit (history is append-only; the
+  // deleted rows stay time-travelable until vacuum). Purged-for-good
+  // users surface with null current columns, revived/updated users
+  // with both sides, post-cutoff newcomers with null v2 columns —
+  // nothing about the deletion is silent.
+  val w21 = Q(
+    "w21_delete_where_diff",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.DimStore
+      def micros(d: String): Long =
+        java.time.Instant.parse(d).toEpochMilli * 1000L
+      val c0 = micros("2024-01-15T00:00:00Z")
+      val c1 = micros("2024-01-25T00:00:00Z")
+      val cRet = micros("2024-01-20T00:00:00Z") // retention cutoff
+      val versioned = ev(s, dir).select($"user_id", $"event_type",
+        unix_micros($"ts").as("version"))
+      val work = java.nio.file.Files.createTempDirectory("w21_dw_")
+      try {
+        val store = work.resolve("dim_user_latest").toString
+        DimStore.upsert(s, store, versioned.filter($"version" <= c0),
+          "user_id", "version", nBuckets = 8) // commit v1
+        DimStore.upsert(s, store,
+          versioned.filter($"version" > c0 && $"version" <= c1),
+          "user_id", "version") // commit v2 — the snapshot under test
+        DimStore.deleteWhere(s, store, "user_id",
+          org.apache.spark.sql.functions.col("version") < cRet) // v3
+        DimStore.upsert(s, store, versioned.filter($"version" > c1),
+          "user_id", "version") // commit v4 — revives returning users
+        val old = DimStore.read(s, store, asOf = 2L)
+          .select($"user_id", $"event_type".as("et_v2"),
+            $"version".as("ver_v2"))
+        val cur = DimStore.read(s, store)
+          .select($"user_id", $"event_type".as("et_now"),
+            $"version".as("ver_now"))
+        localized(s, cur.join(old, Seq("user_id"), "full_outer")
+          .filter($"ver_v2".isNull || $"ver_now".isNull ||
+            $"ver_v2" =!= $"ver_now")
+          .select($"user_id", $"et_v2", $"ver_v2", $"et_now", $"ver_now"))
+      } finally deleteTree(work)
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, event_type, epoch_us(ts) AS version FROM events),
+      old AS (
+        SELECT user_id, event_type AS et_v2, version AS ver_v2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC) AS rn
+              FROM v
+              WHERE version <= epoch_us(TIMESTAMP '2024-01-25 00:00:00'))
+        WHERE rn = 1),
+      surv AS (
+        SELECT * FROM old
+        WHERE ver_v2 >= epoch_us(TIMESTAMP '2024-01-20 00:00:00')),
+      cur AS (
+        SELECT user_id, event_type AS et_now, version AS ver_now
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC) AS rn
+              FROM (SELECT user_id, event_type, version FROM v
+                    WHERE version > epoch_us(TIMESTAMP '2024-01-25 00:00:00')
+                    UNION ALL
+                    SELECT user_id, et_v2 AS event_type, ver_v2 AS version
+                    FROM surv))
+        WHERE rn = 1)
+      SELECT COALESCE(cur.user_id, old.user_id) AS user_id,
+        old.et_v2, old.ver_v2, cur.et_now, cur.ver_now
+      FROM cur FULL OUTER JOIN old ON cur.user_id = old.user_id
+      WHERE old.ver_v2 IS NULL OR cur.ver_now IS NULL
+         OR old.ver_v2 <> cur.ver_now
+    """))
+
   def queries: Seq[Q] = Seq(
     w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11, w12, w13, w14,
-    w15, w16, w17, w18, w19, w20)
+    w15, w16, w17, w18, w19, w20, w21)
 }
