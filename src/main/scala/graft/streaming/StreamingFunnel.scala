@@ -92,16 +92,32 @@ object StreamingFunnel {
 
   /** Stage 2: near-dup anchors over the survivor layer's file stream,
     * maintaining the (id, rep) label table at `dir`/labels. Start it
-    * alongside stage 1; drain it after stage 1 drains. */
+    * alongside stage 1; drain it after stage 1 drains. `ttl = Some(d)`
+    * runs the BOUNDED-state detector instead
+    * ([[StreamingNearDup.withTtl]] — anchors expire once the
+    * watermark passes their last sighting + d, the form a continuous
+    * 100 TB/day deployment runs; rows later than `watermarkDelay`
+    * behind the max observed survivor `ts` are dropped before the
+    * state op). */
   def startNeardupStage(spark: SparkSession, dir: String,
       checkpoint: String, queryName: Option[String] = None,
       maxFilesPerTrigger: Int = 4,
-      nBuckets: Int = 16): StreamingQuery = {
+      nBuckets: Int = 16,
+      ttl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "2 seconds"): StreamingQuery = {
     val survivors = spark.readStream
       .schema(SurvivorSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$dir/survivors")
-    val w = StreamingNearDup(survivors.select(col("doc_id"), col("text")))
+    val cands = ttl match {
+      case Some(t) => StreamingNearDup.withTtl(
+        survivors.select(col("doc_id"), col("text"),
+            col("ts").as("eventTime"))
+          .withWatermark("eventTime", watermarkDelay), t)
+      case None =>
+        StreamingNearDup(survivors.select(col("doc_id"), col("text")))
+    }
+    val w = cands
       .toDF().writeStream.option("checkpointLocation", checkpoint)
     queryName.foreach(w.queryName)
     w.foreachBatch { (batch: Dataset[Row], bid: Long) =>

@@ -105,6 +105,15 @@ class StreamingFunnelSpec extends AnyFunSuite with Matchers
     got shouldBe StreamingFunnel.StageCounts(gatedB, keptCount, dsirB)
     keptB.unpersist()
 
+    // the TTL'd (bounded-state) stage-2 route over the same replayed
+    // layer: every fixture row sits inside one reingest window, so the
+    // candidates — and therefore the maintained labels and the stage
+    // counts — are identical to the unbounded route's
+    val q3 = StreamingFunnel.startNeardupStage(s, dir, s"$dir/chk3",
+      ttl = Some(java.time.Duration.ofDays(1)))
+    try q3.processAllAvailable() finally q3.stop()
+    StreamingFunnel.stageCounts(s, dir) shouldBe got
+
     // the funnel genuinely narrows at every stage on this fixture
     got.gated shouldBe 5L          // 8 raw − de − short − exact dup
     got.neardupKept shouldBe 3L    // {1,2}→1, {7,8}→7, singleton 4
