@@ -284,6 +284,65 @@ object StreamingClusters {
       case None => spark.range(0).select(col("id"), col("id").as("rep"))
     }
 
+  /** Takedown propagation, JOURNAL route — delete every edge incident
+    * to `ids` (one bucket-scoped [[DimStore.deleteWhere]] commit), so
+    * the next [[labels]] consultation recomputes WITHOUT the removed
+    * nodes: a taken-down document leaves the cluster graph entirely,
+    * and components it alone connected SPLIT — exact with respect to
+    * the journal's remaining evidence (spec-pinned against a batch
+    * contraction over the surviving edges). `ids` is a driver-side
+    * list because takedown batches are bounded (the GDPR/PII shape) —
+    * the predicate broadcasts as literals, never a join.
+    *
+    * Semantics note: [[compactJournal]] preserves CONNECTIVITY, not
+    * evidence multiplicity — after a compaction the only stored
+    * witness for a member is its star edge to the rep, so taking down
+    * a REP dissolves its component's indirect claims. That errs
+    * toward keeping data (fewer dup claims), never toward falsely
+    * grouping. Returns the number of edges removed. Idempotent:
+    * redelivery finds nothing incident and commits nothing. */
+  def deleteNodes(spark: SparkSession, store: String,
+                  ids: Seq[Long]): Long = {
+    if (ids.isEmpty || DimStore.readIfExists(spark, store).isEmpty) return 0L
+    DimStore.deleteWhere(spark, store, "pk",
+      col("a").isin(ids: _*) || col("b").isin(ids: _*))
+  }
+
+  /** Takedown propagation, MAINTAINED route: remove `ids` from the
+    * (id, rep) label table; components whose REP was taken down
+    * re-elect the minimum surviving member and relabel (O(affected
+    * components), one upsert + one bucket-scoped delete commit). The
+    * label table holds no pairwise evidence — only the star — so the
+    * surviving members KEEP their component under the new rep (the
+    * transitive-closure semantics dedup clustering already asserts);
+    * a deployment that needs exact post-takedown splits runs the
+    * journal route's [[deleteNodes]], which retains the edges.
+    *
+    * At-least-once safe: a crash between the relabel upsert and the
+    * delete commit leaves relabeled survivors (reps not in `ids`), so
+    * the redelivered call finds no affected components and just
+    * completes the delete — convergent, spec-pinned idempotent. */
+  def deleteNodesMaintained(spark: SparkSession, store: String,
+                            ids: Seq[Long], batchId: Long): Long = {
+    if (ids.isEmpty || DimStore.readIfExists(spark, store).isEmpty) return 0L
+    val old = maintainedLabels(spark, store)
+    // surviving members of components whose rep is being deleted
+    val affected = old
+      .filter(col("rep").isin(ids: _*) && !col("id").isin(ids: _*))
+      .persist()
+    try {
+      val newReps = affected.groupBy(col("rep"))
+        .agg(min(col("id")).as("__nrep"))
+      val relabel = affected.join(broadcast(newReps), Seq("rep"))
+        .select(col("id"), col("__nrep").as("rep"))
+        .withColumn("ver", lit(batchId))
+      if (!relabel.isEmpty)
+        DimStore.upsert(spark, store, relabel, pk = "id",
+          versionCol = "ver")
+    } finally { affected.unpersist(); () }
+    DimStore.deleteWhere(spark, store, "id", col("id").isin(ids: _*))
+  }
+
   /** Journal COMPACTION: replace the stored edge set with the star
     * edges of its own components ([[graft.ops.DimStore.rewrite]] — one
     * optimistic commit, re-derived per attempt so a racing

@@ -180,6 +180,79 @@ class StreamingClustersSpec extends AnyFunSuite with Matchers with SparkFixture 
     maintained() shouldBe fullMap
   }
 
+  test("takedown propagation: journal deleteNodes removes the node and " +
+       "its evidence exactly (cut-vertex components split, bridged ones " +
+       "hold); maintained deleteNodesMaintained re-elects reps; both " +
+       "idempotent; the relabel-landed crash window converges") {
+    val s = spark
+    import s.implicits._
+    def cands(pairs: (Long, Long)*) = pairs.toDF("keeperId", "dupId")
+
+    // ---- journal route: exact wrt the surviving evidence ----
+    val store = Files.createTempDirectory("clu-del").toString + "/edges"
+    // diamond {0,1,2,3} (1 is bypassed by 0-3-2), path {7,8,9} (8 is a
+    // cut vertex), island {5,6}
+    StreamingClusters.updateBatch(store)(
+      cands((0L, 1L), (1L, 2L), (0L, 3L), (3L, 2L), (7L, 8L), (8L, 9L),
+        (5L, 6L)).toDF(), 0L)
+    labelMap(store) shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L)
+
+    StreamingClusters.deleteNodes(s, store, Seq(1L, 8L)) shouldBe 4L
+    // 1 was bypassed: {0,2,3} holds via 0-3-2; 8 was a cut vertex:
+    // 7 and 9 fall out of the graph entirely (exact split); {5,6}
+    // untouched
+    val after = labelMap(store)
+    after shouldBe Map(0L -> 0L, 2L -> 0L, 3L -> 0L, 5L -> 5L, 6L -> 5L)
+    // ...and equals a batch contraction over the surviving edges
+    val batchL = graft.ops.ConnectedComponents.starContraction(
+      Seq((3L, 0L), (3L, 2L), (6L, 5L)).toDF("a", "b"))
+    batchL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe after
+    batchL.unpersist()
+    // idempotent redelivery: nothing incident remains → no commit
+    val h0 = graft.ops.DimStore.history(store)
+    StreamingClusters.deleteNodes(s, store, Seq(1L, 8L)) shouldBe 0L
+    graft.ops.DimStore.history(store) shouldBe h0
+
+    // ---- maintained route: re-election semantics ----
+    val mstore = Files.createTempDirectory("clu-del-m").toString + "/labels"
+    def maintained(): Map[Long, Long] =
+      StreamingClusters.maintainedLabels(s, mstore)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    StreamingClusters.updateBatchMaintained(mstore)(
+      cands((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L)).toDF(), 0L)
+    maintained() shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L)
+
+    // delete the REP: survivors keep their component under the new
+    // minimum member
+    StreamingClusters.deleteNodesMaintained(s, mstore, Seq(0L), 1L) shouldBe 1L
+    maintained() shouldBe Map(1L -> 1L, 2L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L)
+    // delete a MEMBER: its rep is untouched
+    StreamingClusters.deleteNodesMaintained(s, mstore, Seq(9L), 2L) shouldBe 1L
+    maintained() shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L)
+    // one takedown batch spanning a rep (1) and a member (6)
+    StreamingClusters.deleteNodesMaintained(s, mstore, Seq(1L, 6L), 3L) shouldBe 2L
+    maintained() shouldBe Map(2L -> 2L, 5L -> 5L, 8L -> 8L)
+    // idempotent redelivery: nothing present → no upsert, no delete
+    StreamingClusters.deleteNodesMaintained(s, mstore, Seq(1L, 6L), 4L) shouldBe 0L
+    maintained() shouldBe Map(2L -> 2L, 5L -> 5L, 8L -> 8L)
+    // later batches merge correctly on the shrunken table
+    StreamingClusters.updateBatchMaintained(mstore)(cands((2L, 8L)).toDF(), 5L)
+    maintained() shouldBe Map(2L -> 2L, 8L -> 2L, 5L -> 5L)
+
+    // crash window: the relabel upsert LANDED but the delete commit
+    // did not (simulated by hand-landing the relabel) — the
+    // redelivered takedown finds no affected components and completes
+    // the delete, converging
+    graft.ops.DimStore.upsert(s, mstore,
+      Seq((8L, 8L, 90L)).toDF("id", "rep", "ver"), "id", "ver")
+    StreamingClusters.deleteNodesMaintained(s, mstore, Seq(2L), 91L) shouldBe 1L
+    maintained() shouldBe Map(8L -> 8L, 5L -> 5L)
+  }
+
   test("maintained labels, distributed fallback route (driverFoldMaxEdges" +
        " = 0): identical fixpoint, replays still no-ops") {
     val s = spark
