@@ -571,6 +571,15 @@ object AnnIndex {
     deleteImpl(spark, path, ids, idCol, ver, crashAfter = None)
   }
 
+  /** Caller convenience: takedown ids as a driver-side list (the
+    * bounded GDPR-batch shape) — same guards and tombstone commit as
+    * the DataFrame route, which bulk sweeps should use directly. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long],
+             ver: Long): Unit = {
+    import spark.implicits._
+    delete(spark, path, ids.toDF("vec_id"), idCol = "vec_id", ver = ver)
+  }
+
   /** The tombstone commit itself — shared by the guarded standalone
     * [[delete]] and [[Ingestor.ingestDelete]] (whose staging spill
     * makes the guard unnecessary). */
@@ -646,8 +655,12 @@ object AnnIndex {
         s"ANN index at $path has a staged rebuild in flight — its flip " +
         "replaces the codes table wholesale (purging now buys nothing " +
         "and the pointer flips would race); flip or sweep staging first")
+    // allowEmpty: a fully-tombstoned index (every remaining vector
+    // taken down) must PURGE to an empty-but-readable codes table, not
+    // wedge the maintenance cadence — maintain()'s docstring promises
+    // purgeTombstonesOver never throws mid-stream
     val purged = DimStore.deleteWhere(spark, codesPath(path),
-      pk = "vec_id", pred = col("list_id") < 0)
+      pk = "vec_id", pred = col("list_id") < 0, allowEmpty = true)
     val latestCodes = DimStore.currentVersion(codesPath(path)).get
     if (latestCodes != ptr.codesV)
       bumpPtr(spark, path, modelV = ptr.modelV, codesV = latestCodes,

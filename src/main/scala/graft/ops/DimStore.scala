@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, hash, lit, pmod, row_number, struct}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, hash, lit, pmod, row_number, struct}
 
 /** K3/K4 — keyed upsert (MERGE) dim store over parquet, with a
   * Delta/Iceberg-style versioned-snapshot commit protocol.
@@ -1027,11 +1027,20 @@ object DimStore {
     * too blunt: drop every row matching `pred`, writing a new
     * generation ONLY for the buckets that hold at least one matching
     * row; every other bucket's generation is carried forward in the
-    * manifest untouched (the [[upsert]] cost shape). A bucket emptied
+    * manifest untouched (the [[upsert]] cost shape). SQL DELETE
+    * null semantics: a row where `pred` evaluates to NULL (a nullable
+    * column in the predicate) is KEPT, never silently dropped — only
+    * rows where `pred` is literally true are deleted, and the
+    * returned count covers exactly those. A bucket emptied
     * entirely drops out of the manifest; a predicate that would empty
-    * the WHOLE table is refused loudly (a zero-bucket manifest is
-    * schema-less and wedges reads — dropping a table must be
-    * explicit). Finding the touched buckets
+    * the WHOLE table is refused loudly unless `allowEmpty` (a
+    * zero-bucket manifest is schema-less and wedges reads — dropping
+    * a table must be explicit). Safety-path callers (takedowns,
+    * tombstone purges — cadences that must not wedge on the
+    * everything-matched case) pass `allowEmpty = true`: the table is
+    * emptied but stays READABLE, via a schema-only empty generation
+    * ([[writeEmptyGen]]) instead of a bucket-less manifest.
+    * Finding the touched buckets
     * is one column-pruned scan over the snapshot (the layout column +
     * `pred`'s columns — the same price an audit counting the matching
     * rows pays); the WRITE is O(touched buckets). History stays
@@ -1042,7 +1051,56 @@ object DimStore {
     * upsert's crash story. Returns the number of rows deleted
     * (0 = nothing matched → NO commit). */
   def deleteWhere(spark: SparkSession, path: String, pk: String,
-                  pred: Column): Long = {
+                  pred: Column, allowEmpty: Boolean = false): Long = {
+    // NULL-proof both sides once: filter(pred) and filter(!pred) BOTH
+    // drop null-eval rows, so the raw pair would silently lose them
+    val hit = coalesce(pred, lit(false))
+    deleteCore(spark, path, pk,
+      doomed = _.filter(hit), keep = _.filter(!hit), allowEmpty)
+  }
+
+  /** Join-route deletion — [[deleteWhere]] for a key SET that lives in
+    * a DataFrame instead of a literal predicate: drop every row where
+    * ANY of `cols` matches a value of `keys`' single column. A bulk
+    * takedown (a PII sweep of 10⁵–10⁶ ids) must not inline its ids
+    * into the plan as an `isin` literal list — here the match is a
+    * broadcast hash semi/anti join per col, so the PLAN stays O(1) in
+    * |keys| and the probe stays one pass over the touched buckets.
+    * Same commit protocol, null semantics (a NULL col never matches),
+    * cost shape, and `allowEmpty` contract as [[deleteWhere]]. */
+  def deleteKeys(spark: SparkSession, path: String, pk: String,
+                 keys: DataFrame, cols: Seq[String],
+                 allowEmpty: Boolean = false): Long = {
+    require(keys.columns.length == 1,
+      s"deleteKeys wants a single-column key frame, got ${keys.columns.mkString(", ")}")
+    require(cols.nonEmpty, "deleteKeys needs at least one column to match")
+    // the key set is re-probed per side and per optimistic retry; pin
+    // the deduped copy once so a caller's expensive lineage (a
+    // takedown feed) isn't recomputed per probe
+    val k = keys.toDF("__dk").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a row hit by several cols must count ONCE: semi-join per col,
+      // dedup by pk (snapshots are pk-unique, so pk is the row id)
+      def doomed(df: DataFrame): DataFrame = cols
+        .map(c => df.join(broadcast(k), df(c) === k("__dk"), "left_semi"))
+        .reduce(_ unionByName _).dropDuplicates(pk)
+      def keep(df: DataFrame): DataFrame = cols.foldLeft(df)(
+        (d, c) => d.join(broadcast(k), d(c) === k("__dk"), "left_anti"))
+      deleteCore(spark, path, pk, doomed, keep, allowEmpty)
+    } finally { k.unpersist(); () }
+  }
+
+  /** The shared optimistic-commit deletion core behind [[deleteWhere]]
+    * and [[deleteKeys]]. `doomed` selects the rows to drop, `keep` the
+    * complement — split into two plan transformers (not one predicate)
+    * so the join route can express "keep" as anti-joins instead of a
+    * negated broadcast condition. Both must partition the snapshot:
+    * every row lands in exactly one. */
+  private def deleteCore(spark: SparkSession, path: String, pk: String,
+                         doomed: DataFrame => DataFrame,
+                         keep: DataFrame => DataFrame,
+                         allowEmpty: Boolean): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(spark, fs, path)
     var attempt = 0
@@ -1051,7 +1109,7 @@ object DimStore {
         s"deleteWhere needs a versioned table at $path; commit an upsert first"))
       val touched = readSnapshotWithBuckets(spark, path, base) match {
         case None => return 0L
-        case Some(snap) => snap.filter(pred).select(BucketCol).distinct()
+        case Some(snap) => doomed(snap).select(BucketCol).distinct()
           .collect().map(_.getInt(0)).sorted.toSeq
       }
       if (touched.isEmpty) return 0L
@@ -1060,22 +1118,34 @@ object DimStore {
         .withColumn(BucketCol, bucketOf(pk, base.buckets))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val deleted = existing.filter(pred).count()
-        val gen = writeGen(existing.filter(!pred), path, base.version + 1)
-        // buckets the delete emptied entirely leave the manifest;
-        // the rest of the touched set points at the new generation
-        val present = bucketDirsOf(path, gen).toSet
-        val next = Manifest(base.version + 1, base.buckets,
-          (base.gens ++ touched.filter(present).map(_ -> gen))
-            -- touched.filterNot(present))
-        // refuse to EMPTY the table: a zero-bucket manifest is
-        // schema-less (nothing left to infer the schema from) and
-        // wedges every later read — the same loud guard upsert's
-        // all-filtered no-op takes. Emptying a table is a drop, not
-        // a delete.
-        if (next.gens.isEmpty) throw new IllegalStateException(
+        val deleted = doomed(existing).count()
+        val kept = keep(existing)
+        // would this commit EMPTY the table? Only when every manifest
+        // bucket is touched and nothing survives — a zero-bucket
+        // manifest is schema-less (nothing left to infer the schema
+        // from) and wedges every later read, so emptying is either
+        // refused loudly (a drop must be explicit, not a predicate
+        // side effect) or, for safety-path callers that opted in,
+        // degraded to a schema-only empty generation.
+        val wouldEmpty =
+          base.gens.keySet.subsetOf(touched.toSet) && kept.isEmpty
+        if (wouldEmpty && !allowEmpty) throw new IllegalStateException(
           s"deleteWhere would remove every row of $path — dropping the " +
-          "table must be explicit, not a predicate side effect")
+          "table must be explicit, not a predicate side effect " +
+          "(safety-path callers pass allowEmpty = true)")
+        val (gen, next) =
+          if (wouldEmpty) {
+            val g = writeEmptyGen(existing, path, base.version + 1)
+            (g, Manifest(base.version + 1, base.buckets, Map(0 -> g)))
+          } else {
+            val g = writeGen(kept, path, base.version + 1)
+            // buckets the delete emptied entirely leave the manifest;
+            // the rest of the touched set points at the new generation
+            val present = bucketDirsOf(path, g).toSet
+            (g, Manifest(base.version + 1, base.buckets,
+              (base.gens ++ touched.filter(present).map(_ -> g))
+                -- touched.filterNot(present)))
+          }
         if (tryCommit(path, next)) {
           syncView(spark, path)
           return deleted
@@ -1087,6 +1157,26 @@ object DimStore {
       } finally { existing.unpersist(); () }
     }
     0L // unreachable: the loop exits only through return/throw
+  }
+
+  /** A generation holding ONE schema-only (zero-row) parquet file
+    * under bucket 0 — how the delete routes represent "table emptied,
+    * schema kept": partitionBy writes NO dirs for zero rows, so the
+    * bucket dir is laid out by hand with a single empty-partition
+    * write whose footer carries the schema. Readers see 0 rows with
+    * the right columns; later upserts merge against the empty
+    * snapshot normally. */
+  private def writeEmptyGen(like: DataFrame, path: String, v: Long): String = {
+    val st = store(path)
+    val gd = gensDir(path)
+    st.mkdirs(gd)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val genName = f"g$v%020d-$nonce"
+    val tmp = s"$gd/.w-$genName"
+    like.filter(lit(false)).drop(BucketCol).coalesce(1)
+      .write.parquet(s"$tmp/$BucketCol=0")
+    st.rename(tmp, s"$gd/$genName")
+    genName
   }
 
   /** Small-file compaction: rewrite the current version toward

@@ -300,12 +300,27 @@ object StreamingClusters {
     * a REP dissolves its component's indirect claims. That errs
     * toward keeping data (fewer dup claims), never toward falsely
     * grouping. Returns the number of edges removed. Idempotent:
-    * redelivery finds nothing incident and commits nothing. */
+    * redelivery finds nothing incident and commits nothing. A
+    * takedown covering every remaining node EMPTIES the journal
+    * rather than wedging (allowEmpty — a safety cadence must not
+    * throw on the everything-matched case). */
   def deleteNodes(spark: SparkSession, store: String,
                   ids: Seq[Long]): Long = {
-    if (ids.isEmpty || DimStore.readIfExists(spark, store).isEmpty) return 0L
-    DimStore.deleteWhere(spark, store, "pk",
-      col("a").isin(ids: _*) || col("b").isin(ids: _*))
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    deleteNodes(spark, store, ids.toDF("id"))
+  }
+
+  /** Bulk-takedown overload: `ids` as a single-column DataFrame (the
+    * 10⁵–10⁶-id PII-sweep shape) — the match runs as broadcast hash
+    * anti/semi joins via [[DimStore.deleteKeys]], so the PLAN stays
+    * O(1) in |ids| where the Seq route's `isin` would inline every id
+    * as a literal. Spec-pinned equal to the Seq route. */
+  def deleteNodes(spark: SparkSession, store: String,
+                  ids: DataFrame): Long = {
+    if (DimStore.readIfExists(spark, store).isEmpty) return 0L
+    DimStore.deleteKeys(spark, store, "pk", ids, Seq("a", "b"),
+      allowEmpty = true)
   }
 
   /** Takedown propagation, MAINTAINED route: remove `ids` from the
@@ -324,13 +339,42 @@ object StreamingClusters {
     * completes the delete — convergent, spec-pinned idempotent. */
   def deleteNodesMaintained(spark: SparkSession, store: String,
                             ids: Seq[Long], batchId: Long): Long = {
-    if (ids.isEmpty || DimStore.readIfExists(spark, store).isEmpty) return 0L
-    val old = maintainedLabels(spark, store)
+    if (ids.isEmpty) return 0L
+    import spark.implicits._
+    deleteNodesMaintained(spark, store, ids.toDF("id"), batchId)
+  }
+
+  /** Bulk-takedown overload of [[deleteNodesMaintained]] — `ids` as a
+    * single-column DataFrame, matched by broadcast hash joins so the
+    * plan stays O(1) in |ids| (the [[deleteNodes]] overload's
+    * rationale). Spec-pinned equal to the Seq route. */
+  def deleteNodesMaintained(spark: SparkSession, store: String,
+                            ids: DataFrame, batchId: Long): Long = {
+    val full = DimStore.readIfExists(spark, store)
+      .getOrElse(return 0L)
+    val k = ids.toDF("__tid").distinct()
     // surviving members of components whose rep is being deleted
-    val affected = old
-      .filter(col("rep").isin(ids: _*) && !col("id").isin(ids: _*))
+    val affected = full
+      .join(broadcast(k), col("rep") === col("__tid"), "left_semi")
+      .join(broadcast(k), col("id") === col("__tid"), "left_anti")
       .persist()
     try {
+      // the relabel upsert below wins its per-row merge only while
+      // batchId beats every stored ver it collides with; a STALE
+      // batchId (a takedown redelivered after later batches raised
+      // the rows' versions) would silently LOSE the LWW merge — and
+      // the delete commit after it would still remove the rep rows,
+      // leaving survivors pointing at a deleted rep. Same
+      // loud-over-wrong guard as AnnIndex.delete's ver > buildVer.
+      val maxVerRow = affected.agg(max(col("ver"))).head()
+      if (!maxVerRow.isNullAt(0)) {
+        val maxVer = maxVerRow.getLong(0)
+        require(batchId > maxVer,
+          s"deleteNodesMaintained batchId $batchId does not beat the " +
+          s"affected label rows' max version $maxVer — the relabel " +
+          "would silently lose the LWW merge and survivors would point " +
+          s"at a deleted rep; reissue the takedown at ver ${maxVer + 1}+")
+      }
       val newReps = affected.groupBy(col("rep"))
         .agg(min(col("id")).as("__nrep"))
       val relabel = affected.join(broadcast(newReps), Seq("rep"))
@@ -340,7 +384,8 @@ object StreamingClusters {
         DimStore.upsert(spark, store, relabel, pk = "id",
           versionCol = "ver")
     } finally { affected.unpersist(); () }
-    DimStore.deleteWhere(spark, store, "id", col("id").isin(ids: _*))
+    DimStore.deleteKeys(spark, store, "id", ids, Seq("id"),
+      allowEmpty = true)
   }
 
   /** Journal COMPACTION: replace the stored edge set with the star

@@ -59,11 +59,24 @@ object StreamingFunnel {
   /** Stage 1: gates + exact keep-first + DSIR score-at-ingest.
     * `docs` needs (ts TIMESTAMP, doc_id LONG, lang STRING,
     * text STRING). Survivors land at `dir`/survivors, DSIR-accepted
-    * ids at `dir`/accepted. */
+    * ids at `dir`/accepted.
+    *
+    * `filesPerBatch` sizes the survivor layer's files per micro-batch
+    * — the knob that prices stage 2: the layer is its file-source
+    * "topic", and its FILE count, not its row count, sets stage 2's
+    * micro-batch count (each trigger pays the label-table maintenance
+    * floor). Unparameterized, the shuffle-partition fan-out wrote ~32
+    * files per batch and stage 2 degraded to ~16× more micro-batches
+    * doing the same work (measured 242 s vs ~40 s at sf0.1). Size it
+    * like a topic's partitions: 1 at bench scale, a few at
+    * 100 TB/day so a single writer task isn't the bottleneck. */
   def startGateStage(docs: DataFrame, ratio: DataFrame, dir: String,
       langs: Seq[String], minToks: Int, watermark: String,
       minScorePpm: Long, checkpoint: String,
-      queryName: Option[String] = None): StreamingQuery = {
+      queryName: Option[String] = None,
+      filesPerBatch: Int = 1): StreamingQuery = {
+    require(filesPerBatch >= 1,
+      s"filesPerBatch must be >= 1, got $filesPerBatch")
     val clean = CurationPipeline
       .clean(docs, langs, minToks, watermark, keep = Seq("text"))
       .select(col("ts"), col("doc_id"), col("lang"), col("text"))
@@ -74,17 +87,10 @@ object StreamingFunnel {
       // pin it so the clean topology doesn't recompute per consumer
       val b = batch.persist()
       try {
-        // ONE file per micro-batch: the survivor layer is stage 2's
-        // file-source "topic", and its FILE count — not its row
-        // count — is what prices stage 2 (each trigger's batch pays
-        // the label-table maintenance floor). Unfused, the
-        // shuffle-partition fan-out wrote ~32 files per batch and
-        // stage 2 degraded to ~16× more micro-batches doing the same
-        // work (measured 242 s vs ~40 s at sf0.1). A 100 TB/day
-        // deployment sizes this to a few files per batch, same knob.
-        b.coalesce(1).write.mode("append").parquet(s"$dir/survivors")
+        b.coalesce(filesPerBatch).write.mode("append")
+          .parquet(s"$dir/survivors")
         DsirGate.accepted(DsirGate.scored(b.toDF(), ratio, minScorePpm))
-          .select("doc_id").coalesce(1)
+          .select("doc_id").coalesce(filesPerBatch)
           .write.mode("append").parquet(s"$dir/accepted")
       } finally { b.unpersist(); () }
     }.start()
@@ -127,11 +133,16 @@ object StreamingFunnel {
   }
 
   private def readLayer(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      spark.read.schema(schema).parquet(path)
+                        schema: StructType): DataFrame = {
+    // Hadoop FS probe, not java.nio — the layers live wherever the
+    // deployment's checkpoint/sink store does (HDFS/S3/ABFS), where a
+    // local-filesystem exists() silently reads every layer as absent
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** The funnel's witness, consulted after both stages drain. DISTINCT
     * doc ids throughout: an at-least-once foreachBatch retry may

@@ -253,6 +253,64 @@ class StreamingClustersSpec extends AnyFunSuite with Matchers with SparkFixture 
     maintained() shouldBe Map(8L -> 8L, 5L -> 5L)
   }
 
+  test("takedown DataFrame overloads: equal to the Seq route (plan stays " +
+       "O(1) in |ids| via broadcast joins); a stale batchId is refused " +
+       "loudly before the relabel can lose LWW; a full-cover takedown " +
+       "EMPTIES the store instead of wedging") {
+    val s = spark
+    import s.implicits._
+    def cands(pairs: (Long, Long)*) = pairs.toDF("keeperId", "dupId")
+
+    // ---- journal route, DataFrame ids ≡ Seq ids ----
+    val store = Files.createTempDirectory("clu-del-df").toString + "/edges"
+    StreamingClusters.updateBatch(store)(
+      cands((0L, 1L), (1L, 2L), (0L, 3L), (3L, 2L), (7L, 8L), (8L, 9L),
+        (5L, 6L)).toDF(), 0L)
+    StreamingClusters.deleteNodes(s, store, Seq(1L, 8L).toDF("id")) shouldBe 4L
+    labelMap(store) shouldBe Map(0L -> 0L, 2L -> 0L, 3L -> 0L,
+      5L -> 5L, 6L -> 5L)
+    // full-cover takedown: every remaining node — empties, no wedge
+    StreamingClusters.deleteNodes(s, store,
+      Seq(0L, 2L, 3L, 5L, 6L).toDF("id")) shouldBe 3L
+    labelMap(store) shouldBe Map.empty
+    // the emptied journal still accepts later batches
+    StreamingClusters.updateBatch(store)(cands((20L, 21L)).toDF(), 1L)
+    labelMap(store) shouldBe Map(20L -> 20L, 21L -> 20L)
+
+    // ---- maintained route, DataFrame ids + stale-version guard ----
+    val mstore = Files.createTempDirectory("clu-del-mdf").toString + "/labels"
+    def maintained(): Map[Long, Long] =
+      StreamingClusters.maintainedLabels(s, mstore)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    StreamingClusters.updateBatchMaintained(mstore)(
+      cands((0L, 1L), (1L, 2L), (5L, 6L)).toDF(), 10L)
+    // STALE batchId (≤ the affected rows' stored ver): refused loudly —
+    // the relabel upsert would silently lose the LWW merge while the
+    // delete went through, leaving survivors pointing at a deleted rep
+    val e = intercept[IllegalArgumentException] {
+      StreamingClusters.deleteNodesMaintained(s, mstore, Seq(0L), 10L)
+    }
+    e.getMessage should include("10")
+    maintained() shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L,
+      6L -> 5L)
+    // a member-only takedown has no affected components → no guard
+    // needed even at a stale ver (nothing to relabel, delete is exact)
+    StreamingClusters.deleteNodesMaintained(s, mstore, Seq(6L), 1L) shouldBe 1L
+    maintained() shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L)
+    // DataFrame route ≡ Seq route re-election semantics
+    StreamingClusters.deleteNodesMaintained(s, mstore,
+      Seq(0L).toDF("id"), 11L) shouldBe 1L
+    maintained() shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    // full-cover maintained takedown: empties instead of wedging
+    StreamingClusters.deleteNodesMaintained(s, mstore,
+      Seq(1L, 2L, 5L).toDF("id"), 12L) shouldBe 3L
+    maintained() shouldBe Map.empty
+    // and the emptied label table still maintains later batches
+    StreamingClusters.updateBatchMaintained(mstore)(
+      cands((30L, 31L)).toDF(), 13L)
+    maintained() shouldBe Map(30L -> 30L, 31L -> 30L)
+  }
+
   test("maintained labels, distributed fallback route (driverFoldMaxEdges" +
        " = 0): identical fixpoint, replays still no-ops") {
     val s = spark

@@ -160,6 +160,87 @@ class VersionedStoreSpec extends AnyFunSuite with Matchers with SparkFixture {
     DimStore.read(s, path).count() shouldBe 2L
   }
 
+  test("deleteWhere NULL-predicate rows are KEPT (SQL DELETE semantics) " +
+       "and never counted — a nullable column in the predicate must not " +
+       "silently drop rows from rewritten buckets") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_delnull")
+    // state nullable: rows where the predicate evaluates to NULL must
+    // survive the delete (filter(pred) AND filter(!pred) both drop them
+    // — the raw pair loses the row; the store must not)
+    DimStore.upsert(s, path,
+      Seq((1L, Some("dead"), 1L), (2L, None, 1L), (3L, Some("live"), 1L),
+          (4L, None, 1L), (5L, Some("dead"), 1L))
+        .toDF("id", "state", "ver"),
+      "id", "ver", nBuckets = 4)
+    DimStore.deleteWhere(s, path, "id", $"state" === "dead") shouldBe 2L
+    DimStore.read(s, path).select("id").as[Long].collect().sorted shouldBe
+      Seq(2L, 3L, 4L)
+    // the null rows are really there, nulls intact
+    DimStore.read(s, path).filter($"state".isNull).count() shouldBe 2L
+  }
+
+  test("deleteWhere allowEmpty: an everything-matched delete EMPTIES the " +
+       "table but keeps it readable (schema preserved) and upsertable — " +
+       "the safety-path form that must not wedge a takedown cadence") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_delempty")
+    DimStore.upsert(s, path,
+      (1L to 5L).map(i => (i, s"v$i", 1L)).toDF("id", "name", "ver"),
+      "id", "ver", nBuckets = 4)
+    DimStore.deleteWhere(s, path, "id", $"id" >= 0L,
+      allowEmpty = true) shouldBe 5L
+    // empty but READABLE: 0 rows, schema intact
+    val empty = DimStore.read(s, path)
+    empty.count() shouldBe 0L
+    empty.columns.toSet shouldBe Set("id", "name", "ver")
+    // history still time-travels across the emptying commit
+    DimStore.read(s, path, asOf = 1L).count() shouldBe 5L
+    // later upserts land normally on the emptied table
+    DimStore.upsert(s, path,
+      Seq((9L, "fresh", 3L)).toDF("id", "name", "ver"), "id", "ver")
+    DimStore.read(s, path).select("id", "name").as[(Long, String)]
+      .collect() shouldBe Array((9L, "fresh"))
+    DimStore.read(s, path, asOf = 1L).count() shouldBe 5L
+  }
+
+  test("deleteKeys: the join route (keys as a DataFrame, broadcast hash " +
+       "anti/semi — no literal inlining) equals the predicate route; a " +
+       "row hit by several cols counts once; a NULL col never matches") {
+    val s = spark
+    import s.implicits._
+    val path = fresh("vs_delkeys")
+    // an edge-like table: (a, b) endpoints, b nullable
+    DimStore.upsert(s, path,
+      Seq((1L, 1L, Some(2L)),   // hit on BOTH cols — must count once
+          (2L, 1L, Some(3L)),   // hit on a
+          (3L, 4L, Some(1L)),   // hit on b
+          (4L, 5L, None),       // null b never matches
+          (5L, 6L, Some(7L)))   // untouched
+        .map { case (pk, a, b) => (pk, a, b, 1L) }
+        .toDF("pk", "a", "b", "ver"),
+      "pk", "ver", nBuckets = 4)
+    DimStore.deleteKeys(s, path, "pk",
+      Seq(1L).toDF("id"), Seq("a", "b")) shouldBe 3L
+    DimStore.read(s, path).select("pk").as[Long].collect().sorted shouldBe
+      Seq(4L, 5L)
+    // no match → no commit, same contract as deleteWhere
+    val v = DimStore.currentVersion(path)
+    DimStore.deleteKeys(s, path, "pk",
+      Seq(99L).toDF("id"), Seq("a", "b")) shouldBe 0L
+    DimStore.currentVersion(path) shouldBe v
+    // everything-matched without allowEmpty is refused loudly
+    an[IllegalStateException] should be thrownBy
+      DimStore.deleteKeys(s, path, "pk", Seq(5L, 6L).toDF("id"), Seq("a"))
+    // ...and with allowEmpty empties but keeps the table readable
+    DimStore.deleteKeys(s, path, "pk", Seq(5L, 6L).toDF("id"), Seq("a"),
+      allowEmpty = true) shouldBe 2L
+    DimStore.read(s, path).count() shouldBe 0L
+    DimStore.read(s, path).columns.toSet shouldBe Set("pk", "a", "b", "ver")
+  }
+
   test("rewrite racing concurrent upserts: no committed row is ever " +
        "dropped (the transform re-derives from the merged base on retry)") {
     val s = spark
