@@ -1173,4 +1173,128 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
       FROM sp GROUP BY split ORDER BY split
     """))
 
+  // ---------------------------------------------------------------------
+  // x95 — TIME-WINDOWED (TTL'd / reingest-window) near-dup detection,
+  // the bounded-state streaming semantics graded CROSS-ENGINE. The
+  // Spark side runs the REAL detector (StreamingNearDup.withTtl — the
+  // EventTimeTimeout anchor state machine every TTL'd modality twin
+  // rides) through the deterministic day-batched replay harness over
+  // an ingest stream derived from the events fixture: every 13th
+  // event re-ingests document (event_id % |documents|) at its event
+  // time, deduped to one (doc, day) row at the day's max ts. A
+  // bucket's keeper is forgotten once the watermark passes its last
+  // sighting + 5 days, so candidate pairs exist only WITHIN a
+  // reingest window — re-ingested content re-anchors fresh instead of
+  // being flagged against an expired keeper. The oracle replays the
+  // exact window/expiry rule in SQL (recursive per-bucket state over
+  // day batches; watermark = running max event-time in ms, one batch
+  // of lag, strict >, ms-floored like GroupState's getTime — see
+  // replayWithTtl's determinism contract). The window BINDS both
+  // ways at sf0.01 AND sf0.1: pairs the unbounded detector emits are
+  // excluded by expiry (28 / 444), and post-expiry re-anchoring
+  // produces pairs under the new keeper the unbounded route never
+  // sees (12 / 120) — StreamingNearDupTtlSpec pins both directions
+  // on a hand-built expiry corpus.
+  private[queries] val X95Sample = 13L
+  private[queries] val X95TtlDays = 5L
+  private lazy val x95Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  lazy val x95 = Q(
+    "x95_ttl_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val nd = docs(s, dir).count()
+      // the day-batched feed: bounded driver-side collect (the replay
+      // harness's test-scale transport; a deployment runs the same
+      // detector over its real stream — StreamingFunnel's TTL stage)
+      val ingRows = Tables.load(s, dir, "events")
+        .filter(col("event_id") % X95Sample === 0)
+        .select((col("event_id") % nd).as("doc_id"),
+          date_trunc("day", col("ts")).as("day"), col("ts"))
+        .groupBy(col("doc_id"), col("day"))
+        .agg(max(col("ts")).as("eventTime"))
+        .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("day"), col("doc_id"), col("text"), col("eventTime"))
+        .collect()
+      val batches = ingRows.groupBy(_.getTimestamp(0)).toSeq
+        .sortBy(_._1.getTime)
+        .map { case (_, rows) => rows.toSeq.map(r =>
+          graft.streaming.IngestDoc(
+            r.getLong(1), r.getString(2), r.getTimestamp(3))) }
+      graft.streaming.StreamingNearDup.replayWithTtl(s, batches,
+          java.time.Duration.ofDays(X95TtlDays),
+          sinkName = s"x95_sink_${x95Runs.incrementAndGet()}")
+        .select(col("keeperId").as("keeper_id"),
+          col("dupId").as("dup_id"), col("band"))
+        .distinct()
+        .orderBy(col("keeper_id"), col("dup_id"), col("band"))
+    },
+    Some(s"""
+      WITH RECURSIVE $MinhashSigSqlCtes,
+      ingday AS (
+        -- the reingest stream: every ${X95Sample}th event re-ingests
+        -- doc (event_id % |documents|), one row per (doc, day) at the
+        -- day's max ts (ms-floored — GroupState stores getTime millis)
+        SELECT (e.event_id % (SELECT COUNT(*) FROM documents)) AS doc_id,
+               date_trunc('day', e.ts) AS day, max(epoch_ms(e.ts)) AS tsms
+        FROM events e WHERE e.event_id % $X95Sample = 0
+        GROUP BY 1, 2
+      ),
+      brow AS (  -- per-day bucket occupancy of the ingested docs
+        SELECT b.band, b.k1, b.k2, i.doc_id, i.day, i.tsms
+        FROM bands b JOIN ingday i USING (doc_id)
+      ),
+      bday AS (  -- one row per (bucket, data day): the batch content
+        SELECT band, k1, k2, day, min(doc_id) AS mindoc,
+               max(tsms) AS maxts,
+               row_number() OVER (PARTITION BY band, k1, k2
+                                  ORDER BY day) AS j
+        FROM brow GROUP BY 1, 2, 3, 4
+      ),
+      gday AS (  -- global ingest days in replay order
+        SELECT day, max(tsms) AS mx,
+               row_number() OVER (ORDER BY day) AS gi
+        FROM ingday GROUP BY day
+      ),
+      gw AS (
+        -- timers fire only in data batches (no-data batches disabled),
+        -- with the watermark ENTERING the batch = max event ms over
+        -- earlier batches; the strongest check a silent bucket sees
+        -- before its next data day d is at the day just before d,
+        -- whose entering watermark is the running max two days back
+        SELECT day,
+          max(mx) OVER (ORDER BY gi
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS prevmax,
+          lag(day) OVER (ORDER BY gi) AS pd
+        FROM gday
+      ),
+      st AS (  -- per-bucket anchor state after each of its data days
+        SELECT band, k1, k2, j, day, mindoc AS anchor, maxts AS lastseen
+        FROM bday WHERE j = 1
+        UNION ALL
+        SELECT b.band, b.k1, b.k2, b.j, b.day,
+          -- expired iff an intermediate batch existed (pd <> previous
+          -- bucket day) whose entering watermark passed lastseen + ttl
+          -- (strict — Spark fires timeoutTs < watermark)
+          CASE WHEN gw.pd <> s.day
+                AND gw.prevmax > s.lastseen + ${X95TtlDays * 86400000L}
+               THEN b.mindoc ELSE s.anchor END,
+          CASE WHEN gw.pd <> s.day
+                AND gw.prevmax > s.lastseen + ${X95TtlDays * 86400000L}
+               THEN b.maxts ELSE greatest(s.lastseen, b.maxts) END
+        FROM st s
+        JOIN bday b ON b.band = s.band AND b.k1 = s.k1 AND b.k2 = s.k2
+                   AND b.j = s.j + 1
+        JOIN gw ON gw.day = b.day
+      ),
+      emit AS (  -- every doc in a batch emits vs the post-transition
+                 -- anchor (the anchor row itself never self-pairs)
+        SELECT st.anchor AS keeper_id, r.doc_id AS dup_id, r.band
+        FROM st JOIN brow r ON r.band = st.band AND r.k1 = st.k1
+                           AND r.k2 = st.k2 AND r.day = st.day
+        WHERE r.doc_id <> st.anchor
+      )
+      SELECT DISTINCT keeper_id, dup_id, band FROM emit ORDER BY 1, 2, 3
+    """))
+
 }

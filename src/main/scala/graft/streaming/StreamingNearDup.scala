@@ -25,6 +25,11 @@ final case class DocBandT(doc_id: Long, band: Int, k1: Long, k2: Long,
 /** TTL'd bucket state: the keeper + when the bucket last saw traffic. */
 final case class BucketAnchor(anchor: Long, lastSeenMs: Long)
 
+/** One ingested document with its event time —
+  * [[StreamingNearDup.replayWithTtl]]'s input row. */
+final case class IngestDoc(doc_id: Long, text: String,
+                           eventTime: java.sql.Timestamp)
+
 /** Continuous MinHash+LSH near-dup detection — the streaming form of
   * the batch x02 pipeline, for dedup-at-ingest: every incoming doc is
   * shingled/minhashed/banded by the SAME [[graft.ops.MinHash]] map the
@@ -162,5 +167,50 @@ object StreamingNearDup {
     import docs.sparkSession.implicits._
     fromBandRowsWithTtl(
       MinHash.bandRows(docs, carry = Seq("eventTime")).as[DocBandT], ttl)
+  }
+
+  /** DETERMINISTIC replay harness for the TTL'd detector — the seam
+    * that puts the expiry semantics under a cross-engine oracle (x95)
+    * instead of only a spec pin. Feeds `batches` (event-time-ascending
+    * groups, e.g. one per calendar day) through [[withTtl]] one
+    * micro-batch each, with Spark's no-data micro-batches DISABLED for
+    * the run: timers then fire only inside data batches, so watermark
+    * and timeout sequencing become a pure function of the input — the
+    * rule a SQL oracle can replay exactly. (With no-data batches on,
+    * whether an expiry lands before or after the next feed depends on
+    * a trigger race; determinism is the point of the harness.)
+    * Watermark delay is 0: the watermark entering batch i is the max
+    * event time over batches < i, so a bucket's anchor expires at the
+    * first batch where that running max passes lastSeen + ttl while
+    * the bucket is silent. Returns the memory-sink table of emitted
+    * [[DupCandidate]]s (callers dedup — the same pair may fire on
+    * several days). `sinkName` must be session-unique per call. */
+  def replayWithTtl(spark: org.apache.spark.sql.SparkSession,
+                    batches: Seq[Seq[IngestDoc]],
+                    ttl: java.time.Duration,
+                    sinkName: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val mem = MemoryStream[IngestDoc]
+      val chk = java.nio.file.Files
+        .createTempDirectory("neardup_ttl_replay").toString
+      val q = withTtl(mem.toDF().withWatermark("eventTime", "0 seconds"),
+          ttl)
+        .toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(sinkName)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

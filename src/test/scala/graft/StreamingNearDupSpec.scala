@@ -174,6 +174,44 @@ class StreamingNearDupSpec extends AnyFunSuite with Matchers with SparkFixture {
     pairs shouldBe Set((0L, 1L), (2L, 3L))
   }
 
+  test("replayWithTtl (x95's harness): the reingest window BINDS both " +
+       "ways vs an unbounded replay of the same day-batched feed — a " +
+       "cross-window pair is excluded by expiry, and post-expiry " +
+       "re-anchoring emits pairs under the NEW keeper") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.IngestDoc
+
+    def day(d: Int, hour: Int = 12) = new java.sql.Timestamp(
+      java.time.Instant.parse(f"2024-01-$d%02dT$hour%02d:00:00Z")
+        .toEpochMilli)
+    // one bucket family (identical text → all 4 bands collide) spread
+    // across a 5-day reingest window, with unrelated traffic advancing
+    // the watermark between sightings
+    val batches = Seq(
+      Seq(IngestDoc(1, base, day(1)), IngestDoc(2, base, day(1))),
+      Seq(IngestDoc(50, unrelated(50), day(7))),  // watermark driver
+      Seq(IngestDoc(51, unrelated(51), day(9))),  // the firing batch
+      Seq(IngestDoc(10, base, day(15))),          // post-expiry reingest
+      Seq(IngestDoc(11, base, day(16))))          // in-window vs NEW keeper
+    def pairSet(name: String, ttl: java.time.Duration): Set[(Long, Long)] =
+      StreamingNearDup.replayWithTtl(s, batches, ttl, name)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+
+    val bounded = pairSet("ndreplay_ttl", java.time.Duration.ofDays(5))
+    val unbounded = pairSet("ndreplay_unb", java.time.Duration.ofDays(10000))
+    // unbounded: everything anchors to the first-ever occupant
+    unbounded shouldBe Set((1L, 2L), (1L, 10L), (1L, 11L))
+    // bounded: day-7 traffic's watermark (entering the day-9 batch)
+    // passes day-1 + 5d while the bucket is silent → the anchor
+    // expires; doc 10 re-anchors FRESH (pair (1,10) excluded), and doc
+    // 11 — one day later, inside the new window — pairs under keeper
+    // 10, a pair the unbounded route never emits
+    bounded shouldBe Set((1L, 2L), (10L, 11L))
+    (unbounded -- bounded) should contain((1L, 10L))   // window excludes
+    (bounded -- unbounded) should contain((10L, 11L))  // window re-keys
+  }
+
   test("whitespace-free docs are invisible to detection; word-splitting " +
        "them restores it (the hollow-workload trap)") {
     val s = spark
