@@ -149,6 +149,20 @@ object Bench {
       java.nio.file.Paths.get("target/bench_passes.json"),
       s"""{"sf":"$sfDir","pass1":${passJson(p1)},"pass2":${passJson(p2)},"pass3":$p3Json}""")
     catch { case _: java.io.IOException => () } // diagnostics only
+    // BENCH_LAST.json — the machine-readable sidecar, committed per
+    // round: the stdout line survives only as the tail of a build log
+    // (whose parse has shipped as null since r10), so round-over-round
+    // diffs read THIS file instead of re-parsing strings. Full query
+    // names here (no tail-window budget), same numbers as the line.
+    val qjFull = results
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","headline":${
+        num(headline)},"failed":$failedFull,"queries":$qjFull,"sf":"$sfDir"}""" + "\n")
+    catch { case _: java.io.IOException => () } // diagnostics only
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","headline":${num(headline)},"failed":$failedJson,"spread":$spreadJson,"queries":$qj,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -203,8 +203,11 @@ object StreamBench {
       val clustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
       // same witness for the media (pHash) twin's label table
       val mediaClustersFound = new java.util.concurrent.atomic.AtomicLong(-1L)
-      // the funnel leg's per-stage survivor counts (JSON fragment)
+      // the funnel legs' per-stage survivor counts (JSON fragments) —
+      // one per route; the TTL route's witness must read IDENTICAL
       val funnelStages =
+        new java.util.concurrent.atomic.AtomicReference[String]("null")
+      val funnelStagesTtl =
         new java.util.concurrent.atomic.AtomicReference[String]("null")
       // the funnel's STAGED frozen DSIR model — trained once from the
       // topic's own corpus (target = display-carrying lines) before
@@ -426,33 +429,52 @@ object StreamBench {
         // counts consulted inside the timed window). Stage 2 runs
         // CONCURRENTLY with stage 1 over the survivor layer's file
         // stream — the pipelined deployment, not a batch handoff.
-        "funnel" -> {
-          val key = s"funnel_p$pass"
-          val dir = work.resolve(key)
-          Files.createDirectories(dir.resolve("survivors"))
-          val raw = FileTopic.stream(spark, topic, maxFilesPerTrigger = Some(2))
-          val t0 = System.nanoTime()
-          val q1 = graft.streaming.StreamingFunnel.startGateStage(
-            funnelDocs(raw), funnelRatio, dir.toString,
-            langs = Seq("en"), minToks = funnelMinToks,
-            watermark = "1 hour", minScorePpm = funnelMinScore,
-            checkpoint = s"$dir/chk1", queryName = Some(key))
-          val q2 = graft.streaming.StreamingFunnel.startNeardupStage(
-            spark, dir.toString, s"$dir/chk2",
-            queryName = Some(s"${key}_nd"))
-          try q1.processAllAvailable() finally q1.stop()
-          try q2.processAllAvailable() finally q2.stop()
-          val sc = graft.streaming.StreamingFunnel
-            .stageCounts(spark, dir.toString)
-          funnelStages.set(s"""{"raw":$nEvents,"gated":${sc.gated},"neardup_kept":${
-            sc.neardupKept},"dsir_accepted":${sc.dsirAccepted}}""")
-          val dt = (System.nanoTime() - t0) / 1e9
-          val b = stats.synchronized(
-            (stats.getOrElse(key, Seq.empty) ++
-              stats.getOrElse(s"${key}_nd", Seq.empty)).toList)
-          deleteTree(dir)
-          TopoResult(dt, b)
-        })
+        "funnel" -> funnelLeg(pass, "funnel", ttl = None, funnelStages),
+        // the BOUNDED-STATE form of the same funnel — stage 2 runs the
+        // TTL'd detector (StreamingNearDup.withTtl via startNeardupStage
+        // ttl), the shape a continuous 100 TB/day deployment operates:
+        // per-row event-time timer bookkeeping + EventTimeTimeout state
+        // reads on every bucket probe. ttl = 60 d with a 30 d watermark
+        // delay over the fixture's 30-day span, so no anchor can expire
+        // and no survivor row can be dropped as late — the stage witness
+        // must read BYTE-IDENTICAL to the unbounded leg (a detector bug
+        // shows as witness drift, an overhead change as normalized-cost
+        // drift). What this leg prices is exactly the TTL machinery's
+        // throughput tax, isolated.
+        "funnel_ttl" -> funnelLeg(pass, "funnel_ttl",
+          ttl = Some(java.time.Duration.ofDays(60)), funnelStagesTtl))
+
+      def funnelLeg(pass: Int, name: String,
+          ttl: Option[java.time.Duration],
+          witness: java.util.concurrent.atomic.AtomicReference[String])
+          : TopoResult = {
+        val key = s"${name}_p$pass"
+        val dir = work.resolve(key)
+        Files.createDirectories(dir.resolve("survivors"))
+        val raw = FileTopic.stream(spark, topic, maxFilesPerTrigger = Some(2))
+        val t0 = System.nanoTime()
+        val q1 = graft.streaming.StreamingFunnel.startGateStage(
+          funnelDocs(raw), funnelRatio, dir.toString,
+          langs = Seq("en"), minToks = funnelMinToks,
+          watermark = "1 hour", minScorePpm = funnelMinScore,
+          checkpoint = s"$dir/chk1", queryName = Some(key))
+        val q2 = graft.streaming.StreamingFunnel.startNeardupStage(
+          spark, dir.toString, s"$dir/chk2",
+          queryName = Some(s"${key}_nd"),
+          ttl = ttl, watermarkDelay = "30 days")
+        try q1.processAllAvailable() finally q1.stop()
+        try q2.processAllAvailable() finally q2.stop()
+        val sc = graft.streaming.StreamingFunnel
+          .stageCounts(spark, dir.toString)
+        witness.set(s"""{"raw":$nEvents,"gated":${sc.gated},"neardup_kept":${
+          sc.neardupKept},"dsir_accepted":${sc.dsirAccepted}}""")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val b = stats.synchronized(
+          (stats.getOrElse(key, Seq.empty) ++
+            stats.getOrElse(s"${key}_nd", Seq.empty)).toList)
+        deleteTree(dir)
+        TopoResult(dt, b)
+      }
 
       val p1 = runPass(1)
       val p2 = runPass(2)
@@ -471,7 +493,7 @@ object StreamBench {
       }
       val names =
         Seq("split", "split_atomic", "uv_dim", "bounce", "clusters", "media",
-          "funnel")
+          "funnel", "funnel_ttl")
       val allNames = "calibrate" +: names
       val spread = names.collect {
         case n if math.max(p1(n).sec, p2(n).sec) >
@@ -501,7 +523,8 @@ object StreamBench {
         num(nEvents / calBest)}},"normalized":$normalized,"spread":$spread,"clusters_found":${
         clustersFound.get()},"media_clusters_found":${
         mediaClustersFound.get()},"funnel_stages":${
-        funnelStages.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
+        funnelStages.get()},"funnel_stages_ttl":${
+        funnelStagesTtl.get()},"state_store":"$stateStore","sf":"$sfDir"}""")
     } finally {
       deleteTree(work)
       spark.stop()

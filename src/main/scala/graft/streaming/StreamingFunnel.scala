@@ -87,11 +87,19 @@ object StreamingFunnel {
       // pin it so the clean topology doesn't recompute per consumer
       val b = batch.persist()
       try {
-        b.coalesce(filesPerBatch).write.mode("append")
-          .parquet(s"$dir/survivors")
-        DsirGate.accepted(DsirGate.scored(b.toDF(), ratio, minScorePpm))
-          .select("doc_id").coalesce(filesPerBatch)
-          .write.mode("append").parquet(s"$dir/accepted")
+        // skip empty micro-batches (no-data triggers, all-gated
+        // batches): an empty append still writes a part-file, and
+        // every survivor-layer file consumes one of stage 2's
+        // maxFilesPerTrigger slots — empty files would buy extra
+        // downstream micro-batches that each pay the label-table
+        // maintenance floor for nothing
+        if (!b.isEmpty) {
+          b.coalesce(filesPerBatch).write.mode("append")
+            .parquet(s"$dir/survivors")
+          DsirGate.accepted(DsirGate.scored(b.toDF(), ratio, minScorePpm))
+            .select("doc_id").coalesce(filesPerBatch)
+            .write.mode("append").parquet(s"$dir/accepted")
+        }
       } finally { b.unpersist(); () }
     }.start()
   }

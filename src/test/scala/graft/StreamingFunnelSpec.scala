@@ -121,6 +121,53 @@ class StreamingFunnelSpec extends AnyFunSuite with Matchers
     ratio.unpersist()
   }
 
+  test("survivor-layer filesPerBatch knob: each micro-batch writes at " +
+       "most filesPerBatch files (stage 2's 'topic partitions' sizing " +
+       "— the file count, not the row count, prices the downstream " +
+       "leg), stage counts unchanged; 0 is refused") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(i: Int) = new java.sql.Timestamp(3600000L + i * 1000L)
+    val docs = (0 until 8).map(i =>
+      FunnelDoc(ts(i), i.toLong, "en", unrelated(i)))
+    val ratio = DsirGate.trainRatio(docs.toDF(),
+      isTarget = col("text").contains("targetword")).persist()
+
+    def run(filesPerBatch: Int): (Long, Long) = {
+      val dir = Files.createTempDirectory("funnel_fpb").toString
+      val mem = MemoryStream[FunnelDoc]
+      val q = StreamingFunnel.startGateStage(mem.toDF(), ratio, dir,
+        langs = Seq("en"), minToks = 3, watermark = "1 hour",
+        minScorePpm = 0L, checkpoint = s"$dir/chk1",
+        filesPerBatch = filesPerBatch)
+      try docs.grouped(4).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val files = {
+        val l = Files.list(java.nio.file.Paths.get(s"$dir/survivors"))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.count(_.getFileName.toString
+            .startsWith("part-"))
+        } finally l.close()
+      }
+      val rows = s.read.parquet(s"$dir/survivors").count()
+      (files.toLong, rows)
+    }
+    val (f1, rows1) = run(1)
+    f1 shouldBe 2L // one file per micro-batch, two batches
+    val (f2, rows2) = run(2)
+    f2 should be <= 4L // at most filesPerBatch per micro-batch
+    f2 should be > 2L  // ...and the knob really widened the layout
+    rows2 shouldBe rows1 // sizing files never changes the data
+    an[IllegalArgumentException] should be thrownBy
+      StreamingFunnel.startGateStage(null, ratio, "/tmp/x",
+        langs = Seq("en"), minToks = 3, watermark = "1 hour",
+        minScorePpm = 0L, checkpoint = "/tmp/x", filesPerBatch = 0)
+    ratio.unpersist()
+  }
+
   test("trainRatio ≡ the x90 fixture trainer bit-for-bit (the staged " +
        "model the gate serves cannot drift from the oracle-pinned one)") {
     val s = spark
