@@ -16,7 +16,11 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("every registered query returns rows on sf0.001 (except candidate-pair queries)") {
     val mayBeEmpty = Set("q06_anti_join", "x02_minhash_lsh_neardup",
       "x04_ngram_jaccard_blocked", "x13_embedding_neardup",
-      "x28_dedup_clusters")
+      "x28_dedup_clusters",
+      // candidate pairs again: sf0.001's ~77 sampled reingests over 50
+      // docs hold no band collision (rows>0 is pinned at sf0.01/sf0.1
+      // by the oracle gate: 77 / 684 pairs)
+      "x95_ttl_neardup")
     Registry.all.foreach { q =>
       val n = q.run(spark, sf0001).count()
       withClue(s"${q.name}: ") {
