@@ -1297,4 +1297,55 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
       SELECT DISTINCT keeper_id, dup_id, band FROM emit ORDER BY 1, 2, 3
     """))
 
+  // ---------------------------------------------------------------------
+  // x96 — TAKEDOWN PROPAGATION through the cluster journal, graded
+  // CROSS-ENGINE (the x94/x95 pattern applied to the r19 takedown
+  // feature, which was spec-pinned only): journal the verified
+  // near-dup pairs (x02's table) into the versioned edge store, take
+  // down every doc with doc_id % 7 = 0 (9 of 25 pairs incident at
+  // sf0.01, 61 of 256 at sf0.1 — the takedown is load-bearing, not
+  // decorative), and consult the labels. deleteNodes removes the
+  // taken-down nodes' incident EDGES exactly (one bucket-scoped
+  // deleteKeys commit, broadcast-join predicate), so components a
+  // victim alone bridged SPLIT and survivors whose only evidence was
+  // a victim drop out of the clustered set entirely — the oracle
+  // recomputes the transitive closure over the surviving pairs only.
+  lazy val x96 = Q(
+    "x96_cluster_takedown",
+    (s, dir) => persisted(s, "x96_labels", dir) {
+      import s.implicits._
+      val store = java.nio.file.Files
+        .createTempDirectory("x96_journal").toString + "/edges"
+      val pairs = neardupPairs(s, dir)
+        .select($"doc_a".as("keeperId"), $"doc_b".as("dupId"))
+      graft.streaming.StreamingClusters.updateBatch(store)(pairs.toDF(), 0L)
+      val ids = docs(s, dir).filter($"doc_id" % 7 === 0)
+        .select($"doc_id".as("id"))
+      graft.streaming.StreamingClusters.deleteNodes(s, store, ids)
+      graft.streaming.StreamingClusters.labels(s, store)
+        .select($"id".as("doc_id"), $"rep".as("cluster_rep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupPairsSqlCtes,
+      kept AS (
+        -- the surviving evidence: every pair incident to a taken-down
+        -- doc is deleted from the journal
+        SELECT doc_a, doc_b FROM pairs
+        WHERE doc_a % 7 <> 0 AND doc_b % 7 <> 0
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM kept
+        UNION
+        SELECT doc_b, doc_a FROM kept
+      ),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      )
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src ORDER BY 1
+    """))
+
 }

@@ -20,7 +20,10 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
       // candidate pairs again: sf0.001's ~77 sampled reingests over 50
       // docs hold no band collision (rows>0 is pinned at sf0.01/sf0.1
       // by the oracle gate: 77 / 684 pairs)
-      "x95_ttl_neardup")
+      "x95_ttl_neardup",
+      // post-takedown labels over the x02 pair table — empty wherever
+      // x02/x28 are (rows pinned at sf0.01/sf0.1 by the oracle gate)
+      "x96_cluster_takedown")
     Registry.all.foreach { q =>
       val n = q.run(spark, sf0001).count()
       withClue(s"${q.name}: ") {
