@@ -118,5 +118,5 @@ object Extensions extends ExtensionsDedup with ExtensionsAnn
     x43, x44, x45, x46, x47, x48, x49, x50, x51, x52, x53, x54, x55, x56,
     x57, x58, x59, x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70,
     x71, x72, x73, x74, x75, x76, x77, x78, x79, x80, x81, x82, x83, x84,
-    x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96)
+    x85, x86, x87, x88, x89, x90, x91, x92, x93, x94, x95, x96, x97)
 }

@@ -1348,4 +1348,49 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
       FROM reach GROUP BY src ORDER BY 1
     """))
 
+  // ---------------------------------------------------------------------
+  // x97 — the MAINTAINED-route takedown twin of x96. The label table
+  // holds only the (id, rep) star — no pairwise evidence — so its
+  // takedown semantics deliberately DIFFER from the journal route's:
+  // survivors KEEP their transitive component (they cannot re-split;
+  // the edges are gone), and a component whose rep was taken down
+  // re-elects the minimum surviving member. Oracle: transitive
+  // closure over ALL pairs → drop the taken-down ids → re-elect
+  // min(surviving) per original component. Grades
+  // updateBatchMaintained + deleteNodesMaintained (the stale-batchId-
+  // guarded DataFrame route) end-to-end, cross-engine — together
+  // with x96 both takedown routes now sit under the oracle gate.
+  lazy val x97 = Q(
+    "x97_cluster_takedown_maintained",
+    (s, dir) => persisted(s, "x97_labels", dir) {
+      import s.implicits._
+      val store = java.nio.file.Files
+        .createTempDirectory("x97_labels").toString + "/labels"
+      val pairs = neardupPairs(s, dir)
+        .select($"doc_a".as("keeperId"), $"doc_b".as("dupId"))
+      graft.streaming.StreamingClusters
+        .updateBatchMaintained(store)(pairs.toDF(), 0L)
+      val ids = docs(s, dir).filter($"doc_id" % 7 === 0)
+        .select($"doc_id".as("id"))
+      graft.streaming.StreamingClusters
+        .deleteNodesMaintained(s, store, ids, batchId = 1L)
+      graft.streaming.StreamingClusters.maintainedLabels(s, store)
+        .select($"id".as("doc_id"), $"rep".as("cluster_rep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $NeardupLabelSqlCtes,
+      surv AS (
+        SELECT doc_id, cluster_rep FROM lab WHERE doc_id % 7 <> 0
+      ),
+      newrep AS (
+        -- a surviving rep IS its component's minimum, so min(survivor)
+        -- equals it; a taken-down rep's component re-elects
+        SELECT cluster_rep, MIN(doc_id) AS nrep FROM surv GROUP BY 1
+      )
+      SELECT s.doc_id, n.nrep AS cluster_rep
+      FROM surv s JOIN newrep n USING (cluster_rep)
+      ORDER BY 1
+    """))
+
 }

@@ -23,7 +23,8 @@ class RelationalPlanSpec extends AnyFunSuite with Matchers with SparkFixture {
       "x95_ttl_neardup",
       // post-takedown labels over the x02 pair table — empty wherever
       // x02/x28 are (rows pinned at sf0.01/sf0.1 by the oracle gate)
-      "x96_cluster_takedown")
+      "x96_cluster_takedown",
+      "x97_cluster_takedown_maintained")
     Registry.all.foreach { q =>
       val n = q.run(spark, sf0001).count()
       withClue(s"${q.name}: ") {
