@@ -111,6 +111,11 @@ object Extensions extends ExtensionsDedup with ExtensionsAnn
     math.max(1024L, n.longValue).toInt
   }
 
+  /** Dev-probe access to the shared pair table (tools.LifecycleProbe) —
+    * not part of the query API. */
+  def neardupPairsProbe(s: SparkSession, dir: String): DataFrame =
+    neardupPairs(s, dir)
+
   def queries: Seq[Q] = Seq(
     x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13, x14,
     x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28,

@@ -1221,9 +1221,19 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
         .map { case (_, rows) => rows.toSeq.map(r =>
           graft.streaming.IngestDoc(
             r.getLong(1), r.getString(2), r.getTimestamp(3))) }
+      // State partitions sized to the replay's ingest volume, not the
+      // host: each micro-batch pays one task + one state-store commit
+      // per partition, so the session default (cores) made this
+      // 30-batch replay ~3x slower in empty-partition bookkeeping
+      // (probe: 25-32 s at 32 partitions vs 8.5-9.6 s at 2, same
+      // result). Rows/4000 keeps ~day-batch-sized state shards and
+      // grows with the corpus; capped at the session's own parallelism.
+      val stateParts = math.max(1, math.min(
+        s.sessionState.conf.numShufflePartitions, ingRows.length / 4000 + 1))
       graft.streaming.StreamingNearDup.replayWithTtl(s, batches,
           java.time.Duration.ofDays(X95TtlDays),
-          sinkName = s"x95_sink_${x95Runs.incrementAndGet()}")
+          sinkName = s"x95_sink_${x95Runs.incrementAndGet()}",
+          statePartitions = Some(stateParts))
         .select(col("keeperId").as("keeper_id"),
           col("dupId").as("dup_id"), col("band"))
         .distinct()

@@ -188,13 +188,27 @@ object StreamingNearDup {
   def replayWithTtl(spark: org.apache.spark.sql.SparkSession,
                     batches: Seq[Seq[IngestDoc]],
                     ttl: java.time.Duration,
-                    sinkName: String): DataFrame = {
+                    sinkName: String,
+                    statePartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
+    // State-partition count is a DATA-VOLUME knob, not a host-core one:
+    // the stream's stateful exchange (and so its per-micro-batch state
+    // store count) is fixed at query start from shuffle.partitions, and
+    // every micro-batch pays one task launch + one state-store commit
+    // PER PARTITION regardless of rows. A replay of bounded day-batches
+    // under the session default (32 here) spends most of its wall on
+    // empty-partition bookkeeping; callers size it to their replay
+    // volume (x95 derives it from total ingest rows) and a continuous
+    // deployment sizes it to throughput. Restored after start() — the
+    // value is captured into the query's offset log at start.
+    val prevParts = spark.conf.get(partsKey)
     spark.conf.set(key, "false")
+    statePartitions.foreach(p => spark.conf.set(partsKey, p.toString))
     try {
       val mem = MemoryStream[IngestDoc]
       val chk = java.nio.file.Files
@@ -205,12 +219,16 @@ object StreamingNearDup {
         .outputMode("append")
         .option("checkpointLocation", chk)
         .start()
+      spark.conf.set(partsKey, prevParts)
       try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
       finally q.stop()
       spark.table(sinkName)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    } finally {
+      spark.conf.set(partsKey, prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 }
