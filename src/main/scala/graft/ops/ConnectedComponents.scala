@@ -48,7 +48,12 @@ object ConnectedComponents {
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     sym.join(m, "u").filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
-      .distinct()
+    // No trailing distinct: the (v, m) duplicates this can emit (two
+    // centers pointing the same v at the same m) are absorbed for free
+    // by small-star's groupBy combiner and final distinct in the SAME
+    // round, so the per-round edge SET is unchanged while each round
+    // drops one full exchange (measured: the contraction loop is one
+    // of the two shuffles-per-op paths this file pays per round).
   }
 
   /** Small-star: input edges run big→small (`a > b`, large-star's
@@ -64,21 +69,14 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** (row count, XOR of a per-edge hash) — the convergence witness: an
-    * order-independent SET checksum of the edge frame. An equal
-    * witness only NOMINATES a fixpoint; the loop confirms it with one
-    * real set-difference job before terminating (see
-    * [[starContraction]]), so checksum quality governs how often the
-    * confirm job runs (effectively once), never correctness. XOR of
-    * hashes is total on the full Long id range — an arithmetic Σ(a+b)
-    * would raise ARITHMETIC_OVERFLOW under Spark's default ANSI mode
-    * on exactly the hash-range ids StreamingClusters feeds this via
-    * xxhash64 doc ids. */
-  private def witness(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
-  }
+  // The convergence witness — (row count, XOR of a per-edge hash), an
+  // order-independent SET checksum — is computed inside [[truncatedW]]'s
+  // materializing pass. An equal witness only NOMINATES a fixpoint; the
+  // loop confirms it with one real set-difference job before
+  // terminating, so checksum quality governs how often the confirm job
+  // runs (effectively once), never correctness. XOR-fold is total on
+  // the full Long id range (an arithmetic Σ would overflow under ANSI
+  // mode on hash-range ids).
 
   /** Run alternating rounds to the unique fixpoint and return
     * `(id, rep)` labels. `maxRounds` is a loud failsafe, not a quality
@@ -109,20 +107,51 @@ object ConnectedComponents {
     * materializing count so the checkpoint write reads cached blocks
     * instead of recomputing the round. */
   private def truncated(df: DataFrame): (DataFrame, () => Unit) = {
+    val (f, _, r) = truncatedW(df); (f, r)
+  }
+
+  /** [[truncated]] with the convergence witness computed IN the
+    * materializing action: the checkpoint used to pay one job to
+    * materialize (`count`) and the loop a second to checksum
+    * ([[witness]]) — per round, at ~50 ms job-scheduling floor each.
+    * The witness only ever compares round-to-round, so any
+    * deterministic order-independent set checksum works; this one is a
+    * splitmix-style mix of (a, b) XOR-folded per partition, reduced
+    * driver-side — one pass, one job, and the pass itself is the
+    * checkpoint materialization. */
+  private def truncatedW(df: DataFrame): (DataFrame, (Long, Long), () => Unit) = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isDefined) {
-      val rdd = df.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.checkpoint()
-      rdd.count()
-      rdd.unpersist(blocking = false) // later reads hit the durable copy
-      val release = () => rdd.getCheckpointFile.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
+    val reliable = sc.getCheckpointDir.isDefined
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+    val w = rdd.mapPartitions { it =>
+      var c = 0L; var x = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        var h = r.getLong(0) * 0x9E3779B97F4A7C15L
+        h ^= (h >>> 32)
+        h += r.getLong(1) * 0xC2B2AE3D27D4EB4FL
+        h ^= (h >>> 29)
+        h *= 0x165667B19E3779F9L
+        c += 1; x ^= h
       }
-      (spark.createDataFrame(rdd, df.schema), release)
-    } else (df.localCheckpoint(true), () => ())
+      Iterator((c, x))
+    }.fold((0L, 0L))((p, q) => (p._1 + q._1, p._2 ^ q._2))
+    val release: () => Unit =
+      if (reliable) {
+        rdd.unpersist(blocking = false) // later reads hit the durable copy
+        () => rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
+        }
+      } else {
+        // localCheckpoint lives in the persisted blocks themselves —
+        // releasing here means dropping them when superseded
+        () => { rdd.unpersist(blocking = false); () }
+      }
+    (spark.createDataFrame(rdd, df.schema), w, release)
   }
 
   def starContraction(edges: DataFrame, maxRounds: Int = 32): DataFrame =
@@ -142,16 +171,40 @@ object ConnectedComponents {
     // drop self loops, orient big→small once so round 1 can start on
     // small-star's precondition without a wasted symmetrize; truncate
     // per round (see [[truncated]])
-    var (e, releaseE) = truncated(edges
+    var (e, prev, releaseE) = truncatedW(edges
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
-    var prev = witness(e)
     var rounds = 0
     var done = prev._1 == 0L
+    // Scale the loop's shuffle width to the EDGE COUNT, not the session
+    // default: every round pays two keyed aggregations and a join whose
+    // exchanges inherit spark.sql.shuffle.partitions, and on a
+    // fixture-sized graph (hundreds of edges) a 32-wide exchange is
+    // pure task-launch overhead repeated per round. Derived from the
+    // measured initial count (~100k edges per partition, capped at the
+    // session's own setting so a 100 TB graph is unaffected); restored
+    // in finally.
+    val sess = edges.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevParts = sess.conf.get(partsKey)
+    val prevAqe = sess.conf.get(aqeKey)
+    val sessionParts = sess.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(1, math.min(
+      sessionParts, (prev._1 / 100000L + 1).toInt))
+    sess.conf.set(partsKey, loopParts.toString)
+    // In the small-graph regime (loop width below the session setting)
+    // AQE has nothing left to coalesce, but still splits every round's
+    // materialization into one Spark job per exchange — at the ~50 ms
+    // job floor that's most of a fixture-scale round. Left untouched
+    // when the loop runs at session width (the 100 TB regime, where
+    // AQE's skew handling matters).
+    if (loopParts < sessionParts)
+      sess.conf.set(aqeKey, "false")
+    try {
     while (!done && rounds < maxRounds) {
-      val (next, releaseNext) = truncated(smallStar(largeStar(e)))
-      val cur = witness(next)
+      val (next, cur, releaseNext) = truncatedW(smallStar(largeStar(e)))
       // equal witness nominates a fixpoint; confirm with a real
       // set-difference before terminating (both frames are distinct()
       // with equal counts, so one-directional exceptAll suffices) —
@@ -194,6 +247,10 @@ object ConnectedComponents {
     e.unpersist()
     releaseE()
     (labels, releaseLabels)
+    } finally {
+      sess.conf.set(partsKey, prevParts)
+      sess.conf.set(aqeKey, prevAqe)
+    }
   }
 
   /** Rounds taken by the LAST `starContraction` on this thread — a test

@@ -108,6 +108,19 @@ object DimStore {
     * 1/64th of the table while keeping small dims from fragmenting
     * into thousands of near-empty files. */
   val NumBuckets = 64
+
+  /** Scale-adaptive fan-out for a table whose creation-time row count
+    * is known: ~4k rows per bucket, clamped to [1, NumBuckets]. A
+    * 256-row journal laid out at the full 64-bucket default pays 63
+    * near-empty files PER GENERATION — every read lists and opens all
+    * of them, every syncView clones all of them, every writeGen
+    * fans out into all of them (measured: the dominant cost of the
+    * fixture-scale lifecycle queries) — while any table past ~256k
+    * rows still gets the full production fan-out. Callers that expect
+    * growth beyond the creation-time estimate size for the target
+    * (or rebucket later, the supported path). */
+  def bucketsFor(rows: Long): Int =
+    math.max(1L, math.min(NumBuckets.toLong, (rows + 4095L) / 4096L)).toInt
   private val BucketCol = "__bucket"
 
   private def bucketOf(pk: String, n: Int) =
@@ -1107,18 +1120,23 @@ object DimStore {
     while (true) {
       val base = latest(path).getOrElse(throw new IllegalStateException(
         s"deleteWhere needs a versioned table at $path; commit an upsert first"))
-      val touched = readSnapshotWithBuckets(spark, path, base) match {
+      // ONE snapshot scan serves the whole attempt: the per-bucket
+      // doomed counts below give the touched set AND the deleted count
+      // in a single job (they used to be two separate scans — a
+      // touched-bucket probe plus a doomed count over a re-read of the
+      // touched buckets — each paying its own broadcast builds), and
+      // the kept-rows write re-reads the same cached blocks.
+      val snap = readSnapshotWithBuckets(spark, path, base) match {
         case None => return 0L
-        case Some(snap) => doomed(snap).select(BucketCol).distinct()
-          .collect().map(_.getInt(0)).sorted.toSeq
+        case Some(s) =>
+          s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-      if (touched.isEmpty) return 0L
-      val existing = readSnapshot(spark, path, base, Some(touched))
-        .getOrElse(return 0L)
-        .withColumn(BucketCol, bucketOf(pk, base.buckets))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val deleted = doomed(existing).count()
+        val perBucket = doomed(snap).groupBy(col(BucketCol)).count().collect()
+        if (perBucket.isEmpty) return 0L
+        val touched = perBucket.map(_.getInt(0)).sorted.toSeq
+        val deleted = perBucket.map(_.getLong(1)).sum
+        val existing = snap.filter(col(BucketCol).isin(touched: _*))
         val kept = keep(existing)
         // would this commit EMPTY the table? Only when every manifest
         // bucket is touched and nothing survives — a zero-bucket
@@ -1154,7 +1172,7 @@ object DimStore {
         attempt += 1
         if (attempt > 50) throw new java.util.ConcurrentModificationException(
           s"lost the delete commit race $attempt times at $path")
-      } finally { existing.unpersist(); () }
+      } finally { snap.unpersist(); () }
     }
     0L // unreachable: the loop exits only through return/throw
   }

@@ -1328,7 +1328,14 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
         .createTempDirectory("x96_journal").toString + "/edges"
       val pairs = neardupPairs(s, dir)
         .select($"doc_a".as("keeperId"), $"doc_b".as("dupId"))
-      graft.streaming.StreamingClusters.updateBatch(store)(pairs.toDF(), 0L)
+      // journal fan-out sized to the pair count (the table is created
+      // here, from this one batch): 64 near-empty bucket files per
+      // generation was the measured dominant cost of this lifecycle
+      // at fixture scale, and a real deployment sizes (or rebuckets)
+      // its journal to the observed edge volume too
+      graft.streaming.StreamingClusters.updateBatch(store,
+        nBuckets = graft.ops.DimStore.bucketsFor(pairs.count()))(
+        pairs.toDF(), 0L)
       val ids = docs(s, dir).filter($"doc_id" % 7 === 0)
         .select($"doc_id".as("id"))
       graft.streaming.StreamingClusters.deleteNodes(s, store, ids)
@@ -1378,8 +1385,11 @@ private[queries] trait ExtensionsDedup { this: Extensions.type =>
         .createTempDirectory("x97_labels").toString + "/labels"
       val pairs = neardupPairs(s, dir)
         .select($"doc_a".as("keeperId"), $"doc_b".as("dupId"))
+      // label-table fan-out sized to the batch (x96's rationale)
       graft.streaming.StreamingClusters
-        .updateBatchMaintained(store)(pairs.toDF(), 0L)
+        .updateBatchMaintained(store,
+          nBuckets = graft.ops.DimStore.bucketsFor(pairs.count()))(
+          pairs.toDF(), 0L)
       val ids = docs(s, dir).filter($"doc_id" % 7 === 0)
         .select($"doc_id".as("id"))
       graft.streaming.StreamingClusters

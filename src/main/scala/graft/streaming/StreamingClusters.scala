@@ -41,7 +41,9 @@ object StreamingClusters {
     * (`keeperId`, `dupId`, `band`): journal the batch's distinct
     * normalized edges, replay-idempotently. Empty batches commit
     * nothing (no version churn from quiet micro-batches). */
-  def updateBatch(store: String)(batch: DataFrame, batchId: Long): Unit = {
+  def updateBatch(store: String,
+                  nBuckets: Int = DimStore.NumBuckets)(
+                  batch: DataFrame, batchId: Long): Unit = {
     val edges = batch.select(
         greatest(col("keeperId"), col("dupId")).as("a"),
         least(col("keeperId"), col("dupId")).as("b"))
@@ -50,7 +52,8 @@ object StreamingClusters {
       .withColumn("pk", concat_ws(":", col("a"), col("b")))
       .withColumn("ver", lit(batchId))
     if (!edges.isEmpty)
-      DimStore.upsert(batch.sparkSession, store, edges, "pk", "ver")
+      DimStore.upsert(batch.sparkSession, store, edges, "pk", "ver",
+        nBuckets = nBuckets)
   }
 
   /** Current (id, rep) keeper labels from the journal — component
@@ -366,23 +369,28 @@ object StreamingClusters {
       // the delete commit after it would still remove the rep rows,
       // leaving survivors pointing at a deleted rep. Same
       // loud-over-wrong guard as AnnIndex.delete's ver > buildVer.
-      val maxVerRow = affected.agg(max(col("ver"))).head()
-      if (!maxVerRow.isNullAt(0)) {
-        val maxVer = maxVerRow.getLong(0)
+      // one job answers both "is anything affected" and the stale-
+      // batchId guard (they used to be two probes plus a separate
+      // relabel emptiness check — three actions over the same cached
+      // frame)
+      val probe = affected.agg(max(col("ver")), count(lit(1))).head()
+      if (probe.getLong(1) > 0L) {
+        val maxVer = probe.getLong(0)
         require(batchId > maxVer,
           s"deleteNodesMaintained batchId $batchId does not beat the " +
           s"affected label rows' max version $maxVer — the relabel " +
           "would silently lose the LWW merge and survivors would point " +
           s"at a deleted rep; reissue the takedown at ver ${maxVer + 1}+")
-      }
-      val newReps = affected.groupBy(col("rep"))
-        .agg(min(col("id")).as("__nrep"))
-      val relabel = affected.join(broadcast(newReps), Seq("rep"))
-        .select(col("id"), col("__nrep").as("rep"))
-        .withColumn("ver", lit(batchId))
-      if (!relabel.isEmpty)
+        val newReps = affected.groupBy(col("rep"))
+          .agg(min(col("id")).as("__nrep"))
+        // every affected row joins its rep's group, so relabel is
+        // nonempty by construction — no emptiness probe needed
+        val relabel = affected.join(broadcast(newReps), Seq("rep"))
+          .select(col("id"), col("__nrep").as("rep"))
+          .withColumn("ver", lit(batchId))
         DimStore.upsert(spark, store, relabel, pk = "id",
           versionCol = "ver")
+      }
     } finally { affected.unpersist(); () }
     DimStore.deleteKeys(spark, store, "id", ids, Seq("id"),
       allowEmpty = true)

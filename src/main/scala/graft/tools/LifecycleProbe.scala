@@ -32,9 +32,23 @@ object LifecycleProbe {
     import org.apache.spark.sql.functions._
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val verbose = sys.env.contains("SPARK_GRAFT_PROBE_VERBOSE")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose) jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse("?")))
+        ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        if (verbose) Option(jobStart.remove(j.jobId)).foreach { case (t0, d) =>
+          println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e3 / 1e3}%8.1f ms  $d")
+        }
+        ()
+      }
     })
     def phase[A](name: String)(body: => A): A = {
       val j0 = jobs.get(); val t0 = System.nanoTime()
@@ -95,7 +109,9 @@ object LifecycleProbe {
         val store = java.nio.file.Files
           .createTempDirectory("probe_x96").toString + "/edges"
         phase("x96 updateBatch")(
-          graft.streaming.StreamingClusters.updateBatch(store)(pairs.toDF(), 0L))
+          graft.streaming.StreamingClusters.updateBatch(store,
+            nBuckets = graft.ops.DimStore.bucketsFor(pairs.count()))(
+            pairs.toDF(), 0L))
         val ids = graft.core.Tables.load(spark, sfDir, "documents")
           .filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id"))
         phase("x96 deleteNodes")(
@@ -105,6 +121,8 @@ object LifecycleProbe {
             .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
             .orderBy("doc_id"))
         }
+        println(s"[probe] x96 contraction rounds=" +
+          graft.ops.ConnectedComponents.lastRounds.get)
       }
       if (which == "all" || which == "x97") {
         import spark.implicits._
@@ -117,7 +135,8 @@ object LifecycleProbe {
         val store = java.nio.file.Files
           .createTempDirectory("probe_x97").toString + "/labels"
         phase("x97 updateBatchMaintained")(
-          graft.streaming.StreamingClusters.updateBatchMaintained(store)(
+          graft.streaming.StreamingClusters.updateBatchMaintained(store,
+            nBuckets = graft.ops.DimStore.bucketsFor(pairs.count()))(
             pairs.toDF(), 0L))
         val ids = graft.core.Tables.load(spark, sfDir, "documents")
           .filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id"))
