@@ -705,18 +705,20 @@ private[queries] trait ExtensionsTextVocab { this: Extensions.type =>
     * column: every adjacent (a, b) becomes the merged symbol, applied
     * as a pure per-row fold — tokenizer SERVING is this map repeated
     * per learned rule, no shuffle, no state. */
-  private[queries] def bpeApplyMerge(df: DataFrame, a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val m = a + b
-    df.withColumn("syms",
-      when(size(col("syms")) <= 1, col("syms")).otherwise(
-        aggregate(
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          array(element_at(col("syms"), 1)),
-          (acc: Column, sym: Column) =>
-            when(element_at(acc, -1) === lit(a) && sym === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-            .otherwise(concat(acc, array(sym))))))
+  private[queries] def bpeApplyMerge(df: DataFrame, a: String, b: String): DataFrame =
+    bpeApplyRules(df, Seq((a, b)))
+
+  /** All rules in ONE native single-pass-per-rule expression
+    * ([[graft.functions.BpeApplyRules]]) — the fold chain this
+    * replaces copied the accumulator array once per symbol through the
+    * interpreted lambda evaluator, O(rules·len²) per word, measured as
+    * x85's single dominant job. */
+  private[queries] def bpeApplyRules(df: DataFrame,
+                                     rules: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    df.withColumn("syms", GraftPlanBridge.col(
+      graft.functions.BpeApplyRules(
+        GraftPlanBridge.expr(col("syms")), rules)))
   }
 
   /** The shared 3-round trainer behind x83 (rules + per-round corpus
@@ -747,9 +749,13 @@ private[queries] trait ExtensionsTextVocab { this: Extensions.type =>
         .limit(1).head() // ONE row — the learned rule, never the corpus
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       val next = bpeApplyMerge(seqs, a, b).persist()
-      val corpusSyms = next.agg(sum($"wc" * size($"syms"))).head().getLong(0)
-      val vocabSyms = next.select(explode($"syms").as("s"))
-        .agg(countDistinct($"s")).head().getLong(0)
+      // ONE materializing pass for both corpus effects: over the
+      // exploded symbols, sum(wc) ≡ sum(wc * size(syms)) (each word
+      // contributes wc once per symbol) and countDistinct is the vocab
+      // size — this used to be two separate jobs per round
+      val eff = next.select($"wc", explode($"syms").as("s"))
+        .agg(sum($"wc"), countDistinct($"s")).head()
+      val (corpusSyms, vocabSyms) = (eff.getLong(0), eff.getLong(1))
       seqs.unpersist()
       seqs = next
       out += ((r.toLong, a, b, a + b, cnt, vocabSyms, corpusSyms))
@@ -945,9 +951,8 @@ private[queries] trait ExtensionsTextVocab { this: Extensions.type =>
         .filter($"word" =!= "")
         .withColumn("syms", expr(
           "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      val tokenized = rules.foldLeft(holdout) {
-        case (df, (_, a, b, _, _, _, _)) => bpeApplyMerge(df, a, b)
-      }
+      val tokenized = bpeApplyRules(holdout,
+        rules.map { case (_, a, b, _, _, _, _) => (a, b) })
       tokenized.groupBy($"doc_id").agg(
           count(lit(1)).as("ws_tokens"),
           sum(length($"word")).cast("long").as("chars"),
