@@ -27,22 +27,23 @@ object DsirGate {
     * is served against. Input needs (doc_id, lang, text); output
     * (doc_id, lang, b, cnt). Docs with < 2 tokens have no features and
     * drop here (batch and gate agree: they are unscorable). */
-  def bucketCounts(docs: DataFrame, nBuckets: Long): DataFrame =
+  def bucketCounts(docs: DataFrame, nBuckets: Long): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    // One narrow pass: the native kernel hashes each bigram straight
+    // off the md5 digest bytes and folds the per-doc counts in memory,
+    // so the matrix needs NO corpus-wide (doc, bucket) shuffle and no
+    // hex round-trip — the interpreted explode → md5 → conv → groupBy
+    // chain it replaces was x90's single dominant job. Bit parity
+    // pinned by DsirGateSpec and the x90/x92/x93 oracles.
     docs
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= 2)
       .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), col("n") - lit(1)),
-          slice(col("toks"), lit(2), col("n") - lit(1)),
-          (a, b) => concat_ws(" ", a, b))).as("g"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
-          lit(nBuckets)))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+        explode(GraftPlanBridge.col(graft.functions.DsirBucketCounts(
+          GraftPlanBridge.expr(col("toks")), nBuckets))).as("bc"))
+      .select(col("doc_id"), col("lang"),
+        col("bc.b").as("b"), col("bc.cnt").as("cnt"))
+  }
 
   /** Train the frozen per-bucket ratio table from ANY corpus — the
     * generic form of the fixture-bound x90 trainer
