@@ -126,6 +126,20 @@ object DimStore {
   private def bucketOf(pk: String, n: Int) =
     pmod(hash(col(pk)), lit(n)).cast("int")
 
+  /** `bucketOf(pk, n)` is EXACTLY Spark's `HashPartitioning(pk, n)`
+    * partition id (`pmod(murmur3(pk), n)`), so `repartition(n,
+    * col(pk))` lands every row in the partition whose index IS its
+    * bucket. The merge/rewrite writers exploit that: one exchange
+    * both clusters by pk (satisfying the LWW window's required
+    * distribution — no second shuffle before the window) and yields
+    * the one-file-per-bucket layout `writeGen(onePerBucket = true)`
+    * used to buy with its own extra `repartition(BucketCol)`
+    * exchange. Layout is belt-and-braces: `partitionBy(BucketCol)`
+    * routes rows to the right DIRS from the column value regardless,
+    * so the alignment only governs file counts, never correctness. */
+  private def bucketAligned(df: DataFrame, pk: String, n: Int): DataFrame =
+    df.repartition(n, col(pk))
+
   /** The store's physical bucketing expression and partition-column
     * name — for builders laying out [[adoptFullReplace]] input in the
     * table's exact on-disk format. */
@@ -538,8 +552,10 @@ object DimStore {
         fs.listStatus(new Path(path)).exists(st => isVisible(st.getPath.getName))
     if (!rootHasVisibleData) {
       // ---- create: commit version 1
-      val bb = batch.withColumn(BucketCol, bucketOf(pk, nBuckets))
-      val gen = writeGen(latestPerPk(bb, pk, versionCol), path, 1L)
+      val bb = bucketAligned(batch, pk, nBuckets)
+        .withColumn(BucketCol, bucketOf(pk, nBuckets))
+      val gen = writeGen(latestPerPk(bb, pk, versionCol), path, 1L,
+        onePerBucket = false)
       val m = Manifest(1L, nBuckets,
         bucketDirsOf(path, gen).map(_ -> gen).toMap)
       if (tryCommit(path, m)) {
@@ -558,9 +574,10 @@ object DimStore {
       val existing = readRaw(spark, path).drop(BucketCol)
         .withColumn(BucketCol, bucketOf(pk, tableBuckets))
       val bb = batch.withColumn(BucketCol, bucketOf(pk, tableBuckets))
-      val merged = latestPerPk(
-        existing.unionByName(bb, allowMissingColumns = true), pk, versionCol)
-      val gen = writeGen(merged, path, 1L)
+      val merged = latestPerPk(bucketAligned(
+        existing.unionByName(bb, allowMissingColumns = true),
+        pk, tableBuckets), pk, versionCol)
+      val gen = writeGen(merged, path, 1L, onePerBucket = false)
       val m = Manifest(1L, tableBuckets,
         bucketDirsOf(path, gen).map(_ -> gen).toMap)
       if (tryCommit(path, m)) {
@@ -606,10 +623,11 @@ object DimStore {
       // missing a historical column null-fills it likewise. Untouched
       // generations keep their old physical schema; mergeSchema on
       // read reconciles (Delta keeps this in the txn log instead).
-      val merged = latestPerPk(
+      val merged = latestPerPk(bucketAligned(
         existing.fold(bb)(_.unionByName(bb, allowMissingColumns = true)),
-        pk, versionCol)
-      val gen = writeGen(merged, path, base.version + 1)
+        pk, base.buckets), pk, versionCol)
+      val gen = writeGen(merged, path, base.version + 1,
+        onePerBucket = false)
       // LWW keeps ≥1 row per pk, so every touched bucket must appear in
       // the generation; a miss means the touched set and the merge
       // output disagree — fail loudly rather than drop a bucket
@@ -1018,9 +1036,10 @@ object DimStore {
         s"rewrite needs a versioned table at $path; commit an upsert first"))
       val df = readSnapshot(spark, path, base).getOrElse(
         throw new IllegalStateException(s"nothing to rewrite at $path"))
-      val replaced = transform(df)
+      val replaced = bucketAligned(transform(df), pk, base.buckets)
         .withColumn(BucketCol, bucketOf(pk, base.buckets))
-      val gen = writeGen(replaced, path, base.version + 1)
+      val gen = writeGen(replaced, path, base.version + 1,
+        onePerBucket = false)
       val next = Manifest(base.version + 1, base.buckets,
         bucketDirsOf(path, gen).map(_ -> gen).toMap)
       if (tryCommit(path, next)) {
@@ -1156,7 +1175,8 @@ object DimStore {
             val g = writeEmptyGen(existing, path, base.version + 1)
             (g, Manifest(base.version + 1, base.buckets, Map(0 -> g)))
           } else {
-            val g = writeGen(kept, path, base.version + 1)
+            val g = writeGen(bucketAligned(kept, pk, base.buckets), path,
+              base.version + 1, onePerBucket = false)
             // buckets the delete emptied entirely leave the manifest;
             // the rest of the touched set points at the new generation
             val present = bucketDirsOf(path, g).toSet
